@@ -1,0 +1,15 @@
+"""Pass-B constraint checks over a transcripts DataFrame.
+
+Each check returns typed violation rows with a common column set
+(check_name, conv_id, turn_idx, column, observed, expected) so they union into
+the violations table (operators/violations.py). The reference's analog is the
+per-message parse/validity outcome ladder (core/inferrer.py:199-261); here each
+check is one declarative plan with an explicit scale posture documented per
+module.
+"""
+
+from .uniqueness import uniqueness_violations  # noqa: F401
+from .contiguity import contiguity_violations  # noqa: F401
+from .domains import domain_violations  # noqa: F401
+from .nulls import null_violations  # noqa: F401
+from .drift import histogram, drift_stats  # noqa: F401

@@ -1,0 +1,72 @@
+"""Distribution drift: KL divergence / PSI of a column vs a baseline profile.
+
+The reference has no drift notion (it sees one sample); this is the engine's
+generalization for continuous validation: histogram the column in the current
+run, join to the persisted baseline histogram on (bucket), and compute PSI/KL
+as plain column math — no UDF (SURVEY.md §4.4: "plain DataFrame math").
+
+Scale: the histogram is a groupBy over a *bounded* bucket domain (categorical
+values or floor-bucketed numerics), so the shuffle carries one row per bucket
+per map partition; the drift join runs on two tiny histogram frames and is
+always broadcast-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+
+def histogram(df: DataFrame, column: str, n_buckets: int | None = None) -> DataFrame:
+    """Relative-frequency histogram of ``column`` → (bucket string, freq double).
+
+    Categorical columns bucket by value (NULL → '<null>'); numeric columns pass
+    ``n_buckets`` to floor-bucket into equal-width bins over [min, max].
+    """
+    if n_buckets is None:
+        bucket = F.coalesce(F.col(column).cast("string"), F.lit("<null>"))
+        bucketed = df.select(bucket.alias("bucket"))
+    else:
+        stats = df.agg(
+            F.min(F.col(column).cast("double")).alias("lo"),
+            F.max(F.col(column).cast("double")).alias("hi"),
+        )
+        bucketed = df.crossJoin(broadcast(stats)).select(
+            F.least(
+                F.floor(
+                    (F.col(column).cast("double") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / n_buckets)
+                ),
+                F.lit(n_buckets - 1),
+            )
+            .cast("string")
+            .alias("bucket")
+        )
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    total = Window.partitionBy()
+    return counts.select(
+        "bucket", (F.col("cnt") / F.sum("cnt").over(total)).alias("freq")
+    )
+
+
+def drift_stats(current: DataFrame, baseline: DataFrame, eps: float = 1e-6) -> DataFrame:
+    """Per-bucket drift terms between two histograms → one summable row each.
+
+    Output: (bucket, freq_base, freq_cur, psi_term, kl_term); total PSI/KL are
+    sums over the buckets. Laplace-eps keeps empty buckets finite.
+    """
+    cur = current.withColumnRenamed("freq", "freq_cur")
+    base = baseline.withColumnRenamed("freq", "freq_base")
+    joined = cur.join(base, on="bucket", how="full_outer").select(
+        "bucket",
+        F.coalesce("freq_base", F.lit(0.0)).alias("freq_base"),
+        F.coalesce("freq_cur", F.lit(0.0)).alias("freq_cur"),
+    )
+    ratio = F.log((F.col("freq_cur") + eps) / (F.col("freq_base") + eps))
+    return joined.select(
+        "bucket",
+        "freq_base",
+        "freq_cur",
+        ((F.col("freq_cur") - F.col("freq_base")) * ratio).alias("psi_term"),
+        (F.col("freq_cur") * ratio).alias("kl_term"),
+    )

@@ -1,0 +1,113 @@
+"""The reference's type lattice as vectorized column expressions.
+
+Semantics replicated from verified behavior of
+/root/reference/schema_infer/schemas/inference.py and formats/parsers.py:
+
+* Coercion ladder checks **bool before int** (parsers.py:360-383 `_convert_value`,
+  inference.py:278 `isinstance(value, bool)` first — Python bools are ints, so the
+  order is semantic, not cosmetic).
+* Plurality type wins; if its share of non-null observations is below the 0.8
+  confidence threshold AND more than one non-null type was observed, the field
+  demotes to ``union`` (inference.py:361-383).
+* ``nullable = null_count > 0`` (inference.py:359); an all-null field profiles as
+  nullable ``string`` (inference.py:364-366).
+* ``required = null_count == 0 OR null_ratio < 0.1`` (inference.py:386).
+
+The reference evaluates this per-record in Python over a ≤50-message sample; here
+each rule is a Column expression evaluated exactly over the full table in one
+aggregation pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: Order matters: first match wins (bool before int before float).
+TYPE_NAMES = ("boolean", "int", "float", "string")
+
+_INT_RE = r"^[+-]?[0-9]+$"
+
+
+def string_value_type(col: Column) -> Column:
+    """Classify one string value per the reference coercion ladder.
+
+    Returns one of 'null' | 'boolean' | 'int' | 'float' | 'string'.
+    Mirrors KeyValueParser._convert_value (parsers.py:360-383): lowercase
+    true/false → boolean; integral literal → int; double-castable → float;
+    everything else string.
+    """
+    return (
+        F.when(col.isNull(), F.lit("null"))
+        .when(F.lower(col).isin("true", "false"), F.lit("boolean"))
+        .when(col.rlike(_INT_RE), F.lit("int"))
+        .when(col.try_cast("double").isNotNull(), F.lit("float"))
+        .otherwise(F.lit("string"))
+    )
+
+
+def type_profile_exprs(col_name: str) -> list[Column]:
+    """Aggregate expressions producing one column's type histogram in a single pass.
+
+    Emits aliased aggregates ``{col}__cnt_{type}``, ``{col}__total``,
+    ``{col}__nulls`` suitable for a wide ``df.agg(*...)`` over many columns at once
+    (one table scan for the whole profile — the at-scale replacement for the
+    reference's per-record Counter in inference.py:199-264).
+    """
+    c = F.col(col_name)
+    t = string_value_type(c)
+    exprs = [
+        F.sum(F.when(t == F.lit(name), 1).otherwise(0)).cast("long").alias(f"{col_name}__cnt_{name}")
+        for name in TYPE_NAMES
+    ]
+    exprs.append(F.count(F.lit(1)).alias(f"{col_name}__total"))
+    exprs.append(F.sum(c.isNull().cast("long")).cast("long").alias(f"{col_name}__nulls"))
+    return exprs
+
+
+def resolve_profile(
+    cnt_boolean: Column,
+    cnt_int: Column,
+    cnt_float: Column,
+    cnt_string: Column,
+    total: Column,
+    nulls: Column,
+    confidence_threshold: float = 0.8,
+) -> dict[str, Column]:
+    """Resolve a type histogram into (inferred_type, confidence, nullable, required).
+
+    Pure column math over aggregated counts — runs post-shuffle on tiny data, but
+    written as expressions so it also composes under groupBy(partition_key).
+    """
+    non_null = total - nulls
+    counts = {
+        "boolean": cnt_boolean,
+        "int": cnt_int,
+        "float": cnt_float,
+        "string": cnt_string,
+    }
+    max_cnt = F.greatest(*counts.values())
+    # Plurality winner with the ladder order as tie-break (Python's max() keeps the
+    # first-seen key on ties; Counter iterates insertion order = ladder order).
+    winner = F.lit("string")
+    for name in reversed(TYPE_NAMES):
+        winner = F.when(counts[name] == max_cnt, F.lit(name)).otherwise(winner)
+    n_distinct_types = sum(
+        F.when(c > 0, 1).otherwise(0) for c in counts.values()
+    )
+    confidence = F.when(non_null > 0, max_cnt / non_null).otherwise(F.lit(None).cast("double"))
+    inferred = (
+        F.when(non_null == 0, F.lit("string"))  # all-null → string (inference.py:364-366)
+        .when(
+            (confidence < F.lit(confidence_threshold)) & (n_distinct_types > 1),
+            F.lit("union"),
+        )
+        .otherwise(winner)
+    )
+    nullable = nulls > 0
+    required = (nulls == 0) | ((nulls / total) < 0.1)
+    return {
+        "inferred_type": inferred,
+        "confidence": confidence,
+        "nullable": nullable,
+        "required": required,
+    }

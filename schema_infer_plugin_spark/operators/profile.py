@@ -1,0 +1,170 @@
+"""Pass A — column profiling in a single wide aggregation.
+
+Generalizes the reference's per-record field accumulator
+(/root/reference/schema_infer/schemas/inference.py:199-264: per-field Counter of
+types, null_count, total_count, ≤5 examples over a ≤50-message sample) into one
+full-table scan that computes, for every column at once:
+
+    count, null_count, null_rate, distinct (HyperLogLog approx or exact),
+    min, max, quantiles (numeric), bounded examples, and the reference's
+    type histogram + (inferred_type, confidence, nullable, required).
+
+Plan shape: ``scan → partial agg (map-side combine) → final agg`` — one shuffle
+of a handful of bytes per column per partition, no matter the table size. The
+long-format output (one row per column) is produced by stacking the wide agg
+row, which happens on the driver over ~dozens of values, not in a shuffle.
+
+At 100 TB this is the right shape: all stats are algebraic or sketch-based
+(HLL / percentile_approx), so partial aggregation bounds shuffle traffic by
+#columns × #partitions, and the scan reads each column exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import NumericType, StringType
+
+from ..functions.typeladder import TYPE_NAMES, resolve_profile, type_profile_exprs
+
+
+def _stat_exprs(df: DataFrame, col_name: str, approx_distinct: bool, n_examples: int) -> list:
+    c = F.col(col_name)
+    dtype = df.schema[col_name].dataType
+    exprs = [
+        F.count(F.lit(1)).alias(f"{col_name}__total"),
+        F.sum(c.isNull().cast("long")).cast("long").alias(f"{col_name}__nulls"),
+        (
+            F.approx_count_distinct(c) if approx_distinct else F.count_distinct(c)
+        ).cast("long").alias(f"{col_name}__distinct"),
+        F.min(c).cast("string").alias(f"{col_name}__min"),
+        F.max(c).cast("string").alias(f"{col_name}__max"),
+        # Bounded examples: the reference keeps ≤5 in a set (inference.py:248-250).
+        F.slice(F.collect_set(c.cast("string")), 1, n_examples).alias(f"{col_name}__examples"),
+    ]
+    if isinstance(dtype, NumericType):
+        exprs.append(
+            F.percentile_approx(c.cast("double"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+            .alias(f"{col_name}__quantiles")
+        )
+    else:
+        exprs.append(F.lit(None).cast("array<double>").alias(f"{col_name}__quantiles"))
+    if isinstance(dtype, StringType):
+        exprs.extend(type_profile_exprs(col_name)[: len(TYPE_NAMES)])  # cnt_{type} only
+    return exprs
+
+
+def profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    partition_by: str | None = None,
+    approx_distinct: bool = True,
+    n_examples: int = 5,
+    run_id: str = "run0",
+) -> DataFrame:
+    """Profile ``columns`` (default: all) in one aggregation pass.
+
+    Returns long format: one row per (partition_key, column) with
+    PROFILE_SCHEMA-compatible columns. ``partition_by`` groups the profile per
+    partition (the per-topic analog of the reference); None profiles globally.
+    ``approx_distinct=True`` uses HyperLogLog (the 100 TB path);
+    False uses exact count_distinct (oracle-checkable at test scale).
+    """
+    columns = columns or [c for c in df.columns if c != partition_by]
+    agg_exprs: list = []
+    for col_name in columns:
+        agg_exprs.extend(_stat_exprs(df, col_name, approx_distinct, n_examples))
+
+    wide = df.groupBy(partition_by).agg(*agg_exprs) if partition_by else df.agg(*agg_exprs)
+
+    # Stack wide → long. The wide frame has one row per partition_key (tiny);
+    # build one struct per column then explode — pure projection, no shuffle.
+    structs = []
+    for col_name in columns:
+        is_string = isinstance(df.schema[col_name].dataType, StringType)
+        total = F.col(f"{col_name}__total")
+        nulls = F.col(f"{col_name}__nulls")
+        if is_string:
+            cnts = {t: F.col(f"{col_name}__cnt_{t}") for t in TYPE_NAMES}
+            resolved = resolve_profile(cnts["boolean"], cnts["int"], cnts["float"], cnts["string"], total, nulls)
+            hist = F.map_from_arrays(
+                F.array(*[F.lit(t) for t in TYPE_NAMES]),
+                F.array(*[cnts[t] for t in TYPE_NAMES]),
+            )
+        else:
+            spark_type = df.schema[col_name].dataType.simpleString()
+            resolved = {
+                "inferred_type": F.lit(spark_type),
+                "confidence": F.lit(1.0),
+                "nullable": nulls > 0,
+                "required": (nulls == 0) | ((nulls / total) < 0.1),
+            }
+            hist = F.map_from_arrays(
+                F.array(F.lit(spark_type), F.lit("null")),
+                F.array((total - nulls).cast("long"), nulls.cast("long")),
+            )
+        structs.append(
+            F.struct(
+                F.lit(col_name).alias("column"),
+                resolved["inferred_type"].alias("inferred_type"),
+                hist.alias("type_histogram"),
+                total.alias("total_count"),
+                nulls.alias("null_count"),
+                (nulls / total).alias("null_rate"),
+                resolved["required"].alias("required"),
+                resolved["nullable"].alias("nullable"),
+                resolved["confidence"].cast("double").alias("confidence"),
+                F.col(f"{col_name}__distinct").alias("distinct_approx"),
+                F.col(f"{col_name}__min").alias("min_val"),
+                F.col(f"{col_name}__max").alias("max_val"),
+                F.col(f"{col_name}__quantiles").alias("quantiles"),
+                F.array_sort(F.col(f"{col_name}__examples")).alias("examples"),
+            )
+        )
+
+    part_key = (
+        F.col(partition_by).cast("string") if partition_by else F.lit("_global_")
+    )
+    long_df = wide.select(
+        F.lit(run_id).alias("run_id"),
+        part_key.alias("partition_key"),
+        F.explode(F.array(*structs)).alias("p"),
+    ).select("run_id", "partition_key", "p.*")
+    return long_df
+
+
+def type_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Reference-semantics type inference over string columns only.
+
+    Output: (column, inferred_type, confidence, nullable, required,
+    cnt_boolean, cnt_int, cnt_float, cnt_string, total_count, null_count) —
+    the distributed equivalent of SchemaInferrer._create_schema_field
+    (inference.py:339-397), exact over the full table.
+    """
+    columns = columns or [
+        f.name for f in df.schema.fields if isinstance(f.dataType, StringType)
+    ]
+    agg_exprs: list = []
+    for c in columns:
+        agg_exprs.extend(type_profile_exprs(c))
+    wide = df.agg(*agg_exprs)
+
+    structs = []
+    for c in columns:
+        cnts = {t: F.col(f"{c}__cnt_{t}") for t in TYPE_NAMES}
+        total, nulls = F.col(f"{c}__total"), F.col(f"{c}__nulls")
+        resolved = resolve_profile(
+            cnts["boolean"], cnts["int"], cnts["float"], cnts["string"], total, nulls
+        )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                resolved["inferred_type"].alias("inferred_type"),
+                F.round(resolved["confidence"], 6).cast("double").alias("confidence"),
+                resolved["nullable"].alias("nullable"),
+                resolved["required"].alias("required"),
+                *[cnts[t].alias(f"cnt_{t}") for t in TYPE_NAMES],
+                total.alias("total_count"),
+                nulls.alias("null_count"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")

@@ -1,0 +1,65 @@
+"""Violations table assembly + per-partition verdict rollup.
+
+The reference tallies successes/failures per topic on the driver
+(core/inferrer.py:69-165, plugin/cli.py:624-683); here violations are a typed
+DataFrame (unioned from every check) and verdicts are one aggregation over it —
+both written as tables, never collected.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+
+def union_violations(parts: list[DataFrame], run_id: str = "run0") -> DataFrame:
+    """Union check outputs and stamp run_id + detail; stable output ordering is
+    applied at write time (orderBy conv_id, turn_idx, check_name)."""
+    unified = reduce(lambda a, b: a.unionByName(b), parts)
+    return unified.select(
+        F.lit(run_id).alias("run_id"),
+        "check_name",
+        "conv_id",
+        "turn_idx",
+        "column",
+        "observed",
+        "expected",
+        F.concat_ws(
+            " ", F.lit("expected"), F.col("expected"), F.lit("observed"), F.col("observed")
+        ).alias("detail"),
+    )
+
+
+def verdicts(
+    violations: DataFrame,
+    partition_keys: DataFrame,
+    check_names: list[str],
+    run_id: str = "run0",
+) -> DataFrame:
+    """Per-(partition, check) pass/fail with violation counts.
+
+    ``partition_keys``: one-column DataFrame of every partition key in the run —
+    needed so untouched partitions still get an explicit PASS row.
+    ``violations`` must carry a ``partition_key`` column (callers derive it from
+    conv_id or the table's partition transform).
+    """
+    checks = violations.sparkSession.createDataFrame(
+        [(c,) for c in check_names], ["check_name"]
+    )
+    grid = partition_keys.crossJoin(broadcast(checks))
+    counts = violations.groupBy("partition_key", "check_name").agg(
+        F.count(F.lit(1)).alias("violation_count")
+    )
+    return grid.join(counts, ["partition_key", "check_name"], "left").select(
+        F.lit(run_id).alias("run_id"),
+        "partition_key",
+        "check_name",
+        (F.coalesce("violation_count", F.lit(0)) == 0).alias("pass"),
+        F.coalesce("violation_count", F.lit(0)).cast("long").alias("violation_count"),
+        F.create_map(
+            F.lit("violation_count"),
+            F.coalesce("violation_count", F.lit(0)).cast("double"),
+        ).alias("metrics"),
+    )

@@ -1,0 +1,122 @@
+"""Constraint checks verified two ways: (1) against DuckDB running the identical
+check logic over the identical fixture view (the driver's oracle path), and
+(2) against hand-computed micro-fixtures with known violation coordinates."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+import pytest
+
+from tests.conftest import SF_CORRECT, duck_rows, spark_rows
+
+ORACLE_CHECKED = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_CHECKED)
+def test_query_matches_duckdb_oracle(spark, duck, name):
+    sdf = entrymod.queries()[name](spark, SF_CORRECT)
+    assert spark_rows(sdf) == duck_rows(duck, entrymod.oracle_sql()[name])
+
+
+def _mini_transcripts(spark):
+    rows = [
+        # conv A: clean 0,1,2
+        ("A", 0, "user", "hi", None, None),
+        ("A", 1, "assistant", "hello", None, None),
+        ("A", 2, "tool", "result", "search", None),
+        # conv B: duplicate turn 1, gap (3 follows 1), bad role, tool misuse
+        ("B", 0, "user", "q", None, None),
+        ("B", 1, "assistant", "a", None, None),
+        ("B", 1, "assistant", "a-dup", None, None),
+        ("B", 3, "moderator", None, "laser", None),
+        # conv C: starts at 2
+        ("C", 2, "user", "late", "search", None),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def test_uniqueness_micro(spark):
+    from schema_infer_plugin_spark.checks import uniqueness_violations
+
+    got = {
+        (r["conv_id"], r["turn_idx"], r["observed"])
+        for r in uniqueness_violations(_mini_transcripts(spark)).collect()
+    }
+    assert got == {("B", 1, "2")}
+
+
+def test_contiguity_micro(spark):
+    from schema_infer_plugin_spark.checks import contiguity_violations
+
+    got = {
+        (r["check_name"], r["conv_id"], r["turn_idx"], r["expected"])
+        for r in contiguity_violations(_mini_transcripts(spark)).collect()
+    }
+    assert got == {("contiguity", "B", 3, "2"), ("contiguity_start", "C", 2, "0")}
+
+
+def test_domains_micro(spark):
+    from schema_infer_plugin_spark.checks import domain_violations
+    from schema_infer_plugin_spark.checks.domains import tool_requires_role_violations
+    from schema_infer_plugin_spark.schema import ROLE_DOMAIN, TOOL_DOMAIN
+
+    t = _mini_transcripts(spark)
+    bad_roles = {(r["conv_id"], r["observed"]) for r in domain_violations(t, "role", ROLE_DOMAIN).collect()}
+    assert bad_roles == {("B", "moderator")}
+    bad_tools = {(r["conv_id"], r["observed"]) for r in domain_violations(t, "tool", TOOL_DOMAIN).collect()}
+    assert bad_tools == {("B", "laser")}
+    misuse = {(r["conv_id"], r["turn_idx"]) for r in tool_requires_role_violations(t).collect()}
+    assert misuse == {("B", 3), ("C", 2)}
+
+
+def test_domain_accepts_dataframe(spark):
+    from schema_infer_plugin_spark.checks import domain_violations
+
+    t = _mini_transcripts(spark)
+    dom = spark.createDataFrame([("user",), ("assistant",), ("tool",)], ["role"])
+    got = {r["observed"] for r in domain_violations(t, "role", dom).collect()}
+    assert got == {"moderator"}
+
+
+def test_drift_detects_shift(spark):
+    from schema_infer_plugin_spark.checks import drift_stats, histogram
+    from pyspark.sql import functions as F
+
+    base = spark.range(1000).select(
+        F.when(F.col("id") % 2 == 0, "user").otherwise("assistant").alias("role")
+    )
+    cur = spark.range(1000).select(
+        F.when(F.col("id") % 10 == 0, "user").otherwise("assistant").alias("role")
+    )
+    total_psi = (
+        drift_stats(histogram(cur, "role"), histogram(base, "role"))
+        .agg(F.sum("psi_term").alias("psi"))
+        .collect()[0]["psi"]
+    )
+    assert total_psi > 0.25  # industry "significant drift" threshold
+    none_psi = (
+        drift_stats(histogram(base, "role"), histogram(base, "role"))
+        .agg(F.sum("psi_term").alias("psi"))
+        .collect()[0]["psi"]
+    )
+    assert abs(none_psi) < 1e-9
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == [
+        "run_id", "check_name", "conv_id", "turn_idx", "column", "observed", "expected", "detail",
+    ]
+    # stable ordering: (conv_id, turn_idx, check_name)
+    keys = [(r["conv_id"], r["turn_idx"], r["check_name"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_oracle_contract_consistency():
+    qs, os_ = entrymod.queries(), entrymod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(callable(f) for f in qs.values())

@@ -1,0 +1,69 @@
+"""Pass-A profile operator: correctness vs DuckDB aggregates and plan hygiene
+(single-pass, no Python eval nodes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schema_infer_plugin_spark.operators.profile import profile
+from tests.conftest import SF_CORRECT
+
+
+def test_profile_lineitem_stats(spark, duck):
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    p = profile(li, columns=["l_quantity", "l_returnflag"], approx_distinct=False)
+    rows = {r["column"]: r for r in p.collect()}
+    exp = duck.execute(
+        """
+        SELECT count(*) AS n, count(DISTINCT l_quantity) AS dq,
+               CAST(min(l_quantity) AS STRING) AS mn, CAST(max(l_quantity) AS STRING) AS mx,
+               count(DISTINCT l_returnflag) AS dr
+        FROM lineitem
+        """
+    ).fetchone()
+    q = rows["l_quantity"]
+    assert q["total_count"] == exp[0]
+    assert q["distinct_approx"] == exp[1]
+    assert q["min_val"] == exp[2] and q["max_val"] == exp[3]
+    assert q["null_count"] == 0 and q["required"] and not q["nullable"]
+    assert rows["l_returnflag"]["distinct_approx"] == exp[4]
+    # numeric quantiles present and ordered
+    quant = q["quantiles"]
+    assert quant is not None and quant[0] <= quant[1] <= quant[2]
+
+
+def test_profile_partitioned(spark):
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    p = profile(li, columns=["l_quantity"], partition_by="l_returnflag", approx_distinct=False)
+    keys = {r["partition_key"] for r in p.collect()}
+    assert keys == {"A", "N", "R"}
+
+
+def test_profile_single_pass_plan(spark):
+    """The whole profile must be ONE aggregation over ONE scan — no joins, no
+    repeated subtree per column, no Python eval (FIXTURES.md §5 plan gate)."""
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    p = profile(li, columns=list(li.columns), approx_distinct=True)
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") <= 1
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_approx_distinct_close(spark):
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    exact = profile(li, columns=["l_partkey"], approx_distinct=False).collect()[0]["distinct_approx"]
+    approx = profile(li, columns=["l_partkey"], approx_distinct=True).collect()[0]["distinct_approx"]
+    assert abs(approx - exact) / exact < 0.1  # HLL default rsd ≈ 5%
+
+
+def test_type_histogram_on_string_cols(spark):
+    df = spark.createDataFrame(
+        [("1", "x"), ("2", "true"), ("a", None)], "c1 string, c2 string"
+    )
+    p = profile(df, approx_distinct=False)
+    rows = {r["column"]: r for r in p.collect()}
+    assert rows["c1"]["type_histogram"]["int"] == 2
+    assert rows["c1"]["type_histogram"]["string"] == 1
+    assert rows["c1"]["inferred_type"] == "union"  # 2/3 < 0.8, two types
+    assert rows["c2"]["nullable"] is True

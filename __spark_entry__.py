@@ -395,6 +395,278 @@ GROUP BY r.r_name, n.n_name
 
 
 # ---------------------------------------------------------------------------
+# datapipe: dedup / similarity / ANN / text analytics (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+#: Near-dup test corpus: documents ∪ mutated copies (one appended token) ∪
+#: exact copies — same construction in Spark and in the oracle CTE.
+_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000 AS doc_id, text || ' zzz' AS text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+)"""
+
+
+def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    m1 = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    m2 = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), F.col("text")
+    )
+    return d.unionByName(m1).unionByName(m2)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_infer_plugin_spark.datapipe import exact_dedup
+
+    return exact_dedup(_mutated_corpus(spark, sf_dir), "doc_id", "text")
+
+
+ORACLE_DEDUP_EXACT = f"""
+WITH {_CORPUS_CTE}
+SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM corpus GROUP BY md5(text)
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_infer_plugin_spark.datapipe import lsh_candidate_pairs, minhash_signatures
+
+    sig = minhash_signatures(_mutated_corpus(spark, sf_dir), "doc_id", "text", num_hashes=16, shingle_k=3)
+    return lsh_candidate_pairs(sig, "doc_id", bands=4, min_est_jaccard=0.5)
+
+
+ORACLE_MINHASH_LSH = rf"""
+WITH {_CORPUS_CTE},
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+                                                  i -> array_to_string(tk[i:i+2], ' ')))) AS sh
+       FROM toks),
+sig AS (SELECT doc_id, [{", ".join(f"min(md5('{i}:' || sh))" for i in range(16))}] AS sig
+        FROM sh GROUP BY doc_id),
+banded AS (SELECT doc_id, sig, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bh
+           FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),
+pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sig AS sa, r.sig AS sb
+          FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id)
+SELECT id_a, id_b, est_jaccard FROM (
+  SELECT id_a, id_b,
+         CAST(len(list_filter(generate_series(1, 16), i -> sa[i] = sb[i])) AS DOUBLE)/16 AS est_jaccard
+  FROM pairs
+) WHERE est_jaccard >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_infer_plugin_spark.datapipe import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_SIMHASH = r"""
+WITH tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) AS h FROM tk),
+bits AS (
+  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN generate_series(0, 31) AS t(j) GROUP BY doc_id, j)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::UBIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_infer_plugin_spark.datapipe import simhash, simhash_candidate_pairs
+
+    sim = simhash(_mutated_corpus(spark, sf_dir), "doc_id", "text")
+    return simhash_candidate_pairs(sim, "doc_id", max_hamming=3, n_bands=4)
+
+
+ORACLE_SIMHASH_PAIRS = rf"""
+WITH {_CORPUS_CTE},
+tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM corpus),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS UBIGINT) AS h FROM tk),
+bits AS (
+  SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN generate_series(0, 31) AS t(j) GROUP BY doc_id, j),
+sim AS (SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::UBIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id),
+banded AS (SELECT doc_id, simhash, blk, (simhash >> (blk*8)) & 255 AS blk_val
+           FROM sim CROSS JOIN generate_series(0, 3) AS t(blk))
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(bit_count(xor(l.simhash::UBIGINT, r.simhash::UBIGINT)) AS INT) AS hamming
+FROM banded l JOIN banded r ON l.blk = r.blk AND l.blk_val = r.blk_val AND l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash::UBIGINT, r.simhash::UBIGINT)) <= 3
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_infer_plugin_spark.datapipe import ngram_jaccard_pairs
+
+    p = ngram_jaccard_pairs(_mutated_corpus(spark, sf_dir), "doc_id", "text", shingle_k=3, min_jaccard=0.5)
+    return p.select("id_a", "id_b", F.round("jaccard", 6).cast("double").alias("jaccard"))
+
+
+ORACLE_NGRAM_JACCARD = rf"""
+WITH {_CORPUS_CTE},
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+                                                  i -> array_to_string(tk[i:i+2], ' ')))) AS sh
+       FROM toks),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         CAST(round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS DOUBLE) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+) WHERE jaccard >= 0.5
+"""
+
+_DUCK_COS = (
+    "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+    "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+    "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+)
+
+
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_infer_plugin_spark.datapipe import ann_bruteforce_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_bruteforce_topk(emb, qs, k=3)
+
+
+ORACLE_ANN_BRUTEFORCE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         CAST(round({_DUCK_COS.format(a="qv", b="c.embedding")}, 6) AS DOUBLE) AS cosine
+  FROM q JOIN embeddings c ON c.vec_id != q.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+           FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_infer_plugin_spark.datapipe import ann_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_lsh_topk(emb, qs, k=3, n_planes=6, seed=42)
+
+
+def _oracle_ann_lsh() -> str:
+    """Inline the md5-derived hyperplane literals so DuckDB reproduces the
+    exact bucket construction (datapipe/ann.py hyperplane_components)."""
+    from schema_infer_plugin_spark.datapipe.ann import hyperplane_components
+
+    planes = hyperplane_components(dim=64, n_planes=6, seed=42)
+    bucket_terms = " + ".join(
+        f"CASE WHEN list_dot_product({{v}}::DOUBLE[], "
+        f"[{', '.join(f'{c}.0' for c in comps)}]::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END"
+        for p, comps in enumerate(planes)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket_terms.format(v="embedding")} AS bkt FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM b WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(round({_DUCK_COS.format(a="q.qv", b="c.embedding")}, 6) AS DOUBLE) AS cosine
+  FROM q JOIN b c ON c.bkt = q.bkt AND c.vec_id != q.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+           FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 3
+"""
+
+
+_EN_STOPS = "'the','a','of','and','to','in','is','it','that','for'"
+_LANG_STOP_SQL = {
+    "de": "'der','die','das','und','ist','nicht','ein','mit','auf','zu'",
+    "en": _EN_STOPS,
+    "es": "'el','la','los','y','es','un','una','por','con','para'",
+    "fr": "'le','la','les','et','est','un','une','pour','dans','que'",
+}
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_infer_plugin_spark.datapipe import text_quality_table
+
+    return text_quality_table(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+ORACLE_TEXT_QUALITY = rf"""
+WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+m AS (
+  SELECT doc_id, text, tk,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(tk) END AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_obs,
+         CASE WHEN length(text) > 0
+              THEN CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / length(text)
+              ELSE 0.0 END AS praw,
+         CASE WHEN len(tk) > 0
+              THEN CAST(len(list_filter(tk, x -> lower(x) IN ({_EN_STOPS}))) AS DOUBLE) / len(tk)
+              ELSE 0.0 END AS sraw
+  FROM t)
+SELECT doc_id, n_tokens, n_bpe_tokens, n_chars_obs,
+       CAST(round(praw, 6) AS DOUBLE) AS punct_ratio,
+       CAST(round(sraw, 6) AS DOUBLE) AS stopword_ratio,
+       CAST(round(
+         (CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 0.5 ELSE 0.0 END)
+         + (CASE WHEN sraw >= 0.01 THEN 0.3 ELSE 0.0 END)
+         + (CASE WHEN praw > 0.2 THEN 0.0 ELSE 0.2 END), 6) AS DOUBLE) AS quality,
+       md5(array_to_string(list_sort(list_distinct(list_transform(tk, x -> lower(x)))), ' ')) AS fingerprint
+FROM m
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_infer_plugin_spark.datapipe import language_id_table
+
+    return language_id_table(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_LANG_SCORE_SQL = ",\n".join(
+    f"CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, x -> lower(x) IN ({stops}))) AS DOUBLE) / len(tk) ELSE 0.0 END AS raw_{lang}"
+    for lang, stops in _LANG_STOP_SQL.items()
+)
+
+ORACLE_LANG_ID = rf"""
+WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+s AS (SELECT doc_id, {_LANG_SCORE_SQL} FROM t),
+mx AS (SELECT *, greatest(raw_de, raw_en, raw_es, raw_fr) AS m FROM s)
+SELECT doc_id,
+       CASE WHEN m <= 0 THEN 'und'
+            WHEN raw_de = m THEN 'de' WHEN raw_en = m THEN 'en'
+            WHEN raw_es = m THEN 'es' ELSE 'fr' END AS pred_lang,
+       CAST(round(raw_de, 6) AS DOUBLE) AS score_de,
+       CAST(round(raw_en, 6) AS DOUBLE) AS score_en,
+       CAST(round(raw_es, 6) AS DOUBLE) AS score_es,
+       CAST(round(raw_fr, 6) AS DOUBLE) AS score_fr
+FROM mx
+"""
+
+
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched binary feature extraction (mapInPandas) — not SQL-
+    expressible; the driver records a rows-only check."""
+    from schema_infer_plugin_spark.datapipe import extract_binary_features, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_binary_features(with_binary_payload(docs, "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
 
@@ -411,6 +683,16 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, ORACLE_TOP_REVENUE_ORDERS),
     "nation_revenue": (q_nation_revenue, ORACLE_NATION_REVENUE),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_minhash_lsh, ORACLE_MINHASH_LSH),
+    "simhash_documents": (q_simhash, ORACLE_SIMHASH),
+    "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
+    "ann_lsh_topk": (q_ann_lsh, _oracle_ann_lsh()),
+    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "language_id": (q_lang_id, ORACLE_LANG_ID),
+    "multimodal_features": (q_multimodal, None),
 }
 
 

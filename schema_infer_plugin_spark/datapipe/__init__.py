@@ -1,0 +1,21 @@
+"""Training-data pipeline operators over documents/embeddings tables.
+
+Beyond the reference's operator set: deduplication (exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding near-dup), approximate nearest-neighbor search, text
+analytics (language ID, quality, token counts, fingerprints), and multimodal
+binary-column plumbing. All hashing derives from md5 so every result is
+verifiable in DuckDB (functions/hashing.py).
+"""
+
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    simhash,
+    simhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    embedding_neardup_pairs,
+)
+from .ann import ann_bruteforce_topk, ann_lsh_topk  # noqa: F401
+from .text import text_quality_table, language_id_table  # noqa: F401
+from .multimodal import with_binary_payload, extract_binary_features  # noqa: F401

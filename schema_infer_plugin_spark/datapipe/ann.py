@@ -1,0 +1,129 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Two tiers (per the engine brief):
+* ``ann_bruteforce_topk`` — exact cosine top-k: broadcast the (small) query set
+  against the corpus, score with JVM higher-order functions, rank with a window
+  per query. The baseline and the verifier for the approximate path.
+* ``ann_lsh_topk`` — random-hyperplane LSH: corpus and queries are bucketed by
+  the sign pattern of dot products with deterministic hyperplanes; only
+  same-bucket candidates are scored. At 100 TB the bucket join replaces the
+  cross product; recall is tuned by (n_planes, n_tables).
+
+Hyperplane components are md5-derived integers materialized as literals, so the
+identical construction is expressible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.vectors import cosine_similarity
+
+
+def hyperplane_components(dim: int, n_planes: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes: component (p,d) = the first 8
+    md5 hex digits of "seed:p:d" mapped to [-1000, 1000]. Pure public math —
+    reproducible anywhere md5 exists."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:8], 16)
+            row.append(h % 2001 - 1000)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_bucket(vec: Column, dim: int, n_planes: int, seed: int = 42) -> Column:
+    """Sign-pattern bucket id in [0, 2^n_planes): bit p set iff dot(vec, plane_p) >= 0."""
+    planes = hyperplane_components(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for p, comps in enumerate(planes):
+        plane = F.array(*[F.lit(float(c)) for c in comps])
+        d = F.aggregate(
+            F.zip_with(vec.cast("array<double>"), plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(d >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_bruteforce_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Ranking ties break on rounded similarity then neighbor id — fully
+    deterministic across engines. Self-matches (same id) are excluded.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), round_digits)
+            .cast("double")
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 6,
+    seed: int = 42,
+    round_digits: int = 6,
+) -> DataFrame:
+    """LSH-bucketed top-k: score only corpus vectors in the query's bucket.
+
+    Approximate — recall < 1 by design; the test suite measures recall against
+    the brute-force baseline instead of asserting equality.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    dim = len(corpus.select(vec_col).first()[0])
+    bkt = lambda v: hyperplane_bucket(v, dim, n_planes, seed)  # noqa: E731
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("bkt", bkt(F.col("qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("bkt", bkt(F.col("cv")))
+    scored = (
+        c.join(broadcast(q), "bkt")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), round_digits)
+            .cast("double")
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

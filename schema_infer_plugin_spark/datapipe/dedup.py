@@ -1,0 +1,303 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding near-dup.
+
+Design for 100 TB:
+* every variant is **candidate generation by equi-join on a derived key**
+  (hash / band / bucket) followed by verification *within candidate pairs only* —
+  never an O(n²) cross product;
+* all hashes derive from md5 (functions/hashing.py) so results are
+  deterministic, partition-invariant, and DuckDB-oracle-verifiable;
+* shingling/explosion happens map-side; the only shuffles are the groupBys on
+  document id and the candidate-pair joins, whose keys (band hashes) are
+  uniformly distributed by construction. Frequent-shingle skew (stop-shingles
+  shared by millions of docs) is the classic hazard of the exact-Jaccard join —
+  ``ngram_jaccard_pairs`` takes a ``max_shingle_freq`` cut exactly like
+  industrial near-dup pipelines do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.hashing import salted_md5
+
+_WS = r"\s+"
+
+
+def _tokens(text: Column) -> Column:
+    return F.split(F.trim(text), _WS)
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingles; texts shorter than k words yield one shingle.
+
+    DuckDB: list_transform(generate_series(1, greatest(len(toks)-k+1,1)),
+                           i -> array_to_string(toks[i:i+k-1], ' '))
+    """
+    toks = _tokens(text)
+    n = F.size(toks)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text with the minimal
+    id as survivor. Plan: map-side md5 + hash agg — one shuffle on the digest.
+    Output: (text_hash, keep_id, dup_count).
+    """
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col).alias("_id"))
+        .groupBy("text_hash")
+        .agg(F.min("_id").alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    md5(i || ':' || shingle). One explode + one groupBy(id) with num_hashes
+    min() aggregates — a single pass, map-side combinable.
+
+    Output: (id_col, sig array<string>).
+    """
+    exploded = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("sh")
+    )
+    aggs = [F.min(salted_md5(F.col("sh"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    sig = exploded.groupBy(id_col).agg(*aggs)
+    return sig.select(id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH banding over MinHash signatures → verified candidate pairs.
+
+    Signature is split into ``bands`` equal bands; docs sharing any band hash
+    become candidates (equi-join on (band_idx, band_hash) — the scale path:
+    pair count ∝ actual near-dups, not n²). Estimated Jaccard = fraction of
+    matching signature positions; pairs below ``min_est_jaccard`` are dropped.
+
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
+    """
+    n_hashes = None  # inferred from array at runtime via size()
+    rows_per_band = F.size(F.col("sig")) / bands
+    banded = sig_df.select(
+        F.col(id_col).alias("_id"),
+        F.col("sig"),
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
+    ).withColumn(
+        "band_hash",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.slice(
+                    F.col("sig"),
+                    (F.col("band_idx") * rows_per_band).cast("int") + 1,
+                    rows_per_band.cast("int"),
+                ),
+            )
+        ),
+    )
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    )
+    pairs = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    matches = F.aggregate(
+        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.withColumn("est_jaccard", matches / F.size(F.col("sig_a")))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document over whitespace tokens.
+
+    token hash = first 8 md5 hex digits (base-16) — reproducible in DuckDB.
+    bit j of the simhash is set iff sum over tokens of (2*bit_j(h)-1) > 0.
+    Plan: explode tokens → single groupBy(id) with 32 conditional-sum
+    aggregates → bit reassembly as column math.
+    Output: (id_col, simhash long).
+    """
+    tok_hash = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    exploded = df.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", tok_hash)
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = exploded.groupBy(id_col).agg(*aggs)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)).cast("long")
+        sim = term if sim is None else sim + term
+    return sums.select(id_col, sim.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    sim_df: DataFrame, id_col: str, max_hamming: int = 3, n_bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 32-bit hash into ``n_bands`` byte
+    blocks; by pigeonhole, any pair within hamming ≤ n_bands-1 shares a block →
+    equi-join on (block_idx, block_value), verify bit_count(xor) ≤ max_hamming.
+
+    Output: (id_a, id_b, hamming).
+    """
+    bits_per = SIMHASH_BITS // n_bands
+    mask = (1 << bits_per) - 1
+    # shiftright needs a literal count → resolve the per-block shift with a
+    # when-chain over the (small, fixed) block indices.
+    blk_val = F.lit(None).cast("long")
+    for b in range(n_bands):
+        blk_val = F.when(
+            F.col("blk") == b,
+            F.shiftright(F.col("simhash"), b * bits_per).bitwiseAND(F.lit(mask)),
+        ).otherwise(blk_val)
+    banded = sim_df.select(
+        F.col(id_col).alias("_id"),
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("blk"),
+    ).withColumn("blk_val", blk_val)
+    left = banded.select(F.col("_id").alias("id_a"), F.col("simhash").alias("sh_a"), "blk", "blk_val")
+    right = banded.select(F.col("_id").alias("id_b"), F.col("simhash").alias("sh_b"), "blk", "blk_val")
+    return (
+        left.join(right, ["blk", "blk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    min_jaccard: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via the shingle-inverted-index join.
+
+    |A∩B| from the self-join on shingle, |A|,|B| from per-doc distinct counts,
+    J = inter / (|A|+|B|-inter). ``max_shingle_freq`` drops shingles shared by
+    more than that many docs (stop-shingles) — the standard skew guard: without
+    it one viral shingle creates a quadratic reducer.
+
+    Output: (id_a, id_b, jaccard double).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("sh"),
+    )
+    if max_shingle_freq is not None:
+        freq_ok = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(
+            F.col("f") <= max_shingle_freq
+        )
+        sh = sh.join(freq_ok.select("sh"), "sh")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("_id").alias("id_a"), "sh")
+    b = sh.select(F.col("_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.95,
+    n_planes: int = 0,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    ``n_planes=0``: exact all-pairs (test scale / small partitions only).
+    ``n_planes>0``: random-hyperplane LSH bucketing first — only same-bucket
+    pairs are scored (the 100 TB path; recall tunable via plane count).
+    Output: (id_a, id_b, cosine double).
+    """
+    from ..functions.vectors import cosine_similarity
+    from .ann import hyperplane_bucket
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    if n_planes > 0:
+        dim = len(base.first()["_v"])
+        base = base.withColumn("_bkt", hyperplane_bucket(F.col("_v"), dim, n_planes, seed))
+        join_on = [F.col("l._bkt") == F.col("r._bkt"), F.col("l._id") < F.col("r._id")]
+    else:
+        join_on = [F.col("l._id") < F.col("r._id")]
+    pairs = base.alias("l").join(base.alias("r"), join_on)
+    return (
+        pairs.select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            cosine_similarity(F.col("l._v"), F.col("r._v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

@@ -15,6 +15,7 @@ The view deterministically injects every violation class the engine checks for
   conversation turn;
 * out-of-domain ``role``             — event_type 'error' maps to 'moderator';
 * ``tool`` set while role ≠ 'tool'   — ``event_id % 97 = 0`` forces tool='search';
+* out-of-domain ``tool``             — ``event_id % 103 = 0`` forces tool='laser';
 * NULL ``text``                      — ``event_id % 53 = 0``.
 
 Only engine-portable constructs are used (row_number, lpad, CASE, %, concat) —
@@ -48,6 +49,7 @@ WITH seq AS (
           WHEN 0 THEN 'search' WHEN 1 THEN 'code' WHEN 2 THEN 'browser' ELSE 'calc'
         END
       WHEN event_id % 97 = 0 THEN 'search'
+      WHEN event_id % 103 = 0 THEN 'laser'
       ELSE NULL
     END AS tool,
     ts

@@ -395,6 +395,148 @@ GROUP BY r.r_name, n.n_name
 
 
 # ---------------------------------------------------------------------------
+# dynamic JSON inference / format detection / parsing (reference core surface)
+# ---------------------------------------------------------------------------
+
+#: Five known record shapes over events → expected profile is derivable in
+#: closed form (the oracle computes it from residue-class counts).
+_JSON_CORPUS_SQL = """
+SELECT CASE CAST(event_id % 5 AS INT)
+  WHEN 0 THEN '{"a": 1, "b": {"c": "x"}, "arr": [1, 2, 3]}'
+  WHEN 1 THEN '{"a": "s", "b": {"c": "y"}, "arr": ["p"], "opt": null}'
+  WHEN 2 THEN '{"a": 2, "items": [{"id": 1}], "opt": 5}'
+  WHEN 3 THEN '{"a": true, "deep": [[{"z": 1}]]}'
+  ELSE '{"a": 3.5, "empty": []}' END AS payload
+FROM events
+"""
+
+
+def q_json_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_infer_plugin_spark.operators.inference import infer_json_schema
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    corpus = spark.sql(_JSON_CORPUS_SQL)
+    return infer_json_schema(corpus, "payload").drop("examples")
+
+
+ORACLE_JSON_INFERENCE = """
+WITH n AS (
+  SELECT CAST(sum(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN event_id % 5 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN event_id % 5 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN event_id % 5 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(sum(CASE WHEN event_id % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+         CAST(count(*) AS BIGINT) AS nt
+  FROM events)
+SELECT 'a' AS field_path, 'union' AS inferred_type,
+       CAST(round(CAST(greatest(n0 + n2, n1, n3, n4) AS DOUBLE) / nt, 6) AS DOUBLE) AS confidence,
+       false AS nullable, true AS required, nt AS total_count, CAST(0 AS BIGINT) AS null_count FROM n
+UNION ALL SELECT 'b', 'object', 1.0, false, true, n0 + n1, 0 FROM n
+UNION ALL SELECT 'b.c', 'string', 1.0, false, true, n0 + n1, 0 FROM n
+UNION ALL SELECT 'arr', 'union',
+       CAST(round(CAST(greatest(n0, n1) AS DOUBLE) / (n0 + n1), 6) AS DOUBLE),
+       false, true, n0 + n1, 0 FROM n
+UNION ALL SELECT 'opt', 'int', 1.0, n1 > 0,
+       (n1 = 0 OR CAST(n1 AS DOUBLE) / (n1 + n2) < 0.1), n1 + n2, n1 FROM n
+UNION ALL SELECT 'items', 'object', 1.0, false, true, n2, 0 FROM n
+UNION ALL SELECT 'items[].id', 'int', 1.0, false, true, n2, 0 FROM n
+UNION ALL SELECT 'deep', 'array<object>', 1.0, false, true, n3, 0 FROM n
+UNION ALL SELECT 'deep[][].z', 'int', 1.0, false, true, n3, 0 FROM n
+UNION ALL SELECT 'empty', 'array', 1.0, false, true, n4, 0 FROM n
+"""
+
+
+def q_format_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_infer_plugin_spark.operators.detector import format_scores
+
+    events = load_table(spark, sf_dir, "events")
+    return format_scores(events, "props").select(
+        "format", F.round("score", 6).cast("double").alias("score"), "priority"
+    )
+
+
+ORACLE_FORMAT_DETECT = r"""
+WITH t AS (SELECT trim(props) AS m FROM events
+           WHERE props IS NOT NULL AND length(trim(props)) > 0),
+p AS (SELECT
+  avg(CASE WHEN regexp_matches(m, '(?s)^\s*\{.*\}\s*$')
+            OR regexp_matches(m, '(?s)^\s*\[.*\]\s*$') THEN 1.0 ELSE 0.0 END) AS p_json,
+  avg(CASE WHEN regexp_matches(m, '(?s)^[^,]+(,[^,]+)+$')
+            OR regexp_matches(m, '(?s)^[^,\n]+(,[^,\n]+)+$') THEN 1.0 ELSE 0.0 END) AS p_csv,
+  avg(CASE WHEN regexp_matches(m, '(?s)^[^\t]+(\t[^\t]+)+$') THEN 1.0 ELSE 0.0 END) AS p_tsv,
+  avg(CASE WHEN regexp_matches(m, '(?s)^[^=]+=[^=]+(,[^=]+=[^=]+)*$')
+            OR regexp_matches(m, '(?s)^[^:]+:[^:]+(,[^:]+:[^:]+)*$') THEN 1.0 ELSE 0.0 END) AS p_kv
+  FROM t)
+SELECT 'json' AS format, CAST(round(least(p_json * 0.7 + 0.15, 1.0), 6) AS DOUBLE) AS score, 0 AS priority FROM p
+UNION ALL SELECT 'csv', CAST(round(least(p_csv * 0.7 + 0.15, 1.0), 6) AS DOUBLE), 1 FROM p
+UNION ALL SELECT 'tsv', CAST(round(least(p_tsv * 0.7 + 0.15, 1.0), 6) AS DOUBLE), 2 FROM p
+UNION ALL SELECT 'key-value', CAST(round(least(p_kv * 0.7 + 0.15, 1.0), 6) AS DOUBLE), 3 FROM p
+"""
+
+_KV_CORPUS_SQL = """
+SELECT event_id,
+       concat('user=', CAST(user_id AS STRING), ', type=', event_type,
+              ', active=true, score="', CAST(event_id % 3 AS STRING), '"') AS line
+FROM events
+"""
+
+
+def q_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_infer_plugin_spark.operators.parsers import parse_key_value
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    corpus = spark.sql(_KV_CORPUS_SQL)
+    out = parse_key_value(corpus, "line")
+    return out.select(
+        "event_id",
+        "kv_key",
+        "kv_value",
+        F.col("kv.vtype").alias("vtype"),
+        F.col("kv.as_int").alias("as_int"),
+        F.col("kv.as_boolean").alias("as_boolean"),
+    )
+
+
+ORACLE_KV_PARSE = """
+SELECT event_id, 'user' AS kv_key, CAST(user_id AS STRING) AS kv_value,
+       'int' AS vtype, CAST(user_id AS BIGINT) AS as_int, CAST(NULL AS BOOLEAN) AS as_boolean
+FROM events
+UNION ALL SELECT event_id, 'type', event_type, 'string', NULL, NULL FROM events
+UNION ALL SELECT event_id, 'active', 'true', 'boolean', NULL, true FROM events
+UNION ALL SELECT event_id, 'score', CAST(event_id % 3 AS STRING), 'int', event_id % 3, NULL FROM events
+"""
+
+
+def q_delimiter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_infer_plugin_spark.operators.detector import delimiter_scores
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    corpus = spark.sql(
+        "SELECT concat(event_type, '|', CAST(user_id AS STRING), '|', CAST(event_id % 7 AS STRING)) AS line FROM events"
+    )
+    return delimiter_scores(corpus, "line").select(
+        "delimiter", F.round("score", 6).cast("double").alias("score")
+    )
+
+
+ORACLE_DELIMITER_SCORES = """
+WITH t AS (SELECT concat(event_type, '|', CAST(user_id AS STRING), '|', CAST(event_id % 7 AS STRING)) AS line
+           FROM events),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+s AS (
+  SELECT '|' AS delimiter,
+         var_pop(CASE WHEN contains(line, '|') AND len(string_split(line, '|')) > 1
+                      THEN CAST(len(string_split(line, '|')) AS DOUBLE) END) AS v,
+         CAST(count(CASE WHEN contains(line, '|') AND len(string_split(line, '|')) > 1
+                         THEN 1 END) AS DOUBLE) AS cnt
+  FROM t)
+SELECT delimiter,
+       CAST(round((1.0 / (1.0 + coalesce(v, 0.0))) * (cnt / (SELECT n FROM tot)), 6) AS DOUBLE) AS score
+FROM s WHERE cnt > 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # datapipe: dedup / similarity / ANN / text analytics (documents, embeddings)
 # ---------------------------------------------------------------------------
 
@@ -693,6 +835,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "language_id": (q_lang_id, ORACLE_LANG_ID),
     "multimodal_features": (q_multimodal, None),
+    "json_inference": (q_json_inference, ORACLE_JSON_INFERENCE),
+    "format_detect": (q_format_detect, ORACLE_FORMAT_DETECT),
+    "kv_parse": (q_kv_parse, ORACLE_KV_PARSE),
+    "delimiter_scores": (q_delimiter_scores, ORACLE_DELIMITER_SCORES),
 }
 
 

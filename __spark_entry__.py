@@ -295,6 +295,50 @@ FROM (
 )
 
 
+def q_validate_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused single-pass Pass B (plans/validate.py): every check in one scan +
+    one exchange. Oracle = UNION ALL of the per-check SQL texts."""
+    from schema_infer_plugin_spark.plans.validate import validate_transcripts
+
+    return _viol(validate_transcripts(_transcripts(spark, sf_dir)))
+
+
+ORACLE_VALIDATE_FUSED = oracle_cte(
+    f"""
+SELECT 'uniqueness' AS check_name, conv_id, turn_idx, 'conv_id,turn_idx' AS col_name,
+       CAST(count(*) AS STRING) AS observed, '1' AS expected
+FROM transcripts GROUP BY conv_id, turn_idx HAVING count(*) > 1
+UNION ALL
+SELECT * FROM (
+  WITH idx AS (SELECT DISTINCT conv_id, turn_idx FROM transcripts),
+  lagged AS (
+    SELECT conv_id, turn_idx,
+           lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx
+    FROM idx)
+  SELECT 'contiguity' AS check_name, conv_id, turn_idx, 'turn_idx' AS col_name,
+         CAST(turn_idx AS STRING) AS observed, CAST(prev_idx + 1 AS STRING) AS expected
+  FROM lagged WHERE prev_idx IS NOT NULL AND turn_idx != prev_idx + 1
+  UNION ALL
+  SELECT 'contiguity_start', conv_id, turn_idx, 'turn_idx',
+         CAST(turn_idx AS STRING), '0'
+  FROM lagged WHERE prev_idx IS NULL AND turn_idx != 0
+)
+UNION ALL
+SELECT 'domain_role', conv_id, turn_idx, 'role', role, '{",".join(ROLE_DOMAIN)}'
+FROM transcripts WHERE role IS NOT NULL AND role NOT IN ({",".join(repr(r) for r in ROLE_DOMAIN)})
+UNION ALL
+SELECT 'domain_tool', conv_id, turn_idx, 'tool', tool, '{",".join(TOOL_DOMAIN)}'
+FROM transcripts WHERE tool IS NOT NULL AND tool NOT IN ({",".join(repr(t) for t in TOOL_DOMAIN)})
+UNION ALL
+SELECT 'tool_without_role', conv_id, turn_idx, 'tool', tool, 'NULL unless role=tool'
+FROM transcripts WHERE tool IS NOT NULL AND coalesce(role, '') != 'tool'
+UNION ALL
+SELECT 'not_null_text', conv_id, turn_idx, 'text', 'NULL', 'NOT NULL'
+FROM transcripts WHERE text IS NULL
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # relational headline queries (TPC-H-style; scan→agg→join→sort coverage + bench)
 # ---------------------------------------------------------------------------
@@ -819,6 +863,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "transcripts_tool_domain": (q_tool_domain, ORACLE_TOOL_DOMAIN),
     "transcripts_tool_without_role": (q_tool_without_role, ORACLE_TOOL_WITHOUT_ROLE),
     "transcripts_null_text": (q_null_text, ORACLE_NULL_TEXT),
+    "transcripts_validate_fused": (q_validate_fused, ORACLE_VALIDATE_FUSED),
     "transcripts_profile": (q_profile, ORACLE_PROFILE),
     "type_ladder_profile": (q_type_profile, ORACLE_TYPE_PROFILE),
     "transcripts_drift_role": (q_drift_role, ORACLE_DRIFT_ROLE),

@@ -156,7 +156,18 @@ def json_observations(df: DataFrame, col: str, max_depth: int = 10) -> DataFrame
                 elif not isinstance(data, dict):
                     data = {"value": data}
                 _walk(data, 0, "", max_depth, rows)
-            yield pd.DataFrame(rows, columns=["field_path", "type_name", "is_null", "example"])
+            out = pd.DataFrame(rows, columns=["field_path", "type_name", "is_null", "example"])
+            if len(out):
+                # Bound the example stream per batch: keep the first 3 DISTINCT
+                # examples per (path, type), null the rest. The downstream
+                # collect_set then holds ≤ 3 × #batches values per group instead
+                # of every distinct value in the table (scale-safety; the
+                # reference itself caps at 5 seen, inference.py:248-250).
+                first = ~out.duplicated(["field_path", "type_name", "example"])
+                occ = out[first].groupby(["field_path", "type_name"]).cumcount()
+                keep = occ[occ < 3].index
+                out.loc[~out.index.isin(keep), "example"] = None
+            yield out
 
     return df.select(col).mapInPandas(flatten, schema=OBS_SCHEMA)
 

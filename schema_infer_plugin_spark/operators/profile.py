@@ -38,8 +38,6 @@ def _stat_exprs(df: DataFrame, col_name: str, approx_distinct: bool, n_examples:
         ).cast("long").alias(f"{col_name}__distinct"),
         F.min(c).cast("string").alias(f"{col_name}__min"),
         F.max(c).cast("string").alias(f"{col_name}__max"),
-        # Bounded examples: the reference keeps ≤5 in a set (inference.py:248-250).
-        F.slice(F.collect_set(c.cast("string")), 1, n_examples).alias(f"{col_name}__examples"),
     ]
     if isinstance(dtype, NumericType):
         exprs.append(
@@ -75,6 +73,22 @@ def profile(
         agg_exprs.extend(_stat_exprs(df, col_name, approx_distinct, n_examples))
 
     wide = df.groupBy(partition_by).agg(*agg_exprs) if partition_by else df.agg(*agg_exprs)
+
+    # Bounded examples (reference keeps the first ≤5 seen, inference.py:248-250):
+    # a collect_set over the full column would buffer every distinct value of a
+    # high-cardinality column in one reducer — unbounded at 10^12 rows. A head
+    # sample (limit reads a single input split) is faithful to "first seen" and
+    # O(1) regardless of table size.
+    sample = df.limit(max(n_examples * 200, 1000))
+    ex_exprs = [
+        F.slice(F.collect_set(F.col(c).cast("string")), 1, n_examples).alias(f"{c}__examples")
+        for c in columns
+    ]
+    if partition_by:
+        ex_wide = sample.groupBy(partition_by).agg(*ex_exprs)
+        wide = wide.join(ex_wide, on=partition_by, how="left")
+    else:
+        wide = wide.crossJoin(sample.agg(*ex_exprs))
 
     # Stack wide → long. The wide frame has one row per partition_key (tiny);
     # build one struct per column then explode — pure projection, no shuffle.
@@ -117,7 +131,11 @@ def profile(
                 F.col(f"{col_name}__min").alias("min_val"),
                 F.col(f"{col_name}__max").alias("max_val"),
                 F.col(f"{col_name}__quantiles").alias("quantiles"),
-                F.array_sort(F.col(f"{col_name}__examples")).alias("examples"),
+                F.array_sort(
+                    F.coalesce(
+                        F.col(f"{col_name}__examples"), F.array().cast("array<string>")
+                    )
+                ).alias("examples"),
             )
         )
 

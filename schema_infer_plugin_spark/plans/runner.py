@@ -1,0 +1,205 @@
+"""Checkpoint-resumable validation runner + spark-submit entrypoint.
+
+The full Pass A (profile) / Pass B (constraints) pipeline over a transcripts
+table, split into conversation-aligned hash buckets::
+
+    partition_key = pmod(xxhash64(conv_id), n_buckets)
+
+Bucketing by conv_id keeps every conversation whole inside one bucket, so the
+fused validation plan (uniqueness + contiguity windows over conv_id) is exact
+per bucket and buckets are embarrassingly parallel — the unit of both resume
+and lineage. On an Iceberg deployment the table would be bucket-partitioned on
+the same transform (``bucket(N, conv_id)``) so each batch's filter prunes at
+the manifest level instead of re-scanning; on plain parquet the filter is a
+scan-side predicate.
+
+Resume: completed buckets are read from the ledger and skipped; outputs are
+written partitioned by ``partition_key`` with per-bucket overwrite-by-filter
+semantics approximated as append-once (a bucket only ever completes once — the
+ledger row and the data files for a bucket are written in that order, so a
+crash between them re-runs the bucket and overwrites its directory).
+
+CLI (spark-submit --py-files engine.zip -m runner style)::
+
+    python -m schema_infer_plugin_spark.plans.runner \
+        --input /root/testdata/sf0.01 --out /tmp/run1 --run-id r1 \
+        --n-buckets 64 --batch-buckets 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from schema_infer_plugin_spark.operators.profile import profile
+from schema_infer_plugin_spark.operators.violations import verdicts
+from schema_infer_plugin_spark.plans.ledger import append_ledger, completed_keys
+from schema_infer_plugin_spark.plans.validate import CHECK_NAMES, validate_transcripts
+
+PASS_B = "validate"
+PASS_A = "profile"
+
+PROFILE_COLS = ["conv_id", "turn_idx", "role", "text", "tool"]
+
+
+def with_partition_key(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "partition_key",
+        F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("string"),
+    )
+
+
+def run_validation(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    run_id: str = "run0",
+    n_buckets: int = 64,
+    batch_buckets: int = 16,
+    fail_after_batches: int | None = None,
+    on_batch: Callable[[list[str]], None] | None = None,
+) -> dict:
+    """Pass B over ``transcripts`` with bucket-level checkpoint-resume.
+
+    Returns summary metrics. ``fail_after_batches`` injects a crash after that
+    many completed batches (tests prove resumability with it).
+    """
+    keyed = with_partition_key(transcripts, n_buckets)
+    all_keys = [str(i) for i in range(n_buckets)]
+    done = completed_keys(spark, out_dir, run_id, PASS_B)
+    pending = [k for k in all_keys if k not in done]
+
+    viol_dir = os.path.join(out_dir, "violations")
+    verd_dir = os.path.join(out_dir, "verdicts")
+    batches = [
+        pending[i : i + batch_buckets] for i in range(0, len(pending), batch_buckets)
+    ]
+    total_rows = 0
+    total_viol = 0
+    for b_i, batch in enumerate(batches):
+        t0 = time.time()
+        part = keyed.filter(F.col("partition_key").isin(batch))
+        # partition_key is a pure function of conv_id — recompute, don't join.
+        viol = validate_transcripts(part).withColumn(
+            "partition_key",
+            F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("string"),
+        )
+        # One job: violations written partitioned + stably ordered within bucket.
+        # Dynamic partition overwrite makes a bucket write idempotent: a crash
+        # between data write and ledger append re-runs the bucket and replaces
+        # (not duplicates) its directory.
+        (
+            viol.repartition("partition_key")
+            .sortWithinPartitions("conv_id", "turn_idx", "check_name")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("partition_key")
+            .parquet(viol_dir)
+        )
+        # partition-column type inference reads the key back as int — restore string
+        viol_written = (
+            spark.read.parquet(viol_dir)
+            .withColumn("partition_key", F.col("partition_key").cast("string"))
+            .filter(F.col("partition_key").isin(batch))
+        )
+        row_counts = dict(
+            part.groupBy("partition_key").count().collect()
+        )
+        viol_counts = dict(
+            viol_written.groupBy("partition_key").count().collect()
+        )
+        grid = spark.createDataFrame([(k,) for k in batch], ["partition_key"])
+        (
+            verdicts(viol_written, grid, CHECK_NAMES, run_id=run_id)
+            .repartition("partition_key")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("partition_key")
+            .parquet(verd_dir)
+        )
+        wall = time.time() - t0
+        metrics = [
+            (
+                k,
+                int(row_counts.get(k, 0)),
+                int(viol_counts.get(k, 0)),
+                wall / max(len(batch), 1),
+            )
+            for k in batch
+        ]
+        append_ledger(spark, out_dir, run_id, PASS_B, metrics)
+        total_rows += sum(m[1] for m in metrics)
+        total_viol += sum(m[2] for m in metrics)
+        if on_batch is not None:
+            on_batch(batch)
+        if fail_after_batches is not None and b_i + 1 >= fail_after_batches:
+            raise RuntimeError(f"injected failure after batch {b_i + 1}")
+    return {
+        "run_id": run_id,
+        "buckets": n_buckets,
+        "skipped": len(done),
+        "processed": len(pending),
+        "rows": total_rows,
+        "violations": total_viol,
+    }
+
+
+def run_profile(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    run_id: str = "run0",
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Pass A: single-scan wide profile, written once (not bucketed — the
+    profile is one agg over the table; resume granularity is the whole pass)."""
+    prof_dir = os.path.join(out_dir, "profiles")
+    done = completed_keys(spark, out_dir, run_id, PASS_A)
+    if "__all__" in done:
+        return spark.read.parquet(prof_dir)
+    t0 = time.time()
+    prof = profile(transcripts, columns or PROFILE_COLS, run_id=run_id)
+    prof.coalesce(1).write.mode("overwrite").parquet(prof_dir)
+    nrows = spark.read.parquet(prof_dir).count()
+    append_ledger(spark, out_dir, run_id, PASS_A, [("__all__", nrows, 0, time.time() - t0)])
+    return spark.read.parquet(prof_dir)
+
+
+def main(argv: list[str] | None = None) -> None:
+    from schema_infer_plugin_spark.session import get_spark
+    from schema_infer_plugin_spark.sources.io import load_table
+    from schema_infer_plugin_spark.sources.views import transcripts_from_events
+
+    ap = argparse.ArgumentParser(description="transcripts validation run")
+    ap.add_argument("--input", required=True, help="sf dir, iceberg:ns, or synth:N_convs")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--n-buckets", type=int, default=64)
+    ap.add_argument("--batch-buckets", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    spark = get_spark(app_name=f"validate-{args.run_id}")
+    if args.input.startswith("synth:"):
+        from schema_infer_plugin_spark.sources.synth import synth_transcripts
+
+        t = synth_transcripts(spark, int(args.input.split(":", 1)[1]))
+    else:
+        t = transcripts_from_events(spark, load_table(spark, args.input, "events"))
+    run_profile(spark, t, args.out, run_id=args.run_id)
+    summary = run_validation(
+        spark,
+        t,
+        args.out,
+        run_id=args.run_id,
+        n_buckets=args.n_buckets,
+        batch_buckets=args.batch_buckets,
+    )
+    print(summary)
+
+
+if __name__ == "__main__":
+    main()

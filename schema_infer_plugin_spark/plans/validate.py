@@ -1,0 +1,138 @@
+"""Fused single-pass Pass B: every constraint check in ONE scan + ONE shuffle.
+
+The modular checks (``checks/``) are the unit-testable, oracle-checked API; at
+10^12 turns their naive union is wasteful: 6 scans of the table, a groupBy
+shuffle (uniqueness), a distinct shuffle *plus* a window shuffle (contiguity).
+This plan computes identical rows with:
+
+* one scan, projection-pruned to ``(conv_id, turn_idx, role, tool,
+  text IS NULL)`` before the exchange — ``text`` bytes (the bulk of a
+  transcripts table) never enter the shuffle;
+* one hash exchange on ``conv_id`` + one sort ``(conv_id, turn_idx)`` serving
+  BOTH window specs: ``partitionBy(conv_id)`` (lag for contiguity) and
+  ``partitionBy(conv_id, turn_idx)`` (count for uniqueness) — Spark's
+  ``ClusteredDistribution`` is satisfied by the coarser ``HashPartitioning``
+  since {conv_id} ⊆ {conv_id, turn_idx}, so no second exchange appears;
+* row-level checks (domains, tool-without-role, not-null) evaluated as a
+  stacked array of violation structs in the same projection, then exploded —
+  zero extra passes.
+
+Row-for-row equivalence with the modular union is asserted by
+``tests/test_plans.py`` (fixture + synth inputs).
+
+Contiguity-over-duplicates note: the modular check runs lag over DISTINCT
+``(conv_id, turn_idx)``. Here duplicates are adjacent after the sort, so a row
+is "first of its key group" iff ``lag(turn_idx) IS DISTINCT FROM turn_idx``;
+lag at such rows equals the previous *distinct* index, and only those rows may
+emit contiguity violations — same result, no distinct needed.
+
+Skew: the only partition-heavy key is ``conv_id``; conversations are bounded
+(≤ thousands of turns) while the table is not, so hash partitioning stays
+balanced at any scale — salting is unnecessary *for this plan* (the composite
+uniqueness key spreads hot conversations by construction; see
+``checks/salting.py`` for per-conversation aggregations, which do need it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from schema_infer_plugin_spark.schema import ROLE_DOMAIN, TOOL_DOMAIN
+
+#: check_name values emitted by this plan (verdict grid rows).
+CHECK_NAMES = [
+    "uniqueness",
+    "contiguity",
+    "contiguity_start",
+    "domain_role",
+    "domain_tool",
+    "tool_without_role",
+    "not_null_text",
+]
+
+
+def _v(check: str, column: str, observed, expected) -> F.Column:
+    return F.struct(
+        F.lit(check).alias("check_name"),
+        F.lit(column).alias("column"),
+        observed.cast("string").alias("observed"),
+        expected.cast("string").alias("expected"),
+    )
+
+
+def validate_transcripts(
+    df: DataFrame,
+    role_domain: list[str] | None = None,
+    tool_domain: list[str] | None = None,
+) -> DataFrame:
+    """All Pass-B violations of ``df`` in one fused plan.
+
+    Output columns: (check_name, conv_id, turn_idx, column, observed,
+    expected) — identical rows to the union of the modular checks.
+    """
+    roles = role_domain or ROLE_DOMAIN
+    tools = tool_domain or TOOL_DOMAIN
+
+    slim = df.select(
+        "conv_id", "turn_idx", "role", "tool", F.col("text").isNull().alias("text_null")
+    )
+
+    w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+    w_key = Window.partitionBy("conv_id", "turn_idx")
+    annotated = slim.select(
+        "*",
+        F.lag("turn_idx").over(w_conv).alias("prev_idx"),
+        F.count(F.lit(1)).over(w_key).alias("key_count"),
+    )
+
+    first_of_key = ~F.col("prev_idx").eqNullSafe(F.col("turn_idx"))
+    prev = F.col("prev_idx")
+    idx = F.col("turn_idx")
+    null_s = F.lit(None).cast("string")
+
+    checks = F.array(
+        F.when(
+            first_of_key & (F.col("key_count") > 1),
+            _v("uniqueness", "conv_id,turn_idx", F.col("key_count"), F.lit("1")),
+        ),
+        F.when(
+            first_of_key & prev.isNotNull() & (idx != prev + 1),
+            _v("contiguity", "turn_idx", idx, prev + 1),
+        ),
+        F.when(
+            prev.isNull() & (idx != 0),
+            _v("contiguity_start", "turn_idx", idx, F.lit("0")),
+        ),
+        F.when(
+            F.col("role").isNotNull() & ~F.col("role").isin(roles),
+            _v("domain_role", "role", F.col("role"), F.lit(",".join(roles))),
+        ),
+        F.when(
+            F.col("tool").isNotNull() & ~F.col("tool").isin(tools),
+            _v("domain_tool", "tool", F.col("tool"), F.lit(",".join(tools))),
+        ),
+        F.when(
+            F.col("tool").isNotNull() & (F.coalesce(F.col("role"), F.lit("")) != "tool"),
+            _v("tool_without_role", "tool", F.col("tool"), F.lit("NULL unless role=tool")),
+        ),
+        F.when(
+            F.col("text_null"),
+            _v("not_null_text", "text", F.lit("NULL"), F.lit("NOT NULL")),
+        ),
+    )
+
+    return (
+        annotated.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.filter(checks, lambda c: c.isNotNull())).alias("v"),
+        )
+        .select(
+            F.col("v.check_name").alias("check_name"),
+            "conv_id",
+            "turn_idx",
+            F.col("v.column").alias("column"),
+            F.col("v.observed").alias("observed"),
+            F.col("v.expected").alias("expected"),
+        )
+    )

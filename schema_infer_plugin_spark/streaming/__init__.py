@@ -1,0 +1,8 @@
+"""Structured Streaming surface: incremental transcript validation."""
+
+from schema_infer_plugin_spark.streaming.incremental import (
+    row_level_violations_stream,
+    validation_sink,
+)
+
+__all__ = ["row_level_violations_stream", "validation_sink"]

@@ -930,6 +930,93 @@ ORACLE_TEXT_ORDERED = oracle_cte(
 )
 
 
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample (sources/sampling.py): ~6% per role
+    stratum via md5 bucket < '10' — reproducible AND oracle-checkable (md5 hex
+    is engine-portable, unlike TABLESAMPLE/rand)."""
+    from schema_infer_plugin_spark.sources.sampling import stratified_sample
+
+    t = _transcripts(spark, sf_dir)
+    return stratified_sample(
+        t.select("conv_id", "turn_idx", "role"), "role", ["conv_id", "turn_idx"], 16
+    )
+
+
+ORACLE_HASH_SAMPLE = oracle_cte(
+    """
+SELECT conv_id, turn_idx, role
+FROM (SELECT conv_id, turn_idx, role FROM transcripts)
+WHERE substr(md5(concat_ws(':', role, conv_id, CAST(turn_idx AS STRING))), 1, 2) < '10'
+"""
+)
+
+
+def q_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(partition, check) verdict rollup (operators/violations.verdicts).
+    Partition key = last char of conv_id — portable to the DuckDB oracle
+    (production uses the Iceberg bucket transform instead)."""
+    from schema_infer_plugin_spark.operators.violations import verdicts
+    from schema_infer_plugin_spark.plans.validate import CHECK_NAMES, validate_transcripts
+
+    t = _transcripts(spark, sf_dir)
+    viol = validate_transcripts(t).withColumn(
+        "partition_key", F.substring("conv_id", -1, 1)
+    )
+    keys = t.select(F.substring("conv_id", -1, 1).alias("partition_key")).distinct()
+    return verdicts(viol, keys, CHECK_NAMES).select(
+        "partition_key",
+        "check_name",
+        F.col("pass").alias("is_pass"),
+        "violation_count",
+    )
+
+
+ORACLE_VERDICTS = oracle_cte(
+    f"""
+, v AS (
+  SELECT 'uniqueness' AS check_name, conv_id FROM transcripts
+  GROUP BY conv_id, turn_idx HAVING count(*) > 1
+  UNION ALL
+  SELECT check_name, conv_id FROM (
+    WITH idx AS (SELECT DISTINCT conv_id, turn_idx FROM transcripts),
+    lagged AS (
+      SELECT conv_id, turn_idx,
+             lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx
+      FROM idx)
+    SELECT 'contiguity' AS check_name, conv_id
+    FROM lagged WHERE prev_idx IS NOT NULL AND turn_idx != prev_idx + 1
+    UNION ALL
+    SELECT 'contiguity_start', conv_id FROM lagged WHERE prev_idx IS NULL AND turn_idx != 0
+  )
+  UNION ALL
+  SELECT 'domain_role', conv_id FROM transcripts
+  WHERE role IS NOT NULL AND role NOT IN ({",".join(repr(r) for r in ROLE_DOMAIN)})
+  UNION ALL
+  SELECT 'domain_tool', conv_id FROM transcripts
+  WHERE tool IS NOT NULL AND tool NOT IN ({",".join(repr(t) for t in TOOL_DOMAIN)})
+  UNION ALL
+  SELECT 'tool_without_role', conv_id FROM transcripts
+  WHERE tool IS NOT NULL AND coalesce(role, '') != 'tool'
+  UNION ALL
+  SELECT 'not_null_text', conv_id FROM transcripts WHERE text IS NULL
+),
+keys AS (SELECT DISTINCT substr(conv_id, -1, 1) AS partition_key FROM transcripts),
+checks(check_name) AS (VALUES ('uniqueness'), ('contiguity'), ('contiguity_start'),
+  ('domain_role'), ('domain_tool'), ('tool_without_role'), ('not_null_text')),
+grid AS (SELECT partition_key, check_name FROM keys CROSS JOIN checks),
+counts AS (
+  SELECT substr(conv_id, -1, 1) AS partition_key, check_name,
+         CAST(count(*) AS BIGINT) AS c
+  FROM v GROUP BY 1, 2)
+SELECT g.partition_key, g.check_name,
+       coalesce(c.c, 0) = 0 AS is_pass,
+       CAST(coalesce(c.c, 0) AS BIGINT) AS violation_count
+FROM grid g LEFT JOIN counts c
+  ON g.partition_key = c.partition_key AND g.check_name = c.check_name
+"""
+)
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "transcripts_uniqueness": (q_uniqueness, ORACLE_UNIQUENESS),
     "transcripts_contiguity": (q_contiguity, ORACLE_CONTIGUITY),
@@ -939,6 +1026,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "transcripts_null_text": (q_null_text, ORACLE_NULL_TEXT),
     "transcripts_validate_fused": (q_validate_fused, ORACLE_VALIDATE_FUSED),
     "transcripts_text_ordered": (q_text_ordered, ORACLE_TEXT_ORDERED),
+    "transcripts_verdicts": (q_verdicts, ORACLE_VERDICTS),
+    "hash_sample_stratified": (q_hash_sample, ORACLE_HASH_SAMPLE),
     "conv_stats_salted": (q_conv_stats_salted, ORACLE_CONV_STATS),
     "csv_parse": (q_csv_parse, ORACLE_CSV_PARSE),
     "raw_text_parse": (q_raw_text, ORACLE_RAW_TEXT),
@@ -967,17 +1056,27 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full Pass-B validation over the sf0.001 transcripts fixture —
-    every check, unioned into the typed violations table, stably ordered."""
+    every check via the FUSED single-pass plan (plans/validate.py: one scan,
+    one exchange), stamped and stably ordered like the modular union."""
+    from schema_infer_plugin_spark.plans.validate import validate_transcripts
+
     t = _transcripts(spark, SF0001)
-    parts = [
-        uniqueness_violations(t),
-        contiguity_violations(t),
-        domain_violations(t, "role", ROLE_DOMAIN),
-        domain_violations(t, "tool", TOOL_DOMAIN),
-        tool_requires_role_violations(t),
-        null_violations(t, "text"),
-    ]
-    return union_violations(parts).orderBy("conv_id", "turn_idx", "check_name")
+    viol = validate_transcripts(t)
+    return (
+        viol.select(
+            F.lit("run0").alias("run_id"),
+            "check_name",
+            "conv_id",
+            "turn_idx",
+            "column",
+            "observed",
+            "expected",
+            F.concat_ws(
+                " ", F.lit("expected"), F.col("expected"), F.lit("observed"), F.col("observed")
+            ).alias("detail"),
+        )
+        .orderBy("conv_id", "turn_idx", "check_name")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import NumericType, StringType
 
-from ..functions.typeladder import TYPE_NAMES, resolve_profile, type_profile_exprs
+from ..functions.typeladder import (
+    TYPE_NAMES,
+    resolve_profile,
+    type_code_proj,
+    type_profile_exprs,
+)
 
 
 def _stat_exprs(df: DataFrame, col_name: str, approx_distinct: bool, n_examples: int) -> list:
@@ -47,7 +52,8 @@ def _stat_exprs(df: DataFrame, col_name: str, approx_distinct: bool, n_examples:
     else:
         exprs.append(F.lit(None).cast("array<double>").alias(f"{col_name}__quantiles"))
     if isinstance(dtype, StringType):
-        exprs.extend(type_profile_exprs(col_name)[: len(TYPE_NAMES)])  # cnt_{type} only
+        # cnt_{type} only; ladder pre-classified to {col}__code in the projection
+        exprs.extend(type_profile_exprs(col_name, from_code=True)[: len(TYPE_NAMES)])
     return exprs
 
 
@@ -72,7 +78,12 @@ def profile(
     for col_name in columns:
         agg_exprs.extend(_stat_exprs(df, col_name, approx_distinct, n_examples))
 
-    wide = df.groupBy(partition_by).agg(*agg_exprs) if partition_by else df.agg(*agg_exprs)
+    # classify each string column ONCE per row (type_code_proj docstring)
+    code_cols = [
+        type_code_proj(c) for c in columns if isinstance(df.schema[c].dataType, StringType)
+    ]
+    prep = df.select("*", *code_cols) if code_cols else df
+    wide = prep.groupBy(partition_by).agg(*agg_exprs) if partition_by else prep.agg(*agg_exprs)
 
     # Bounded examples (reference keeps the first ≤5 seen, inference.py:248-250):
     # a collect_set over the full column would buffer every distinct value of a
@@ -163,8 +174,8 @@ def type_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     ]
     agg_exprs: list = []
     for c in columns:
-        agg_exprs.extend(type_profile_exprs(c))
-    wide = df.agg(*agg_exprs)
+        agg_exprs.extend(type_profile_exprs(c, from_code=True))
+    wide = df.select("*", *[type_code_proj(c) for c in columns]).agg(*agg_exprs)
 
     structs = []
     for c in columns:

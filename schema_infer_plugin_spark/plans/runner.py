@@ -169,6 +169,83 @@ def run_profile(
     return spark.read.parquet(prof_dir)
 
 
+PASS_DRIFT = "drift"
+
+DRIFT_COLUMNS = ["role", "tool"]
+
+
+def write_histograms(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    columns: list[str] | None = None,
+) -> None:
+    """Persist per-column value histograms — the drift baseline for future runs."""
+    from schema_infer_plugin_spark.checks.drift import histogram
+
+    hist_dir = os.path.join(out_dir, "histograms")
+    for c in columns or DRIFT_COLUMNS:
+        (
+            histogram(transcripts, c)
+            .withColumn("column", F.lit(c))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(hist_dir, c))
+        )
+
+
+def run_drift(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    baseline_dir: str,
+    run_id: str = "run0",
+    columns: list[str] | None = None,
+    psi_threshold: float = 0.2,
+) -> DataFrame:
+    """KL/PSI drift of ``transcripts`` vs the histograms persisted under
+    ``baseline_dir`` (a previous run's out_dir). One verdict row per column:
+    pass iff total PSI <= threshold; metrics carry psi + kl.
+
+    The industry-conventional PSI reading: <0.1 stable, 0.1-0.2 moderate,
+    >0.2 drifted — hence the 0.2 default."""
+    from schema_infer_plugin_spark.checks.drift import drift_stats, histogram
+
+    done = completed_keys(spark, out_dir, run_id, PASS_DRIFT)
+    verd_dir = os.path.join(out_dir, "drift_verdicts")
+    if "__all__" in done:
+        return spark.read.parquet(verd_dir)
+    t0 = time.time()
+    cols = columns or DRIFT_COLUMNS
+    rows = []
+    for c in cols:
+        base = spark.read.parquet(os.path.join(baseline_dir, "histograms", c)).drop(
+            "column"
+        )
+        cur = histogram(transcripts, c)
+        agg = drift_stats(cur, base).agg(
+            F.sum("psi_term").alias("psi"), F.sum("kl_term").alias("kl")
+        ).collect()[0]
+        rows.append((run_id, "__all__", f"drift_{c}", float(agg["psi"]), float(agg["kl"])))
+    verd = spark.createDataFrame(
+        rows, "run_id string, partition_key string, check_name string, psi double, kl double"
+    ).select(
+        "run_id",
+        "partition_key",
+        "check_name",
+        (F.col("psi") <= psi_threshold).alias("pass"),
+        F.lit(0).cast("long").alias("violation_count"),
+        F.create_map(
+            F.lit("psi"), F.col("psi"), F.lit("kl"), F.col("kl")
+        ).alias("metrics"),
+    )
+    verd.coalesce(1).write.mode("overwrite").parquet(verd_dir)
+    append_ledger(
+        spark, out_dir, run_id, PASS_DRIFT, [("__all__", len(cols), 0, time.time() - t0)]
+    )
+    return spark.read.parquet(verd_dir)
+
+
 def main(argv: list[str] | None = None) -> None:
     from schema_infer_plugin_spark.session import get_spark
     from schema_infer_plugin_spark.sources.io import load_table
@@ -180,6 +257,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--batch-buckets", type=int, default=16)
+    ap.add_argument(
+        "--baseline",
+        default=None,
+        help="a previous run's --out dir; enables the KL/PSI drift pass",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name=f"validate-{args.run_id}")
@@ -190,6 +272,7 @@ def main(argv: list[str] | None = None) -> None:
     else:
         t = transcripts_from_events(spark, load_table(spark, args.input, "events"))
     run_profile(spark, t, args.out, run_id=args.run_id)
+    write_histograms(spark, t, args.out)
     summary = run_validation(
         spark,
         t,
@@ -198,6 +281,11 @@ def main(argv: list[str] | None = None) -> None:
         n_buckets=args.n_buckets,
         batch_buckets=args.batch_buckets,
     )
+    if args.baseline:
+        drift = run_drift(spark, t, args.out, args.baseline, run_id=args.run_id)
+        summary["drift"] = {
+            r["check_name"]: (r["pass"], dict(r["metrics"])) for r in drift.collect()
+        }
     print(summary)
 
 

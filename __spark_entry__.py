@@ -742,6 +742,26 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE
 """
 
 
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (datapipe/dedup.embedding_neardup_pairs),
+    exact mode at test scale; n_planes>0 is the LSH-bucketed 100 TB path."""
+    from schema_infer_plugin_spark.datapipe.dedup import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, "vec_id", "embedding", min_cosine=0.4)
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).cast("double").alias("cosine")
+    )
+
+
+ORACLE_EMBEDDING_NEARDUP = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       CAST(round({_DUCK_COS.format(a="a.embedding", b="b.embedding")}, 6) AS DOUBLE) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DUCK_COS.format(a="a.embedding", b="b.embedding")} >= 0.4
+"""
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_infer_plugin_spark.datapipe import ann_lsh_topk
 
@@ -1043,6 +1063,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
     "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
+    "dedup_embedding_cosine": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
     "ann_lsh_topk": (q_ann_lsh, _oracle_ann_lsh()),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "language_id": (q_lang_id, ORACLE_LANG_ID),

@@ -634,8 +634,12 @@ sh AS (SELECT doc_id,
               unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
                                                   i -> array_to_string(tk[i:i+2], ' ')))) AS sh
        FROM toks),
-sig AS (SELECT doc_id, [{", ".join(f"min(md5('{i}:' || sh))" for i in range(16))}] AS sig
-        FROM sh GROUP BY doc_id),
+hh AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) % 2147483647 AS h1,
+              CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) % 2147483647 AS h2
+       FROM sh),
+sig AS (SELECT doc_id, [{", ".join(f"min((h1 + {i} * h2) % 2147483647)" for i in range(16))}] AS sig
+        FROM hh GROUP BY doc_id),
 banded AS (SELECT doc_id, sig, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bh
            FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),
 pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.sig AS sa, r.sig AS sb

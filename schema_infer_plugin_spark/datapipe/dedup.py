@@ -19,8 +19,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from ..functions.hashing import salted_md5
-
 _WS = r"\s+"
 
 
@@ -64,6 +62,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Mersenne prime 2^31 - 1: (h1 + i*h2) stays < 2^35, overflow-safe as BIGINT
+#: in both Spark and the DuckDB oracle.
+MINHASH_P = (1 << 31) - 1
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -71,16 +74,25 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: sig[i] = min over shingles of
-    md5(i || ':' || shingle). One explode + one groupBy(id) with num_hashes
-    min() aggregates — a single pass, map-side combinable.
+    """MinHash signature per document via double hashing (Kirsch-Mitzenmacher):
+    ONE md5 per shingle yields two 32-bit halves (h1, h2); family member i is
+    ``g_i = (h1 + i*h2) mod P``, ``sig[i] = min over shingles of g_i``.
 
-    Output: (id_col, sig array<string>).
+    vs. hashing each shingle ``num_hashes`` times, this cuts the dominant
+    map-side cost by ~num_hashes× while keeping the estimator unbiased, and
+    every value is reproducible in SQL (hex substr + modular arithmetic — no
+    engine-private hash). One explode + one groupBy(id) with num_hashes min()
+    aggregates — a single pass, map-side combinable.
+
+    Output: (id_col, sig array<long>).
     """
     exploded = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("sh")
     )
-    aggs = [F.min(salted_md5(F.col("sh"), i)).alias(f"h{i}") for i in range(num_hashes)]
+    md5 = F.md5(F.col("sh"))
+    h1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long") % MINHASH_P
+    h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long") % MINHASH_P
+    aggs = [F.min((h1 + F.lit(i) * h2) % MINHASH_P).alias(f"h{i}") for i in range(num_hashes)]
     sig = exploded.groupBy(id_col).agg(*aggs)
     return sig.select(id_col, F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from schema_infer_plugin_spark.checks import (
     contiguity_violations,
@@ -297,10 +297,59 @@ FROM (
 
 def q_validate_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused single-pass Pass B (plans/validate.py): every check in one scan +
-    one exchange. Oracle = UNION ALL of the per-check SQL texts."""
+    one exchange. Oracle = UNION ALL of the per-check SQL texts. ts_monotonic
+    rows are excluded here (timestamp→string rendering differs between engines
+    on trailing-zero microseconds) — they are oracle-checked by
+    ``transcripts_ts_monotonic`` (epoch-µs compare) and counted per partition
+    by ``transcripts_verdicts``."""
     from schema_infer_plugin_spark.plans.validate import validate_transcripts
 
-    return _viol(validate_transcripts(_transcripts(spark, sf_dir)))
+    return _viol(
+        validate_transcripts(_transcripts(spark, sf_dir)).filter(
+            F.col("check_name") != "ts_monotonic"
+        )
+    )
+
+
+def q_ts_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time integrity: ts non-decreasing along (turn_idx, ts) within each
+    conversation (checks/temporal.py), compared in epoch microseconds."""
+    from schema_infer_plugin_spark.checks.temporal import ts_monotonic_violations
+
+    t = _transcripts(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc(), F.col("ts").asc_nulls_first()
+    )
+    # re-derive the numeric view alongside the check to keep one code path
+    viol = ts_monotonic_violations(t).select("conv_id", "turn_idx")
+    nums = t.select(
+        "conv_id",
+        "turn_idx",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("observed_us"),
+        F.unix_micros(F.lag("ts").over(w).cast("timestamp")).alias("expected_after_us"),
+        (F.col("ts") < F.lag("ts").over(w)).alias("bad"),
+    ).filter(F.col("bad"))
+    return viol.join(nums, ["conv_id", "turn_idx"]).select(
+        F.lit("ts_monotonic").alias("check_name"),
+        "conv_id",
+        "turn_idx",
+        "observed_us",
+        "expected_after_us",
+    )
+
+
+ORACLE_TS_MONOTONIC = oracle_cte(
+    """
+SELECT 'ts_monotonic' AS check_name, conv_id, turn_idx,
+       CAST(epoch_us(ts) AS BIGINT) AS observed_us,
+       CAST(epoch_us(prev_ts) AS BIGINT) AS expected_after_us
+FROM (
+  SELECT conv_id, turn_idx, ts,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC, ts ASC NULLS FIRST) AS prev_ts
+  FROM transcripts)
+WHERE ts < prev_ts
+"""
+)
 
 
 ORACLE_VALIDATE_FUSED = oracle_cte(
@@ -1023,10 +1072,16 @@ ORACLE_VERDICTS = oracle_cte(
   WHERE tool IS NOT NULL AND coalesce(role, '') != 'tool'
   UNION ALL
   SELECT 'not_null_text', conv_id FROM transcripts WHERE text IS NULL
+  UNION ALL
+  SELECT 'ts_monotonic', conv_id FROM (
+    SELECT conv_id, ts,
+           lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC, ts ASC NULLS FIRST) AS prev_ts
+    FROM transcripts)
+  WHERE ts < prev_ts
 ),
 keys AS (SELECT DISTINCT substr(conv_id, -1, 1) AS partition_key FROM transcripts),
 checks(check_name) AS (VALUES ('uniqueness'), ('contiguity'), ('contiguity_start'),
-  ('domain_role'), ('domain_tool'), ('tool_without_role'), ('not_null_text')),
+  ('ts_monotonic'), ('domain_role'), ('domain_tool'), ('tool_without_role'), ('not_null_text')),
 grid AS (SELECT partition_key, check_name FROM keys CROSS JOIN checks),
 counts AS (
   SELECT substr(conv_id, -1, 1) AS partition_key, check_name,
@@ -1049,6 +1104,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "transcripts_tool_without_role": (q_tool_without_role, ORACLE_TOOL_WITHOUT_ROLE),
     "transcripts_null_text": (q_null_text, ORACLE_NULL_TEXT),
     "transcripts_validate_fused": (q_validate_fused, ORACLE_VALIDATE_FUSED),
+    "transcripts_ts_monotonic": (q_ts_monotonic, ORACLE_TS_MONOTONIC),
     "transcripts_text_ordered": (q_text_ordered, ORACLE_TEXT_ORDERED),
     "transcripts_verdicts": (q_verdicts, ORACLE_VERDICTS),
     "hash_sample_stratified": (q_hash_sample, ORACLE_HASH_SAMPLE),

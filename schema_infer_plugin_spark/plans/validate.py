@@ -44,6 +44,7 @@ CHECK_NAMES = [
     "uniqueness",
     "contiguity",
     "contiguity_start",
+    "ts_monotonic",
     "domain_role",
     "domain_tool",
     "tool_without_role",
@@ -74,14 +75,19 @@ def validate_transcripts(
     tools = tool_domain or TOOL_DOMAIN
 
     slim = df.select(
-        "conv_id", "turn_idx", "role", "tool", F.col("text").isNull().alias("text_null")
+        "conv_id", "turn_idx", "role", "tool", "ts", F.col("text").isNull().alias("text_null")
     )
 
-    w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # ts tie-break inside duplicate turn_idx groups makes the ts_monotonic lag
+    # deterministic; lag(turn_idx)/key_count are insensitive to within-group order.
+    w_conv = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc(), F.col("ts").asc_nulls_first()
+    )
     w_key = Window.partitionBy("conv_id", "turn_idx")
     annotated = slim.select(
         "*",
         F.lag("turn_idx").over(w_conv).alias("prev_idx"),
+        F.lag("ts").over(w_conv).alias("prev_ts"),
         F.count(F.lit(1)).over(w_key).alias("key_count"),
     )
 
@@ -102,6 +108,15 @@ def validate_transcripts(
         F.when(
             prev.isNull() & (idx != 0),
             _v("contiguity_start", "turn_idx", idx, F.lit("0")),
+        ),
+        F.when(
+            F.col("ts") < F.col("prev_ts"),
+            _v(
+                "ts_monotonic",
+                "ts",
+                F.col("ts"),
+                F.concat(F.lit(">= "), F.col("prev_ts").cast("string")),
+            ),
         ),
         F.when(
             F.col("role").isNotNull() & ~F.col("role").isin(roles),

@@ -16,7 +16,10 @@ The view deterministically injects every violation class the engine checks for
 * out-of-domain ``role``             — event_type 'error' maps to 'moderator';
 * ``tool`` set while role ≠ 'tool'   — ``event_id % 97 = 0`` forces tool='search';
 * out-of-domain ``tool``             — ``event_id % 103 = 0`` forces tool='laser';
-* NULL ``text``                      — ``event_id % 53 = 0``.
+* NULL ``text``                      — ``event_id % 53 = 0``;
+* non-monotone ``ts``                — ``event_id % 113 = 0`` (mid-conversation)
+  rewinds the timestamp 60 days (beyond the table's whole span),
+  violating ts monotonicity within the conversation.
 
 Only engine-portable constructs are used (row_number, lpad, CASE, %, concat) —
 no regex, no float→string formatting, ties in the window broken by event_id.
@@ -52,7 +55,7 @@ WITH seq AS (
       WHEN event_id % 103 = 0 THEN 'laser'
       ELSE NULL
     END AS tool,
-    ts
+    CASE WHEN event_id % 113 = 0 AND rn > 0 THEN ts - INTERVAL 60 DAY ELSE ts END AS ts
   FROM seq
   WHERE NOT (event_id % 89 = 0 AND rn > 1)
 )

@@ -11,6 +11,7 @@ from schema_infer_plugin_spark.checks import (
     uniqueness_violations,
 )
 from schema_infer_plugin_spark.checks.domains import tool_requires_role_violations
+from schema_infer_plugin_spark.checks.temporal import ts_monotonic_violations
 from schema_infer_plugin_spark.plans.validate import validate_transcripts
 from schema_infer_plugin_spark.schema import ROLE_DOMAIN, TOOL_DOMAIN
 from schema_infer_plugin_spark.sources.synth import synth_transcripts
@@ -32,6 +33,7 @@ def _modular_union(t):
         )
         .unionByName(tool_requires_role_violations(t))
         .unionByName(null_violations(t, "text"))
+        .unionByName(ts_monotonic_violations(t))
     )
 
 
@@ -47,19 +49,25 @@ def test_fused_equals_modular_union_on_synth(spark):
         t.unpersist()
 
 
-def test_fused_handles_adjacent_duplicates_and_gaps(spark):
-    # conv A: dup at idx 1 (x3), gap 2->5; conv B: starts at 3.
+def test_fused_handles_adjacent_duplicates_gaps_and_ts(spark):
+    import datetime as dt
+
+    def ts(m):
+        return dt.datetime(2026, 1, 1, 0, m)
+
+    # conv A: dup at idx 1 (x3), gap 2->5, ts rewind at idx 2; conv B: starts at 3.
     rows = [
-        ("A", 0, "user", "t", None),
-        ("A", 1, "user", "t", None),
-        ("A", 1, "assistant", "t", None),
-        ("A", 1, "assistant", "t", None),
-        ("A", 2, "user", "t", None),
-        ("A", 5, "user", "t", None),
-        ("B", 3, "user", "t", None),
+        ("A", 0, "user", "t", None, ts(0)),
+        ("A", 1, "user", "t", None, ts(1)),
+        ("A", 1, "assistant", "t", None, ts(2)),
+        ("A", 1, "assistant", "t", None, ts(3)),
+        ("A", 2, "user", "t", None, ts(1)),  # rewinds vs 00:03
+        ("A", 5, "user", "t", None, ts(5)),
+        ("B", 3, "user", "t", None, None),
     ]
     t = spark.createDataFrame(
-        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
     )
     got = {
         (r["check_name"], r["conv_id"], r["turn_idx"], r["observed"], r["expected"])
@@ -69,6 +77,7 @@ def test_fused_handles_adjacent_duplicates_and_gaps(spark):
         ("uniqueness", "A", 1, "3", "1"),
         ("contiguity", "A", 5, "5", "3"),
         ("contiguity_start", "B", 3, "3", "0"),
+        ("ts_monotonic", "A", 2, "2026-01-01 00:01:00", ">= 2026-01-01 00:03:00"),
     }
 
 

@@ -916,6 +916,34 @@ FROM mx
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing) document fingerprints over the first 200 chars
+    of each document (functions/textstats.winnowed_fingerprints), exploded to
+    (doc_id, fp) rows for the oracle compare."""
+    from schema_infer_plugin_spark.functions.textstats import winnowed_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 200).alias("head")
+    )
+    return docs.select(
+        "doc_id", F.explode(winnowed_fingerprints(F.col("head"), k=5, w=4)).alias("fp")
+    )
+
+
+ORACLE_WINNOW = """
+WITH heads AS (SELECT doc_id, substr(text, 1, 200) AS head FROM documents),
+hs AS (SELECT doc_id,
+              list_transform(generate_series(1, greatest(length(head) - 4, 1)),
+                             i -> CAST(concat('0x', substr(md5(substr(head, i, 5)), 1, 8)) AS BIGINT)) AS h
+       FROM heads),
+mins AS (SELECT doc_id,
+                list_transform(generate_series(1, greatest(len(h) - 3, 1)),
+                               j -> list_min(h[j:j+3])) AS m
+         FROM hs)
+SELECT doc_id, unnest(list_sort(list_distinct(m))) AS fp FROM mins
+"""
+
+
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched binary feature extraction (mapInPandas) — not SQL-
     expressible; the driver records a rows-only check."""
@@ -1126,6 +1154,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_embedding_cosine": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
     "ann_lsh_topk": (q_ann_lsh, _oracle_ann_lsh()),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
     "language_id": (q_lang_id, ORACLE_LANG_ID),
     "multimodal_features": (q_multimodal, None),
     "json_inference": (q_json_inference, ORACLE_JSON_INFERENCE),

@@ -95,3 +95,35 @@ def word_fingerprint(text: Column) -> Column:
     SQL: md5(array_to_string(list_sort(list_distinct(tokens)), ' '))."""
     toks = F.array_sort(F.array_distinct(F.transform(_tokens(text), F.lower)))
     return F.md5(F.concat_ws(" ", toks))
+
+
+def kgram_hashes(text: Column, k: int = 5) -> Column:
+    """Rolling-style k-gram hash sequence: for each char position i, a 32-bit
+    hash of text[i:i+k] (first 8 md5 hex digits). Classic Rabin-Karp rolling
+    hashes are an O(n) sequential recurrence — expression here recomputes each
+    window (O(n·k)), which vectorizes and distributes where the recurrence
+    cannot; the RESULT is position-for-position identical to a rolling hash
+    family. SQL twin: list_transform(generate_series, i ->
+    CAST('0x' || substr(md5(substr(s, i, k)), 1, 8) AS BIGINT))."""
+    n = F.length(text)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.conv(F.substring(F.md5(F.substring(text, i, F.lit(k))), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+
+
+def winnowed_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (the MOSS scheme): min hash of every
+    w-window over the k-gram hash sequence, deduplicated and sorted. Guarantees
+    shared fingerprints for any shared substring of length >= k + w - 1 —
+    the rolling-hash fingerprint set for near-dup / plagiarism-style matching
+    at corpus scale (output is tiny: ~2·len/(w+1) longs per doc)."""
+    hs = kgram_hashes(text, k)
+    m = F.size(hs)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(hs, j, w)),
+    )
+    return F.array_sort(F.array_distinct(mins))

@@ -159,3 +159,24 @@ def test_text_quality_edge_cases(spark):
     assert rows[3]["punct_ratio"] > 0.5 and rows[3]["quality"] == 0.0
     assert rows[4]["n_tokens"] == 0
     assert rows[1]["quality"] == 1.0  # length ok + stopwords + no punct excess
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= k + w - 1
+    (= 8 here) share at least one fingerprint; disjoint-alphabet docs don't."""
+    from pyspark.sql import functions as F
+
+    from schema_infer_plugin_spark.functions.textstats import winnowed_fingerprints
+
+    shared = "the quick brown fox jumps"
+    rows = [
+        (1, f"AAAA {shared} BBBB"),
+        (2, f"xyzq {shared} qwerty"),
+        (3, "0123456789012345678901234567890123456789"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string").select(
+        "doc_id", winnowed_fingerprints(F.col("text"), k=5, w=4).alias("fps")
+    )
+    fps = {r["doc_id"]: set(r["fps"]) for r in df.collect()}
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])

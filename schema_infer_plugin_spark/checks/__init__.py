@@ -12,4 +12,6 @@ from .uniqueness import uniqueness_violations  # noqa: F401
 from .contiguity import contiguity_violations  # noqa: F401
 from .domains import domain_violations  # noqa: F401
 from .nulls import null_violations  # noqa: F401
+from .temporal import ts_monotonic_violations  # noqa: F401
 from .drift import histogram, drift_stats  # noqa: F401
+from .salting import conv_stats, salted_two_phase, with_salt  # noqa: F401

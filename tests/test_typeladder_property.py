@@ -1,0 +1,62 @@
+"""Property test: the vectorized type ladder equals the reference semantics.
+
+A pure-Python model of the verified reference behavior (SURVEY.md §1.2:
+lowercase true/false → boolean, integral literal → int, double-parsable →
+float, else string; bool checked before int) is compared against the Spark
+expression on hypothesis-generated strings in one batch.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from schema_infer_plugin_spark.functions.typeladder import string_value_type
+
+_INT = re.compile(r"^[+-]?[0-9]+$")
+
+
+def _model(v: str | None) -> str:
+    """Reference ladder (KeyValueParser._convert_value, parsers.py:360-383),
+    restricted to the value domain the engine classifies (see strategy note)."""
+    if v is None:
+        return "null"
+    if v.lower() in ("true", "false"):
+        return "boolean"
+    if _INT.match(v):
+        return "int"
+    try:
+        float(v)
+    except ValueError:
+        return "string"
+    return "float"
+
+
+# Mix of adversarial literals and random ASCII text. Spellings where Python's
+# float() and Spark's cast disagree (inf/nan names, '_' separators, full-width
+# Unicode digits) are excluded: the engine spec is Spark cast semantics; the
+# model below mirrors it for the shared domain.
+_EXOTIC = re.compile(r"(?i)^[\s+-]*(inf|nan)|_")
+
+_values = st.one_of(
+    st.none(),
+    st.sampled_from(
+        ["true", "FALSE", "True", "0", "-17", "+4", "3.14", "-0.5", "1e3",
+         "1E-2", ".5", "5.", "0x1f", "  7  ", "", " ", "7a", "a7",
+         "100000000000000000000", "-9223372036854775809"]
+    ),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=12),
+    st.integers().map(str),
+    st.floats(allow_nan=False, allow_infinity=False).map(repr),
+).filter(lambda v: v is None or not _EXOTIC.search(v))
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(_values, min_size=1, max_size=40))
+def test_ladder_matches_reference_model(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r["t"] for r in df.select(string_value_type(F.col("v")).alias("t")).collect()]
+    want = [_model(v) for v in vals]
+    assert got == want

@@ -226,6 +226,53 @@ FROM transcripts"""
 )
 
 
+def q_profile_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition profiling (north_star: "groupBy/agg per partition"):
+    the same single-pass wide profile, grouped by role — the reference's
+    per-topic analog. Examples omitted (head-sample examples are global)."""
+    p = profile(
+        _transcripts(spark, sf_dir), ["turn_idx", "text"], partition_by="role",
+        approx_distinct=False,
+    )
+    return p.select(
+        "partition_key",
+        F.col("column").alias("col_name"),
+        "total_count",
+        "null_count",
+        F.round("null_rate", 6).cast("double").alias("null_rate"),
+        F.col("distinct_approx").alias("distinct_ct"),
+        "min_val",
+        "max_val",
+    )
+
+
+ORACLE_PROFILE_BY_ROLE = oracle_cte(
+    """
+SELECT coalesce(CAST(role AS STRING), CAST(NULL AS STRING)) AS partition_key, col_name,
+       total_count, null_count, null_rate, distinct_ct, min_val, max_val
+FROM (
+  SELECT role,
+         'turn_idx' AS col_name,
+         CAST(count(*) AS BIGINT) AS total_count,
+         CAST(sum(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+         CAST(round(CAST(sum(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS DOUBLE) AS null_rate,
+         CAST(count(DISTINCT turn_idx) AS BIGINT) AS distinct_ct,
+         CAST(min(turn_idx) AS STRING) AS min_val,
+         CAST(max(turn_idx) AS STRING) AS max_val
+  FROM transcripts GROUP BY role
+  UNION ALL
+  SELECT role, 'text',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(round(CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS DOUBLE),
+         CAST(count(DISTINCT text) AS BIGINT),
+         min(text), max(text)
+  FROM transcripts GROUP BY role
+)
+"""
+)
+
+
 def q_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference type-ladder over a derived table with every type + edge cases:
     exact-0.8 confidence boundary and exact-0.1 null-ratio boundary."""
@@ -643,8 +690,21 @@ corpus AS (
 )"""
 
 
+
+def _fan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Fan a single-split sandbox table out to full parallelism before
+    CPU-heavy per-row work (no-op concern at production split counts)."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
 def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the sandbox documents table is one parquet file -> one input split; fan
+    # out before the CPU-heavy shingle/hash stages (a production corpus has
+    # thousands of splits and would never bottleneck on scan parallelism)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     m1 = d.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
@@ -704,7 +764,7 @@ SELECT id_a, id_b, est_jaccard FROM (
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_infer_plugin_spark.datapipe import simhash
 
-    return simhash(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return simhash(_fan(spark, load_table(spark, sf_dir, "documents")), "doc_id", "text")
 
 
 ORACLE_SIMHASH = r"""
@@ -778,7 +838,7 @@ _DUCK_COS = (
 def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_infer_plugin_spark.datapipe import ann_bruteforce_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _fan(spark, load_table(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") % 50 == 0)
     return ann_bruteforce_topk(emb, qs, k=3)
 
@@ -800,7 +860,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact mode at test scale; n_planes>0 is the LSH-bucketed 100 TB path."""
     from schema_infer_plugin_spark.datapipe.dedup import embedding_neardup_pairs
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _fan(spark, load_table(spark, sf_dir, "embeddings"))
     out = embedding_neardup_pairs(emb, "vec_id", "embedding", min_cosine=0.4)
     return out.select(
         "id_a", "id_b", F.round("cosine", 6).cast("double").alias("cosine")
@@ -818,7 +878,7 @@ WHERE {_DUCK_COS.format(a="a.embedding", b="b.embedding")} >= 0.4
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_infer_plugin_spark.datapipe import ann_lsh_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _fan(spark, load_table(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") % 50 == 0)
     return ann_lsh_topk(emb, qs, k=3, n_planes=6, seed=42)
 
@@ -860,7 +920,7 @@ _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_infer_plugin_spark.datapipe import text_quality_table
 
-    return text_quality_table(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return text_quality_table(_fan(spark, load_table(spark, sf_dir, "documents")), "doc_id", "text")
 
 
 ORACLE_TEXT_QUALITY = rf"""
@@ -892,7 +952,7 @@ FROM m
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_infer_plugin_spark.datapipe import language_id_table
 
-    return language_id_table(load_table(spark, sf_dir, "documents"), "doc_id", "text")
+    return language_id_table(_fan(spark, load_table(spark, sf_dir, "documents")), "doc_id", "text")
 
 
 _LANG_SCORE_SQL = ",\n".join(
@@ -922,7 +982,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, fp) rows for the oracle compare."""
     from schema_infer_plugin_spark.functions.textstats import winnowed_fingerprints
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = _fan(spark, load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.substring("text", 1, 200).alias("head")
     )
     return docs.select(
@@ -1140,6 +1200,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "csv_parse": (q_csv_parse, ORACLE_CSV_PARSE),
     "raw_text_parse": (q_raw_text, ORACLE_RAW_TEXT),
     "transcripts_profile": (q_profile, ORACLE_PROFILE),
+    "transcripts_profile_by_role": (q_profile_by_role, ORACLE_PROFILE_BY_ROLE),
     "type_ladder_profile": (q_type_profile, ORACLE_TYPE_PROFILE),
     "transcripts_drift_role": (q_drift_role, ORACLE_DRIFT_ROLE),
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),

@@ -1,0 +1,156 @@
+"""CLI mirroring the reference's command surface over Spark tables.
+
+The reference ships ``schema-infer infer | list-topics | validate-topics |
+version`` (/root/reference/schema_infer/plugin/cli.py:70-930). A user of that
+CLI maps here 1:1, with topics → tables and Kafka sampling → full-table (or
+hash-sampled) profiling:
+
+    python -m schema_infer_plugin_spark infer \
+        --input /root/testdata/sf0.01 --table documents \
+        --format avro --output /tmp/schemas [--sample-rate 16/256]
+    python -m schema_infer_plugin_spark list-tables --input DIR [--prefix p]
+    python -m schema_infer_plugin_spark validate-tables --input DIR --tables a,b
+    python -m schema_infer_plugin_spark version
+
+``infer`` runs dynamic JSON inference over a JSON string column when
+``--json-col`` is given (the reference's primary mode: bytes → schema),
+otherwise profiles the table's declared columns via the type ladder. Output is
+one schema file per table, ``{table}.{ext}``, like the reference's file sink
+(plugin/cli.py:556-567).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+ENGINE_VERSION = "1.0.0"
+
+
+def _spark(cpus: str | None = None):
+    from schema_infer_plugin_spark.session import get_spark
+
+    return get_spark(app_name="schema-infer-cli")
+
+
+def cmd_infer(args: argparse.Namespace) -> int:
+    from schema_infer_plugin_spark.operators.generators import (
+        fields_from_profile,
+        GENERATORS,
+        generate_schema,
+    )
+    from schema_infer_plugin_spark.operators.inference import infer_json_schema
+    from schema_infer_plugin_spark.operators.profile import type_profile
+    from schema_infer_plugin_spark.sources.io import load_table
+    from schema_infer_plugin_spark.sources.sampling import deterministic_sample
+
+    spark = _spark()
+    os.makedirs(args.output, exist_ok=True)
+    written = []
+    for table in args.tables.split(","):
+        df = load_table(spark, args.input, table)
+        if args.sample_rate:
+            num, den = (int(x) for x in args.sample_rate.split("/"))
+            width = {16: 1, 256: 2, 4096: 3}.get(den)
+            if width is None:
+                raise SystemExit("--sample-rate denominator must be 16, 256 or 4096")
+            df = deterministic_sample(df, [df.columns[0]], num, width)
+        if args.json_col:
+            rows = [r.asDict() for r in infer_json_schema(df, args.json_col).collect()]
+        else:
+            string_cols = [
+                f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+            ]
+            rows = [r.asDict() for r in type_profile(df, string_cols or None).collect()]
+            # non-string columns keep their declared Spark type
+            for f in df.schema.fields:
+                if f.name not in {r["column"] for r in rows}:
+                    rows.append(
+                        {
+                            "column": f.name,
+                            "inferred_type": {
+                                "bigint": "int", "int": "int", "double": "float",
+                                "float": "float", "boolean": "boolean",
+                            }.get(f.dataType.simpleString(), "string"),
+                            "nullable": f.nullable,
+                            "required": True,
+                        }
+                    )
+        fields = fields_from_profile(rows)
+        text = generate_schema(fields, args.format, table)
+        ext = GENERATORS[args.format][1]
+        path = os.path.join(args.output, f"{table}.{ext}")
+        with open(path, "w") as f:
+            f.write(text)
+        written.append(path)
+        print(f"wrote {path} ({len(fields)} fields)")
+    return 0 if written else 1
+
+
+def cmd_list_tables(args: argparse.Namespace) -> int:
+    from schema_infer_plugin_spark.sources.discovery import discover_tables
+    from schema_infer_plugin_spark.sources.io import TABLES, register_views
+
+    spark = _spark()
+    register_views(spark, args.input, tuple(t for t in TABLES))
+    r = discover_tables(
+        spark,
+        prefix=args.prefix,
+        pattern=args.pattern,
+        names=None if (args.prefix or args.pattern) else list(TABLES),
+    )
+    for t in r.found:
+        print(t)
+    return 0
+
+
+def cmd_validate_tables(args: argparse.Namespace) -> int:
+    """Existence + accessibility split (reference validate-topics,
+    core/discovery.py:338-371): exit 1 if any requested table is missing."""
+    from schema_infer_plugin_spark.sources.discovery import discover_tables
+    from schema_infer_plugin_spark.sources.io import TABLES, register_views
+
+    spark = _spark()
+    register_views(spark, args.input, tuple(TABLES))
+    r = discover_tables(spark, names=args.tables.split(","))
+    for t in r.found:
+        print(f"OK    {t}")
+    for t in r.not_found:
+        print(f"MISSING {t}")
+    return 1 if r.not_found else 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="schema-infer-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("infer", help="profile table(s) and emit schema files")
+    p.add_argument("--input", required=True, help="sf dir or iceberg:namespace")
+    p.add_argument("--tables", "--table", required=True, dest="tables")
+    p.add_argument("--format", default="avro", choices=["avro", "protobuf", "json-schema"])
+    p.add_argument("--output", required=True)
+    p.add_argument("--json-col", default=None, help="JSON string column to infer dynamically")
+    p.add_argument("--sample-rate", default=None, help="e.g. 16/256 (hash sample)")
+    p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("list-tables", help="discover tables (reference list-topics)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--prefix", default=None)
+    p.add_argument("--pattern", default=None)
+    p.set_defaults(fn=cmd_list_tables)
+
+    p = sub.add_parser("validate-tables", help="existence check (reference validate-topics)")
+    p.add_argument("--input", required=True)
+    p.add_argument("--tables", required=True)
+    p.set_defaults(fn=cmd_validate_tables)
+
+    p = sub.add_parser("version")
+    p.set_defaults(fn=lambda a: (print(f"schema-infer-spark {ENGINE_VERSION}"), 0)[1])
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,49 @@
+"""CLI surface parity (reference: schema-infer infer|list-topics|validate-topics|version)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from schema_infer_plugin_spark.cli import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_infer_writes_avro_schema(spark, tmp_path, capsys):
+    out = str(tmp_path / "schemas")
+    rc = main(["infer", "--input", SF, "--table", "documents", "--format", "avro", "--output", out])
+    assert rc == 0
+    path = os.path.join(out, "documents.avsc")
+    schema = json.loads(open(path).read())
+    assert schema["type"] == "record" and schema["name"]
+    names = {f["name"] for f in schema["fields"]}
+    assert "text" in names and "doc_id" in names
+
+
+def test_infer_json_col_and_protobuf(spark, tmp_path):
+    out = str(tmp_path / "schemas")
+    rc = main(
+        ["infer", "--input", SF, "--table", "events", "--json-col", "props",
+         "--format", "protobuf", "--output", out]
+    )
+    # props may not be JSON in the driver's events table; rc 0 means files written
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "events.proto"))
+
+
+def test_validate_tables_exit_codes(spark, capsys):
+    assert main(["validate-tables", "--input", SF, "--tables", "events,orders"]) == 0
+    assert main(["validate-tables", "--input", SF, "--tables", "events,nope"]) == 1
+    out = capsys.readouterr().out
+    assert "MISSING nope" in out
+
+
+def test_list_tables_prefix(spark, capsys):
+    assert main(["list-tables", "--input", SF, "--prefix", "li"]) == 0
+    assert "lineitem" in capsys.readouterr().out
+
+
+def test_version(capsys):
+    assert main(["version"]) == 0
+    assert "schema-infer-spark" in capsys.readouterr().out

@@ -85,6 +85,18 @@ def cmd_infer(args: argparse.Namespace) -> int:
             f.write(text)
         written.append(path)
         print(f"wrote {path} ({len(fields)} fields)")
+        if args.register:
+            from schema_infer_plugin_spark.operators.registry import (
+                LocalSchemaRegistry,
+                subject_name,
+            )
+
+            if args.format != "avro":
+                raise SystemExit("--register supports --format avro")
+            reg = LocalSchemaRegistry(args.registry_dir or os.path.join(args.output, "registry"))
+            subject = subject_name(table, args.subject_strategy)
+            v = reg.register(subject, text, compatibility=args.compatibility)
+            print(f"registered {subject} v{v} (compatibility={args.compatibility})")
     return 0 if written else 1
 
 
@@ -132,6 +144,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--json-col", default=None, help="JSON string column to infer dynamically")
     p.add_argument("--sample-rate", default=None, help="e.g. 16/256 (hash sample)")
+    p.add_argument("--register", action="store_true", help="register in the local schema registry")
+    p.add_argument("--registry-dir", default=None)
+    p.add_argument("--compatibility", default="NONE",
+                   help="NONE|BACKWARD|FORWARD|FULL[_TRANSITIVE]")
+    p.add_argument("--subject-strategy", default="TopicNameStrategy")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("list-tables", help="discover tables (reference list-topics)")

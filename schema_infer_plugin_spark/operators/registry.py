@@ -1,0 +1,219 @@
+"""Local schema registry: versioned subjects + compatibility enforcement.
+
+The reference delegates schema storage and compatibility to a Confluent Schema
+Registry over HTTP (/root/reference/schema_infer/core/registry.py:53-133,
+428-463) — subject naming strategies at :492-525, compatibility levels in
+config.py:53-66. This engine has no HTTP dependency; the registry is a
+versioned directory (object store in production) and — unlike the reference,
+which trusts the remote server — the compatibility check itself is implemented
+here, so schema evolution is validated as part of the pipeline:
+
+* subjects: ``{subject}/v{N}.avsc`` + latest pointer; append-only versions;
+* subject naming replicates TopicNameStrategy (``{table}-value``),
+  RecordNameStrategy and TopicRecordNameStrategy **including the reference's
+  fallback quirk**: without a record name both non-default strategies fall
+  back to the bare topic name (registry.py:510-519);
+* compatibility: NONE / BACKWARD / FORWARD / FULL (+ _TRANSITIVE variants
+  checked against every prior version, not just latest), with Avro's numeric
+  promotion (int → float readable) honored.
+
+Rules (Avro resolution, restricted to this engine's flat field model):
+* BACKWARD (new schema must read data written with old): deleting a field is
+  fine; ADDING a field is only fine if it is nullable (has an implicit null
+  default); changing a field's type is fine only if old is promotable to new
+  (int → float).
+* FORWARD (old schema must read data written with new): mirror image — adding
+  is fine, deleting only if the deleted field was nullable, type change only
+  if new is promotable to old.
+* FULL: both.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from schema_infer_plugin_spark.operators.generators import FieldSpec
+
+COMPAT_LEVELS = (
+    "NONE",
+    "BACKWARD",
+    "FORWARD",
+    "FULL",
+    "BACKWARD_TRANSITIVE",
+    "FORWARD_TRANSITIVE",
+    "FULL_TRANSITIVE",
+)
+
+#: old-type -> set of new-types it can be read as (Avro promotion, flat model)
+_PROMOTABLE = {"int": {"int", "float"}, "float": {"float"}}
+
+
+def subject_name(table: str, strategy: str = "TopicNameStrategy", record_name: str | None = None) -> str:
+    """Reference subject strategies incl. the no-record-name fallbacks
+    (registry.py:492-525)."""
+    if strategy == "TopicNameStrategy":
+        return f"{table}-value"
+    if strategy == "RecordNameStrategy":
+        return record_name if record_name else table
+    if strategy == "TopicRecordNameStrategy":
+        return f"{table}-{record_name}" if record_name else table
+    return f"{table}-value"
+
+
+@dataclass
+class EvolutionIssue:
+    kind: str  # field_added_required | field_removed_required | type_changed
+    field: str
+    detail: str
+
+
+def _readable(old_type: str, new_type: str) -> bool:
+    return new_type in _PROMOTABLE.get(old_type, {old_type})
+
+
+def evolution_issues(
+    old: list[FieldSpec], new: list[FieldSpec], mode: str = "BACKWARD"
+) -> list[EvolutionIssue]:
+    """Issues preventing ``new`` from being ``mode``-compatible with ``old``."""
+    if mode == "NONE":
+        return []
+    if mode == "FULL":
+        return evolution_issues(old, new, "BACKWARD") + evolution_issues(old, new, "FORWARD")
+    o = {f.name: f for f in old}
+    n = {f.name: f for f in new}
+    issues: list[EvolutionIssue] = []
+    if mode == "BACKWARD":
+        for name in n.keys() - o.keys():
+            if n[name].required and not n[name].nullable:
+                issues.append(
+                    EvolutionIssue(
+                        "field_added_required", name,
+                        "new required field has no default for data written with the old schema",
+                    )
+                )
+        for name in n.keys() & o.keys():
+            if not _readable(o[name].type_name, n[name].type_name):
+                issues.append(
+                    EvolutionIssue(
+                        "type_changed", name,
+                        f"{o[name].type_name} -> {n[name].type_name} is not readable",
+                    )
+                )
+    elif mode == "FORWARD":
+        for name in o.keys() - n.keys():
+            if o[name].required and not o[name].nullable:
+                issues.append(
+                    EvolutionIssue(
+                        "field_removed_required", name,
+                        "old schema requires this field but new writers omit it",
+                    )
+                )
+        for name in n.keys() & o.keys():
+            if not _readable(n[name].type_name, o[name].type_name):
+                issues.append(
+                    EvolutionIssue(
+                        "type_changed", name,
+                        f"{n[name].type_name} -> {o[name].type_name} is not readable",
+                    )
+                )
+    else:
+        raise ValueError(f"unknown compatibility mode: {mode}")
+    return issues
+
+
+def fields_from_avro(schema_text: str) -> list[FieldSpec]:
+    """Parse a (flat) Avro record schema back into FieldSpecs — the inverse of
+    generate_avro for the field shapes this engine emits (union-with-null =
+    nullable; logical names map back to the ladder names)."""
+    rev = {"string": "string", "long": "int", "int": "int", "double": "float",
+           "float": "float", "boolean": "boolean", "null": "null"}
+    doc = json.loads(schema_text)
+    out = []
+    for f in doc.get("fields", []):
+        t = f["type"]
+        nullable = False
+        if isinstance(t, list):  # union
+            nullable = "null" in t
+            non_null = [x for x in t if x != "null"]
+            t = non_null[0] if non_null else "null"
+        if isinstance(t, dict):
+            t = t.get("type", "string")
+        # generate_avro renders not-required fields as ["null", T] with a null
+        # default (reference generators.py:103-113) — mirror on the way back
+        out.append(
+            FieldSpec(
+                name=f["name"],
+                type_name=rev.get(t, "string"),
+                nullable=nullable,
+                required=not nullable,
+            )
+        )
+    return out
+
+
+class CompatibilityError(Exception):
+    def __init__(self, subject: str, issues: list[EvolutionIssue]):
+        self.issues = issues
+        super().__init__(
+            f"schema for '{subject}' is incompatible: "
+            + "; ".join(f"{i.kind}({i.field}): {i.detail}" for i in issues)
+        )
+
+
+class LocalSchemaRegistry:
+    """Directory-backed registry: append-only versions per subject."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _subject_dir(self, subject: str) -> str:
+        return os.path.join(self.root, subject)
+
+    def list_subjects(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(self._subject_dir(d))
+        )
+
+    def get_subject_versions(self, subject: str) -> list[int]:
+        d = self._subject_dir(subject)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(fn[1:].split(".")[0]) for fn in os.listdir(d) if fn.startswith("v")
+        )
+
+    def get_schema(self, subject: str, version: int) -> str:
+        with open(os.path.join(self._subject_dir(subject), f"v{version}.avsc")) as f:
+            return f.read()
+
+    def get_latest_schema(self, subject: str) -> tuple[int, str] | None:
+        versions = self.get_subject_versions(subject)
+        if not versions:
+            return None
+        return versions[-1], self.get_schema(subject, versions[-1])
+
+    def register(
+        self, subject: str, schema_text: str, compatibility: str = "NONE"
+    ) -> int:
+        """Append a new version after enforcing ``compatibility`` against the
+        latest (or, for _TRANSITIVE levels, every) prior version."""
+        if compatibility not in COMPAT_LEVELS:
+            raise ValueError(f"invalid compatibility level: {compatibility}")
+        versions = self.get_subject_versions(subject)
+        if versions and compatibility != "NONE":
+            mode = compatibility.replace("_TRANSITIVE", "")
+            against = versions if compatibility.endswith("_TRANSITIVE") else versions[-1:]
+            new_fields = fields_from_avro(schema_text)
+            for v in against:
+                old_fields = fields_from_avro(self.get_schema(subject, v))
+                issues = evolution_issues(old_fields, new_fields, mode)
+                if issues:
+                    raise CompatibilityError(subject, issues)
+        next_v = (versions[-1] + 1) if versions else 1
+        os.makedirs(self._subject_dir(subject), exist_ok=True)
+        with open(os.path.join(self._subject_dir(subject), f"v{next_v}.avsc"), "w") as f:
+            f.write(schema_text)
+        return next_v

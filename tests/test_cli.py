@@ -47,3 +47,15 @@ def test_list_tables_prefix(spark, capsys):
 def test_version(capsys):
     assert main(["version"]) == 0
     assert "schema-infer-spark" in capsys.readouterr().out
+
+
+def test_infer_register_and_compatibility(spark, tmp_path, capsys):
+    from schema_infer_plugin_spark.operators.registry import LocalSchemaRegistry
+
+    out = str(tmp_path / "schemas")
+    args = ["infer", "--input", SF, "--table", "documents", "--format", "avro",
+            "--output", out, "--register", "--compatibility", "BACKWARD"]
+    assert main(args) == 0
+    assert main(args) == 0  # same schema re-registers compatibly as v2
+    reg = LocalSchemaRegistry(os.path.join(out, "registry"))
+    assert reg.get_subject_versions("documents-value") == [1, 2]

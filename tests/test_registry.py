@@ -1,0 +1,90 @@
+"""Local schema registry: subject strategies, evolution rules, versioning."""
+
+from __future__ import annotations
+
+import pytest
+
+from schema_infer_plugin_spark.operators.generators import FieldSpec, generate_avro
+from schema_infer_plugin_spark.operators.registry import (
+    CompatibilityError,
+    LocalSchemaRegistry,
+    evolution_issues,
+    fields_from_avro,
+    subject_name,
+)
+
+
+def _f(name, t, nullable=False):
+    # the Avro generator renders optionality from `required`
+    # (reference generators.py:103-113): nullable fields are not required
+    return FieldSpec(name=name, type_name=t, nullable=nullable, required=not nullable)
+
+
+def test_subject_strategies_match_reference_quirks():
+    # registry.py:492-525: non-default strategies fall back to bare topic name
+    # when no record name is available
+    assert subject_name("events") == "events-value"
+    assert subject_name("events", "RecordNameStrategy") == "events"
+    assert subject_name("events", "RecordNameStrategy", "Evt") == "Evt"
+    assert subject_name("events", "TopicRecordNameStrategy") == "events"
+    assert subject_name("events", "TopicRecordNameStrategy", "Evt") == "events-Evt"
+    assert subject_name("events", "Bogus") == "events-value"
+
+
+def test_backward_rules():
+    old = [_f("a", "string"), _f("b", "int")]
+    assert evolution_issues(old, old, "BACKWARD") == []
+    # delete: fine backward
+    assert evolution_issues(old, [_f("a", "string")], "BACKWARD") == []
+    # add required: breaks; add nullable: fine
+    assert [i.kind for i in evolution_issues(old, old + [_f("c", "int")], "BACKWARD")] == [
+        "field_added_required"
+    ]
+    assert evolution_issues(old, old + [_f("c", "int", nullable=True)], "BACKWARD") == []
+    # int -> float promotion readable; float -> int not
+    assert evolution_issues(old, [_f("a", "string"), _f("b", "float")], "BACKWARD") == []
+    assert [i.kind for i in evolution_issues(
+        [_f("b", "float")], [_f("b", "int")], "BACKWARD")] == ["type_changed"]
+
+
+def test_forward_and_full_rules():
+    old = [_f("a", "string"), _f("b", "int", nullable=True)]
+    # removing nullable field: fine forward; removing required: breaks
+    assert evolution_issues(old, [_f("a", "string")], "FORWARD") == []
+    assert [i.kind for i in evolution_issues(
+        [_f("a", "string")], [], "FORWARD")] == ["field_removed_required"]
+    # FULL = both directions: int->float ok backward but not forward
+    issues = evolution_issues([_f("b", "int")], [_f("b", "float")], "FULL")
+    assert [i.kind for i in issues] == ["type_changed"]
+
+
+def test_registry_versioning_and_transitive(tmp_path):
+    reg = LocalSchemaRegistry(str(tmp_path))
+    v1 = [_f("a", "string"), _f("b", "int")]
+    v2 = v1 + [_f("c", "float", nullable=True)]
+    s = subject_name("events")
+    assert reg.register(s, generate_avro(v1, "events")) == 1
+    assert reg.register(s, generate_avro(v2, "events"), "BACKWARD") == 2
+    assert reg.get_subject_versions(s) == [1, 2]
+    assert reg.list_subjects() == [s]
+
+    # required add is rejected under BACKWARD
+    v3_bad = v2 + [_f("d", "string")]
+    with pytest.raises(CompatibilityError, match="field_added_required"):
+        reg.register(s, generate_avro(v3_bad, "events"), "BACKWARD")
+
+    # dropping 'b' is BACKWARD-ok vs latest, and vs v1 too (TRANSITIVE)
+    v3 = [_f("a", "string"), _f("c", "float", nullable=True)]
+    assert reg.register(s, generate_avro(v3, "events"), "BACKWARD_TRANSITIVE") == 3
+
+    latest = reg.get_latest_schema(s)
+    assert latest[0] == 3
+    names = {f.name for f in fields_from_avro(latest[1])}
+    assert names == {"a", "c"}
+
+
+def test_avro_roundtrip_nullability():
+    fields = [_f("x", "int", nullable=True), _f("y", "string")]
+    back = {f.name: f for f in fields_from_avro(generate_avro(fields, "R"))}
+    assert back["x"].nullable and back["x"].type_name == "int"
+    assert not back["y"].nullable and back["y"].type_name == "string"

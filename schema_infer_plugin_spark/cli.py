@@ -162,10 +162,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--tables", required=True)
     p.set_defaults(fn=cmd_validate_tables)
 
+    p = sub.add_parser(
+        "validate",
+        help="full validation run: profile + constraint passes, resumable "
+        "(delegates to plans.runner; flags: --input --out --run-id "
+        "--n-buckets --batch-buckets --baseline)",
+        add_help=False,
+    )
+    p.set_defaults(fn=None)
+
     p = sub.add_parser("version")
     p.set_defaults(fn=lambda a: (print(f"schema-infer-spark {ENGINE_VERSION}"), 0)[1])
 
-    args = ap.parse_args(argv)
+    raw = list(sys.argv[1:] if argv is None else argv)
+    if raw and raw[0] == "validate":
+        from schema_infer_plugin_spark.plans.runner import main as runner_main
+
+        runner_main(raw[1:])
+        return 0
+    args = ap.parse_args(raw)
     return args.fn(args)
 
 

@@ -246,6 +246,49 @@ def run_drift(
     return spark.read.parquet(verd_dir)
 
 
+PASS_EVOLUTION = "schema_evolution"
+
+
+def run_schema_evolution(
+    spark: SparkSession,
+    out_dir: str,
+    baseline_dir: str,
+    run_id: str = "run0",
+    mode: str = "BACKWARD",
+) -> DataFrame:
+    """Schema-drift gate: the current run's inferred column profile must stay
+    ``mode``-compatible with the baseline run's (operators/registry.py rules).
+    One verdict row per issue, or a single PASS row; ledger-resumable."""
+    from schema_infer_plugin_spark.operators.generators import fields_from_profile
+    from schema_infer_plugin_spark.operators.registry import evolution_issues
+
+    done = completed_keys(spark, out_dir, run_id, PASS_EVOLUTION)
+    verd_dir = os.path.join(out_dir, "evolution_verdicts")
+    if "__all__" in done:
+        return spark.read.parquet(verd_dir)
+    t0 = time.time()
+
+    def _fields(d):
+        rows = [r.asDict() for r in spark.read.parquet(os.path.join(d, "profiles")).collect()]
+        return fields_from_profile(rows)
+
+    issues = evolution_issues(_fields(baseline_dir), _fields(out_dir), mode)
+    rows = [
+        (run_id, "__all__", f"evolution_{mode.lower()}", False, i.kind, i.field, i.detail)
+        for i in issues
+    ] or [(run_id, "__all__", f"evolution_{mode.lower()}", True, None, None, None)]
+    verd = spark.createDataFrame(
+        rows,
+        "run_id string, partition_key string, check_name string, pass boolean,"
+        " kind string, field string, detail string",
+    )
+    verd.coalesce(1).write.mode("overwrite").parquet(verd_dir)
+    append_ledger(
+        spark, out_dir, run_id, PASS_EVOLUTION, [("__all__", len(rows), len(issues), time.time() - t0)]
+    )
+    return spark.read.parquet(verd_dir)
+
+
 def main(argv: list[str] | None = None) -> None:
     from schema_infer_plugin_spark.session import get_spark
     from schema_infer_plugin_spark.sources.io import load_table
@@ -286,6 +329,10 @@ def main(argv: list[str] | None = None) -> None:
         summary["drift"] = {
             r["check_name"]: (r["pass"], dict(r["metrics"])) for r in drift.collect()
         }
+        evo = run_schema_evolution(spark, args.out, args.baseline, run_id=args.run_id)
+        summary["schema_evolution"] = [
+            (r["pass"], r["kind"], r["field"]) for r in evo.collect()
+        ]
     print(summary)
 
 

@@ -63,3 +63,23 @@ def test_discover_tables(spark, tmp_path):
     finally:
         for v in ("disc_orders", "disc_lineitem", "__disc_internal"):
             spark.catalog.dropTempView(v)
+
+
+def test_schema_evolution_pass(spark, tmp_path):
+    from schema_infer_plugin_spark.plans.runner import run_profile, run_schema_evolution
+
+    t = synth_transcripts(spark, 500)
+    base = str(tmp_path / "base")
+    cur = str(tmp_path / "cur")
+    run_profile(spark, t, base)
+    # current run drops the 'tool' column entirely -> FORWARD-incompatible
+    run_profile(spark, t.drop("tool"), cur, columns=["conv_id", "turn_idx", "role", "text"])
+
+    ok = run_schema_evolution(spark, cur, base, mode="BACKWARD")
+    assert [r["pass"] for r in ok.collect()] == [True]  # removal is BACKWARD-ok
+
+    cur2 = str(tmp_path / "cur2")
+    run_profile(spark, t.drop("conv_id"), cur2, columns=["turn_idx", "role", "text", "tool"])
+    bad = run_schema_evolution(spark, cur2, base, mode="FORWARD")
+    rows = bad.collect()
+    assert any(not r["pass"] and r["field"] == "conv_id" for r in rows)

@@ -72,7 +72,13 @@ def run_bench(sf_dir: str, cpus: int, n_convs: int | None = None) -> dict:
     import __spark_entry__ as entry_mod
 
     q = entry_mod.queries()
-    for name in ("dedup_minhash_lsh", "ann_bruteforce_topk", "text_quality"):
+    for name in (
+        "dedup_minhash_lsh",
+        "ann_bruteforce_topk",
+        "text_quality",
+        "dedup_simhash_pairs",
+        "winnow_fingerprints",
+    ):
         timed(name, lambda name=name: q[name](spark, sf_dir).count())
 
     validation_sec = queries["validate_fused"] + queries["profile"]

@@ -360,29 +360,12 @@ def q_validate_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ts_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time integrity: ts non-decreasing along (turn_idx, ts) within each
-    conversation (checks/temporal.py), compared in epoch microseconds."""
-    from schema_infer_plugin_spark.checks.temporal import ts_monotonic_violations
+    conversation (checks/temporal.py), compared in epoch microseconds. One
+    windowed pass — no rejoin, so duplicated (conv_id, turn_idx) keys (a row
+    hit by both the dup and ts-rewind injections) cannot fan out."""
+    from schema_infer_plugin_spark.checks.temporal import ts_monotonic_violations_us
 
-    t = _transcripts(spark, sf_dir)
-    w = Window.partitionBy("conv_id").orderBy(
-        F.col("turn_idx").asc(), F.col("ts").asc_nulls_first()
-    )
-    # re-derive the numeric view alongside the check to keep one code path
-    viol = ts_monotonic_violations(t).select("conv_id", "turn_idx")
-    nums = t.select(
-        "conv_id",
-        "turn_idx",
-        F.unix_micros(F.col("ts").cast("timestamp")).alias("observed_us"),
-        F.unix_micros(F.lag("ts").over(w).cast("timestamp")).alias("expected_after_us"),
-        (F.col("ts") < F.lag("ts").over(w)).alias("bad"),
-    ).filter(F.col("bad"))
-    return viol.join(nums, ["conv_id", "turn_idx"]).select(
-        F.lit("ts_monotonic").alias("check_name"),
-        "conv_id",
-        "turn_idx",
-        "observed_us",
-        "expected_after_us",
-    )
+    return ts_monotonic_violations_us(_transcripts(spark, sf_dir))
 
 
 ORACLE_TS_MONOTONIC = oracle_cte(

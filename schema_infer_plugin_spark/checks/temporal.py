@@ -16,22 +16,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def ts_monotonic_violations(df: DataFrame) -> DataFrame:
-    """One violation per row whose ts rewinds vs the previous row of the
-    conversation (ordering: turn_idx asc, ts asc nulls first, deterministic)."""
+def _rewinds(df: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, ts, prev_ts) rows where ts rewinds vs the previous
+    row of the conversation — ONE windowed pass, one output row per violating
+    input row (ordering: turn_idx asc, ts asc nulls first, deterministic)."""
     w = Window.partitionBy("conv_id").orderBy(
         F.col("turn_idx").asc(), F.col("ts").asc_nulls_first()
     )
     prev_ts = F.lag("ts").over(w)
-    return (
-        df.select("conv_id", "turn_idx", "ts", prev_ts.alias("prev_ts"))
-        .filter(F.col("ts") < F.col("prev_ts"))
-        .select(
-            F.lit("ts_monotonic").alias("check_name"),
-            F.col("conv_id"),
-            F.col("turn_idx"),
-            F.lit("ts").alias("column"),
-            F.col("ts").cast("string").alias("observed"),
-            F.concat(F.lit(">= "), F.col("prev_ts").cast("string")).alias("expected"),
-        )
+    return df.select("conv_id", "turn_idx", "ts", prev_ts.alias("prev_ts")).filter(
+        F.col("ts") < F.col("prev_ts")
+    )
+
+
+def ts_monotonic_violations(df: DataFrame) -> DataFrame:
+    """One violation per row whose ts rewinds vs the previous row of the
+    conversation, rendered as typed violation strings."""
+    return _rewinds(df).select(
+        F.lit("ts_monotonic").alias("check_name"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.lit("ts").alias("column"),
+        F.col("ts").cast("string").alias("observed"),
+        F.concat(F.lit(">= "), F.col("prev_ts").cast("string")).alias("expected"),
+    )
+
+
+def ts_monotonic_violations_us(df: DataFrame) -> DataFrame:
+    """Numeric variant of the same check: observed/expected timestamps as epoch
+    microseconds (engine-portable compare — string rendering of trailing-zero
+    microseconds differs between engines). Single windowed pass; duplicated
+    (conv_id, turn_idx) keys cannot fan out because there is no rejoin."""
+    return _rewinds(df).select(
+        F.lit("ts_monotonic").alias("check_name"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("observed_us"),
+        F.unix_micros(F.col("prev_ts").cast("timestamp")).alias("expected_after_us"),
     )

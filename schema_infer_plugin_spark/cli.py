@@ -45,17 +45,34 @@ def cmd_infer(args: argparse.Namespace) -> int:
     from schema_infer_plugin_spark.sources.io import load_table
     from schema_infer_plugin_spark.sources.sampling import deterministic_sample
 
+    # validate flag combinations BEFORE the table loop — a failure mid-loop
+    # would leave partial schema-file output behind
+    if args.register and args.format != "avro":
+        raise SystemExit("--register supports --format avro")
+    sample: tuple[int, int] | None = None
+    if args.sample_rate:
+        try:
+            num, den = (int(x) for x in args.sample_rate.split("/"))
+        except ValueError:
+            raise SystemExit("--sample-rate must look like NUM/DEN, e.g. 16/256")
+        width = {16: 1, 256: 2, 4096: 3}.get(den)
+        if width is None:
+            raise SystemExit("--sample-rate denominator must be 16, 256 or 4096")
+        # the hash sample compares a width-char hex substring against the
+        # formatted numerator — an out-of-range numerator would silently
+        # under-sample via lexicographic compare, so reject it here
+        if not 0 < num <= den:
+            raise SystemExit(f"--sample-rate numerator must be in 1..{den}")
+        if num < den:  # num == den keeps every row: no sampling
+            sample = (num, width)
+
     spark = _spark()
     os.makedirs(args.output, exist_ok=True)
     written = []
     for table in args.tables.split(","):
         df = load_table(spark, args.input, table)
-        if args.sample_rate:
-            num, den = (int(x) for x in args.sample_rate.split("/"))
-            width = {16: 1, 256: 2, 4096: 3}.get(den)
-            if width is None:
-                raise SystemExit("--sample-rate denominator must be 16, 256 or 4096")
-            df = deterministic_sample(df, [df.columns[0]], num, width)
+        if sample:
+            df = deterministic_sample(df, [df.columns[0]], sample[0], sample[1])
         if args.json_col:
             rows = [r.asDict() for r in infer_json_schema(df, args.json_col).collect()]
         else:
@@ -91,8 +108,6 @@ def cmd_infer(args: argparse.Namespace) -> int:
                 subject_name,
             )
 
-            if args.format != "avro":
-                raise SystemExit("--register supports --format avro")
             reg = LocalSchemaRegistry(args.registry_dir or os.path.join(args.output, "registry"))
             subject = subject_name(table, args.subject_strategy)
             v = reg.register(subject, text, compatibility=args.compatibility)

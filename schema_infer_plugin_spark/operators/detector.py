@@ -93,8 +93,9 @@ def delimiter_scores(df: DataFrame, col: str, delimiters: tuple[str, ...] = (","
     weighted by coverage. Output: (delimiter, score)."""
     c = F.trim(F.col(col))
     base = df.filter(F.col(col).isNotNull() & (F.length(c) > 0))
-    total = base.count()
-    aggs = []
+    # total row count folds into the same agg as the per-delimiter counters —
+    # one scan of the text column, not a separate count() action
+    aggs = [F.count(F.lit(1)).cast("double").alias("_total")]
     import re as _re
 
     for i, d in enumerate(delimiters):
@@ -110,7 +111,7 @@ def delimiter_scores(df: DataFrame, col: str, delimiters: tuple[str, ...] = (","
             F.when(
                 F.col(f"n_{i}") > 0,
                 (1.0 / (1.0 + F.coalesce(F.col(f"var_{i}"), F.lit(0.0))))
-                * (F.col(f"n_{i}") / F.lit(float(total or 1))),
+                * (F.col(f"n_{i}") / F.col("_total")),
             ).alias("score"),
         )
         for i, d in enumerate(delimiters)

@@ -96,10 +96,22 @@ _AVRO_TYPES = {
 
 
 def _avro_leaf(spec: FieldSpec) -> dict:
-    base = _AVRO_TYPES.get(spec.type_name, "string")
+    tn = spec.type_name
+    elem: str | None = None
+    if tn.startswith("array<") and tn.endswith(">"):
+        # parametrized array: render the element type, don't collapse to string
+        elem = tn[6:-1]
+        base = "array"
+    else:
+        base = _AVRO_TYPES.get(tn, "string")
     t: object = base
     if spec.array:
-        t = {"type": "array", "items": "string" if base == "record" else base}
+        if elem is not None:
+            items = _AVRO_TYPES.get(elem, "string")
+            items = "string" if items in ("record", "union") else items
+        else:
+            items = "string" if base == "record" else base
+        t = {"type": "array", "items": items}
     f = {
         "name": _sanitize(spec.name.rsplit(".", 1)[-1], "record"),
         "type": t,

@@ -194,22 +194,26 @@ def infer_json_schema(
     per_path = per_type.groupBy("field_path").agg(
         F.sum("cnt").cast("long").alias("total_count"),
         F.sum(F.when(F.col("type_name") == "null", F.col("cnt")).otherwise(0)).cast("long").alias("null_count"),
-        # plurality among non-null types; deterministic tie-break (count desc,
-        # name asc) — the reference's tie depends on dict iteration order
-        F.max_by(
-            F.col("type_name"),
-            F.when(F.col("type_name") != "null", F.struct(F.col("cnt"), F.expr("-ascii(type_name)"))),
-        ).alias("winner"),
-        F.max(F.when(F.col("type_name") != "null", F.col("cnt")).otherwise(None)).alias("winner_cnt"),
+        # plurality among non-null types; min of (-cnt, name) is a TOTAL order:
+        # highest count first, full-string lexicographic name on ties — the
+        # reference's tie depends on dict iteration order, and a first-char
+        # ordering would leave e.g. 'array' vs 'array<int>' nondeterministic
+        F.min(
+            F.when(
+                F.col("type_name") != "null",
+                F.struct((-F.col("cnt")).alias("neg_cnt"), F.col("type_name").alias("nm")),
+            )
+        ).alias("win"),
         F.count(F.when(F.col("type_name") != "null", 1)).alias("n_types"),
         F.slice(F.array_sort(F.flatten(F.collect_list("ex"))), 1, n_examples).alias("examples"),
     )
     non_null = F.col("total_count") - F.col("null_count")
-    confidence = F.when(non_null > 0, F.col("winner_cnt") / non_null).otherwise(F.lit(None))
+    winner_cnt = -F.col("win.neg_cnt")
+    confidence = F.when(non_null > 0, winner_cnt / non_null).otherwise(F.lit(None))
     inferred = (
         F.when(non_null == 0, F.lit("string"))
         .when((confidence < confidence_threshold) & (F.col("n_types") > 1), F.lit("union"))
-        .otherwise(F.col("winner"))
+        .otherwise(F.col("win.nm"))
     )
     return per_path.select(
         "field_path",

@@ -70,6 +70,12 @@ class EvolutionIssue:
 
 
 def _readable(old_type: str, new_type: str) -> bool:
+    # arrays resolve element-wise (Avro: array items follow scalar promotion);
+    # array<T> vs a non-array (or vice versa) is never readable
+    if old_type.startswith("array<") and new_type.startswith("array<"):
+        return _readable(old_type[6:-1], new_type[6:-1])
+    if old_type.startswith("array") or new_type.startswith("array"):
+        return old_type == new_type
     return new_type in _PROMOTABLE.get(old_type, {old_type})
 
 
@@ -128,7 +134,8 @@ def fields_from_avro(schema_text: str) -> list[FieldSpec]:
     generate_avro for the field shapes this engine emits (union-with-null =
     nullable; logical names map back to the ladder names)."""
     rev = {"string": "string", "long": "int", "int": "int", "double": "float",
-           "float": "float", "boolean": "boolean", "null": "null"}
+           "float": "float", "boolean": "boolean", "null": "null",
+           "object": "object"}
     doc = json.loads(schema_text)
     out = []
     for f in doc.get("fields", []):
@@ -138,8 +145,27 @@ def fields_from_avro(schema_text: str) -> list[FieldSpec]:
             nullable = "null" in t
             non_null = [x for x in t if x != "null"]
             t = non_null[0] if non_null else "null"
+        is_array = False
         if isinstance(t, dict):
-            t = t.get("type", "string")
+            kind = t.get("type", "string")
+            if kind == "array":
+                # preserve array-ness: collapsing {"type":"array","items":T}
+                # to 'string' would let array<T> -> string (or an item-type
+                # change) slip past compatibility enforcement
+                items = t.get("items", "string")
+                if isinstance(items, dict):
+                    items = items.get("type", "string")
+                out.append(
+                    FieldSpec(
+                        name=f["name"],
+                        type_name=f"array<{rev.get(items, 'string')}>",
+                        nullable=nullable,
+                        array=True,
+                        required=not nullable,
+                    )
+                )
+                continue
+            t = "object" if kind == "record" else kind
         # generate_avro renders not-required fields as ["null", T] with a null
         # default (reference generators.py:103-113) — mirror on the way back
         out.append(

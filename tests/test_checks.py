@@ -7,6 +7,8 @@ from __future__ import annotations
 import __spark_entry__ as entrymod
 import pytest
 
+from pyspark.sql import functions as F
+
 from tests.conftest import SF_CORRECT, duck_rows, spark_rows
 
 ORACLE_CHECKED = sorted(entrymod.oracle_sql().keys())
@@ -120,3 +122,44 @@ def test_oracle_contract_consistency():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     assert set(os_) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+def test_ts_monotonic_us_no_fanout_on_duplicate_turn_idx(spark):
+    # ADVICE r1: two violating rows sharing (conv_id, turn_idx) must yield
+    # exactly 2 rows (one per input row), not a 2x2 join fan-out
+    from schema_infer_plugin_spark.checks.temporal import ts_monotonic_violations_us
+
+    rows = [
+        ("A", 0, "2026-01-01 00:10:00"),
+        ("A", 1, "2026-01-01 00:01:00"),  # rewind #1
+        ("A", 1, "2026-01-01 00:02:00"),  # duplicate turn_idx, also < turn 0's ts? no:
+        # ordered by (turn_idx, ts): 00:10, 00:01, 00:02 -> row2 rewinds vs row1,
+        # row3 (00:02) does NOT rewind vs 00:01 -> craft a second rewind below
+        ("A", 2, "2026-01-01 00:00:30"),  # rewind #2
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "ts_s"]).select(
+        "conv_id", "turn_idx", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = ts_monotonic_violations_us(df).collect()
+    assert len(out) == 2
+    got = {(r["conv_id"], r["turn_idx"]) for r in out}
+    assert got == {("A", 1), ("A", 2)}
+
+
+def test_ts_monotonic_us_duplicate_key_both_violating(spark):
+    # the exact ADVICE scenario: BOTH duplicated-turn_idx rows rewind
+    from schema_infer_plugin_spark.checks.temporal import ts_monotonic_violations_us
+
+    rows = [
+        ("B", 0, "2026-01-01 00:10:00"),
+        ("B", 1, "2026-01-01 00:02:00"),  # rewinds vs 00:10
+        ("B", 1, "2026-01-01 00:01:00"),  # sorts first within turn 1; rewinds vs 00:10
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "ts_s"]).select(
+        "conv_id", "turn_idx", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = ts_monotonic_violations_us(df).collect()
+    # ordering within turn 1: 00:01 then 00:02 -> 00:01 rewinds vs 00:10;
+    # 00:02 does not rewind vs 00:01 -> exactly ONE violation, not 2 or 4
+    assert len(out) == 1
+    assert out[0]["observed_us"] is not None and out[0]["expected_after_us"] is not None

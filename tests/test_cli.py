@@ -59,3 +59,30 @@ def test_infer_register_and_compatibility(spark, tmp_path, capsys):
     assert main(args) == 0  # same schema re-registers compatibly as v2
     reg = LocalSchemaRegistry(os.path.join(out, "registry"))
     assert reg.get_subject_versions("documents-value") == [1, 2]
+
+
+def test_sample_rate_numerator_validated(spark, tmp_path):
+    import pytest
+
+    out = str(tmp_path / "schemas")
+    base = ["infer", "--input", SF, "--table", "documents", "--format", "avro",
+            "--output", out]
+    # num > den would silently under-sample via lexicographic compare
+    with pytest.raises(SystemExit):
+        main(base + ["--sample-rate", "300/256"])
+    with pytest.raises(SystemExit):
+        main(base + ["--sample-rate", "0/16"])
+    # num == den means keep everything: allowed, no sampling applied
+    assert main(base + ["--sample-rate", "16/16"]) == 0
+    assert os.path.exists(os.path.join(out, "documents.avsc"))
+
+
+def test_register_format_checked_before_any_write(spark, tmp_path):
+    import pytest
+
+    out = str(tmp_path / "schemas")
+    with pytest.raises(SystemExit):
+        main(["infer", "--input", SF, "--tables", "documents,events",
+              "--format", "protobuf", "--output", out, "--register"])
+    # validation ran before the table loop: no partial output on disk
+    assert not os.path.exists(os.path.join(out, "documents.proto"))

@@ -157,3 +157,20 @@ def test_generators_headless_nested_paths():
     proto = generate_schema(fields, "protobuf", "Doc")
     assert "message meta_message {" in proto
     assert "int32 width = " in proto  # leaf-only fields inside the nested message
+
+
+def test_delimiter_scores_is_lazy_single_pass(spark):
+    # the total-row count must fold into the agg, not run as a separate
+    # count() action at DataFrame-construction time
+    from schema_infer_plugin_spark.operators.detector import delimiter_scores
+
+    sc = spark.sparkContext
+    sc.setJobGroup("delim-lazy", "laziness probe")
+    try:
+        out = delimiter_scores(_df(spark, ["a|b|c", "d|e|f"]), "msg")
+        jobs_before_action = sc.statusTracker().getJobIdsForGroup("delim-lazy")
+        assert list(jobs_before_action) == [], "construction triggered a Spark job"
+        rows = {r["delimiter"]: r["score"] for r in out.collect()}
+    finally:
+        sc.setJobGroup(None, None)
+    assert rows["|"] == 1.0

@@ -108,3 +108,18 @@ def test_plan_is_arrow_vectorized(spark):
     out = infer_json_schema(df, "payload")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # Arrow path only (FIXTURES.md §5)
+
+
+def test_tiebreak_total_order_on_type_names(spark):
+    # equal counts of 'array' ([]) and 'array<int>' ([[1]]) — both share the
+    # first char, so an ascii(first-char) tie-break would be nondeterministic.
+    # Full-string order must pick 'array' (lexicographically smallest).
+    from schema_infer_plugin_spark.operators.inference import infer_json_schema
+
+    rows = [('{"x": []}',), ('{"x": [[1]]}',)] * 4
+    df = spark.createDataFrame(rows, ["payload"])
+    # threshold 0.5: confidence == 0.5 is NOT < threshold, so the winner (not
+    # 'union') is emitted and the tie-break itself is observable
+    out = infer_json_schema(df, "payload", confidence_threshold=0.5).collect()
+    row = {r["field_path"]: r for r in out}["x"]
+    assert row["inferred_type"] == "array"

@@ -88,3 +88,33 @@ def test_avro_roundtrip_nullability():
     back = {f.name: f for f in fields_from_avro(generate_avro(fields, "R"))}
     assert back["x"].nullable and back["x"].type_name == "int"
     assert not back["y"].nullable and back["y"].type_name == "string"
+
+
+def test_avro_roundtrip_preserves_arrays():
+    # ADVICE r1: {"type":"array","items":T} must NOT collapse to 'string'
+    fields = [FieldSpec(name="tags", type_name="array<string>", array=True)]
+    back = {f.name: f for f in fields_from_avro(generate_avro(fields, "R"))}
+    assert back["tags"].array and back["tags"].type_name == "array<string>"
+
+
+def test_array_evolutions_are_enforced(tmp_path):
+    reg = LocalSchemaRegistry(str(tmp_path))
+    arr = [FieldSpec(name="xs", type_name="array<string>", array=True)]
+    scalar = [FieldSpec(name="xs", type_name="string")]
+    reg.register("s", generate_avro(arr, "R"))
+    # array<string> -> string must be rejected, not silently degraded
+    with pytest.raises(CompatibilityError, match="type_changed"):
+        reg.register("s", generate_avro(scalar, "R"), "BACKWARD")
+    # item-type narrowing (array<float> -> array<int>) rejected too
+    reg2 = LocalSchemaRegistry(str(tmp_path / "b"))
+    reg2.register("s", generate_avro(
+        [FieldSpec(name="xs", type_name="array<float>", array=True)], "R"))
+    with pytest.raises(CompatibilityError, match="type_changed"):
+        reg2.register("s", generate_avro(
+            [FieldSpec(name="xs", type_name="array<int>", array=True)], "R"), "BACKWARD")
+    # item-type promotion (array<int> -> array<float>) reads fine backward
+    reg3 = LocalSchemaRegistry(str(tmp_path / "c"))
+    reg3.register("s", generate_avro(
+        [FieldSpec(name="xs", type_name="array<int>", array=True)], "R"))
+    assert reg3.register("s", generate_avro(
+        [FieldSpec(name="xs", type_name="array<float>", array=True)], "R"), "BACKWARD") == 2

@@ -838,16 +838,60 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE
 """
 
 
+_EMB_DIM = 64  # testdata embeddings dimensionality (TESTDATA.md)
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (datapipe/dedup.embedding_neardup_pairs),
-    exact mode at test scale; n_planes>0 is the LSH-bucketed 100 TB path."""
+    """Exact all-pairs embedding near-dup — n_planes=0 is an EXPLICIT opt-in
+    (O(n²); the verifier for the LSH path, test scale only). The production
+    path is ``dedup_embedding_lsh`` below."""
     from schema_infer_plugin_spark.datapipe.dedup import embedding_neardup_pairs
 
     emb = _fan(spark, load_table(spark, sf_dir, "embeddings"))
-    out = embedding_neardup_pairs(emb, "vec_id", "embedding", min_cosine=0.4)
+    out = embedding_neardup_pairs(emb, "vec_id", "embedding", min_cosine=0.4, n_planes=0)
     return out.select(
         "id_a", "id_b", F.round("cosine", 6).cast("double").alias("cosine")
     )
+
+
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB embedding-dedup path: hyperplane-LSH bucketing (default
+    n_planes), candidate pairs from a bucket equi-join only. dim passed from
+    table metadata — no driver-side probe."""
+    from schema_infer_plugin_spark.datapipe.dedup import embedding_neardup_pairs
+
+    emb = _fan(spark, load_table(spark, sf_dir, "embeddings"))
+    out = embedding_neardup_pairs(
+        emb, "vec_id", "embedding", min_cosine=0.4, n_planes=6, dim=_EMB_DIM, seed=42
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 6).cast("double").alias("cosine")
+    )
+
+
+def _duck_bucket_terms(n_planes: int, seed: int) -> str:
+    """Hyperplane-bucket expression with a {v} placeholder — the md5-derived
+    plane components inlined as literals (datapipe/ann.hyperplane_components),
+    so DuckDB reproduces the exact bucket construction."""
+    from schema_infer_plugin_spark.datapipe.ann import hyperplane_components
+
+    planes = hyperplane_components(dim=_EMB_DIM, n_planes=n_planes, seed=seed)
+    return " + ".join(
+        f"CASE WHEN list_dot_product({{v}}::DOUBLE[], "
+        f"[{', '.join(f'{c}.0' for c in comps)}]::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END"
+        for p, comps in enumerate(planes)
+    )
+
+
+def _oracle_embedding_lsh() -> str:
+    terms = _duck_bucket_terms(n_planes=6, seed=42)
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {terms.format(v="embedding")} AS bkt FROM embeddings)
+SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+       CAST(round({_DUCK_COS.format(a="a.embedding", b="b2.embedding")}, 6) AS DOUBLE) AS cosine
+FROM b a JOIN b b2 ON a.bkt = b2.bkt AND a.vec_id < b2.vec_id
+WHERE {_DUCK_COS.format(a="a.embedding", b="b2.embedding")} >= 0.4
+"""
 
 
 ORACLE_EMBEDDING_NEARDUP = f"""
@@ -863,27 +907,55 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _fan(spark, load_table(spark, sf_dir, "embeddings"))
     qs = emb.filter(F.col("vec_id") % 50 == 0)
-    return ann_lsh_topk(emb, qs, k=3, n_planes=6, seed=42)
+    return ann_lsh_topk(emb, qs, k=3, n_planes=6, dim=_EMB_DIM, seed=42)
 
 
 def _oracle_ann_lsh() -> str:
-    """Inline the md5-derived hyperplane literals so DuckDB reproduces the
-    exact bucket construction (datapipe/ann.py hyperplane_components)."""
-    from schema_infer_plugin_spark.datapipe.ann import hyperplane_components
-
-    planes = hyperplane_components(dim=64, n_planes=6, seed=42)
-    bucket_terms = " + ".join(
-        f"CASE WHEN list_dot_product({{v}}::DOUBLE[], "
-        f"[{', '.join(f'{c}.0' for c in comps)}]::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END"
-        for p, comps in enumerate(planes)
-    )
+    """Single-table LSH top-k oracle with inlined hyperplane literals."""
+    terms = _duck_bucket_terms(n_planes=6, seed=42)
     return f"""
-WITH b AS (SELECT vec_id, embedding, {bucket_terms.format(v="embedding")} AS bkt FROM embeddings),
+WITH b AS (SELECT vec_id, embedding, {terms.format(v="embedding")} AS bkt FROM embeddings),
 q AS (SELECT vec_id AS query_id, embedding AS qv, bkt FROM b WHERE vec_id % 50 = 0),
 scored AS (
   SELECT q.query_id, c.vec_id AS neighbor_id,
          CAST(round({_DUCK_COS.format(a="q.qv", b="c.embedding")}, 6) AS DOUBLE) AS cosine
   FROM q JOIN b c ON c.bkt = q.bkt AND c.vec_id != q.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+           FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 3
+"""
+
+
+def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified ANN: 3 independent hash tables of 8 planes each — higher
+    per-table precision, recall recovered by the union (datapipe/ann.py)."""
+    from schema_infer_plugin_spark.datapipe import ann_lsh_topk
+
+    emb = _fan(spark, load_table(spark, sf_dir, "embeddings"))
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_lsh_topk(emb, qs, k=3, n_planes=8, n_tables=3, dim=_EMB_DIM, seed=42)
+
+
+def _oracle_ann_lsh_multitable() -> str:
+    """Multi-table oracle: candidate iff ANY of the 3 tables buckets corpus
+    vector with the query (UNION of per-table equi-joins, then DISTINCT)."""
+    from schema_infer_plugin_spark.datapipe.ann import table_seed
+
+    branches = []
+    for t in range(3):
+        terms = _duck_bucket_terms(n_planes=8, seed=table_seed(42, t))
+        branches.append(f"""
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.embedding AS qv, c.embedding AS cv
+  FROM (SELECT vec_id, embedding, {terms.format(v="embedding")} AS bkt FROM embeddings WHERE vec_id % 50 = 0) q
+  JOIN (SELECT vec_id, embedding, {terms.format(v="embedding")} AS bkt FROM embeddings) c
+    ON c.bkt = q.bkt AND c.vec_id != q.vec_id""")
+    union = " UNION ".join(branches)  # UNION (not ALL) dedups across tables
+    return f"""
+WITH cand AS ({union}),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(round({_DUCK_COS.format(a="qv", b="cv")}, 6) AS DOUBLE) AS cosine
+  FROM cand),
 ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
            FROM scored)
 SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 3
@@ -988,12 +1060,38 @@ SELECT doc_id, unnest(list_sort(list_distinct(m))) AS fp FROM mins
 
 
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched binary feature extraction (mapInPandas) — not SQL-
-    expressible; the driver records a rows-only check."""
+    """Arrow-batched binary feature extraction (mapInPandas). The decode step
+    is dynamic Python by design (real media libs swap in), but the fake
+    decoder's arithmetic (byte checksum mod 2^31, mean byte) IS expressible in
+    SQL — so the oracle hash-checks row contents, not just the count."""
     from schema_infer_plugin_spark.datapipe import extract_binary_features, with_binary_payload
 
     docs = load_table(spark, sf_dir, "documents")
-    return extract_binary_features(with_binary_payload(docs, "doc_id", "text"))
+    out = extract_binary_features(with_binary_payload(docs, "doc_id", "text"))
+    return out.select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "checksum",
+        F.round("feat_mean", 6).cast("double").alias("feat_mean"),
+    )
+
+
+# byte stream of the UTF-8 payload via hex-pair arithmetic — reproduces
+# datapipe/multimodal._fake_decode_features exactly in DuckDB
+ORACLE_MULTIMODAL = """
+WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+m AS (SELECT doc_id, octet_length(p) AS n, hex(p) AS h FROM b),
+s AS (SELECT doc_id, n,
+             CASE WHEN n = 0 THEN 0
+                  ELSE list_sum(list_transform(generate_series(1, n),
+                       i -> CAST(concat('0x', substr(h, (i-1)*2+1, 2)) AS BIGINT))) END AS tot
+      FROM m)
+SELECT doc_id, 'image/fake' AS modality, CAST(n AS BIGINT) AS n_bytes,
+       CAST(tot % 2147483648 AS BIGINT) AS checksum,
+       CAST(round(CASE WHEN n = 0 THEN 0.0 ELSE CAST(tot AS DOUBLE) / n END, 6) AS DOUBLE) AS feat_mean
+FROM s
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1196,11 +1294,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
     "dedup_embedding_cosine": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
+    "dedup_embedding_lsh": (q_embedding_neardup_lsh, _oracle_embedding_lsh()),
     "ann_lsh_topk": (q_ann_lsh, _oracle_ann_lsh()),
+    "ann_lsh_multitable": (q_ann_lsh_multitable, _oracle_ann_lsh_multitable()),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
     "language_id": (q_lang_id, ORACLE_LANG_ID),
-    "multimodal_features": (q_multimodal, None),
+    "multimodal_features": (q_multimodal, ORACLE_MULTIMODAL),
     "json_inference": (q_json_inference, ORACLE_JSON_INFERENCE),
     "format_detect": (q_format_detect, ORACLE_FORMAT_DETECT),
     "kv_parse": (q_kv_parse, ORACLE_KV_PARSE),

@@ -86,6 +86,12 @@ def ann_bruteforce_topk(
     )
 
 
+def table_seed(seed: int, table: int) -> int:
+    """Per-table hyperplane seed for OR-amplification — spaced so tables never
+    share planes (hyperplane_components keys md5 on "seed:p:d")."""
+    return seed + 1000 * table
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -93,25 +99,50 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     k: int = 3,
     n_planes: int = 6,
+    n_tables: int = 1,
+    dim: int | None = None,
     seed: int = 42,
     round_digits: int = 6,
 ) -> DataFrame:
-    """LSH-bucketed top-k: score only corpus vectors in the query's bucket.
+    """LSH-bucketed top-k: score only corpus vectors sharing a bucket with the
+    query in at least one of ``n_tables`` independent hash tables.
+
+    OR-amplification: each table uses its own hyperplane set (seed offset by
+    ``table_seed``); a candidate qualifies if ANY table buckets it with the
+    query, which recovers boundary vectors a single table splits away. The
+    plan stays a single equi-join: both sides explode to (table_idx, bucket)
+    keys — at 100 TB that is one shuffle whose fan-out is n_tables, not a
+    union of n_tables separate joins.
+
+    ``dim`` is the embedding dimensionality — pass it (schema/model metadata
+    knows it); only when omitted does a one-off driver ``first()`` probe run.
 
     Approximate — recall < 1 by design; the test suite measures recall against
     the brute-force baseline instead of asserting equality.
     Output: (query_id, neighbor_id, cosine, rank).
     """
-    dim = len(corpus.select(vec_col).first()[0])
-    bkt = lambda v: hyperplane_bucket(v, dim, n_planes, seed)  # noqa: E731
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("bkt", bkt(F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("bkt", bkt(F.col("cv")))
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def with_buckets(df: DataFrame, idc: str, out_id: str, vec_out: str) -> DataFrame:
+        base = df.select(F.col(idc).alias(out_id), F.col(vec_col).alias(vec_out))
+        exploded = base.select(
+            out_id, vec_out, F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl")
+        )
+        # per-table bucket via a when-chain over the (small, fixed) table ids —
+        # each table's planes are distinct literals, all JVM column math
+        bkt = F.lit(None).cast("int")
+        for t in range(n_tables):
+            bkt = F.when(
+                F.col("tbl") == t,
+                hyperplane_bucket(F.col(vec_out), dim, n_planes, table_seed(seed, t)),
+            ).otherwise(bkt)
+        return exploded.withColumn("bkt", bkt.cast("int"))
+
+    q = with_buckets(queries, id_col, "query_id", "qv")
+    c = with_buckets(corpus, id_col, "neighbor_id", "cv")
     scored = (
-        c.join(broadcast(q), "bkt")
+        c.join(broadcast(q), ["tbl", "bkt"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -120,6 +151,9 @@ def ann_lsh_topk(
             .cast("double")
             .alias("cosine"),
         )
+        # a pair found by several tables appears once (cosine is identical
+        # across tables, so the 3-column distinct is exact and cheap)
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

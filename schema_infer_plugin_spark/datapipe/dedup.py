@@ -284,14 +284,21 @@ def embedding_neardup_pairs(
     id_col: str,
     vec_col: str,
     min_cosine: float = 0.95,
-    n_planes: int = 0,
+    n_planes: int = 6,
+    dim: int | None = None,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs.
 
-    ``n_planes=0``: exact all-pairs (test scale / small partitions only).
-    ``n_planes>0``: random-hyperplane LSH bucketing first — only same-bucket
-    pairs are scored (the 100 TB path; recall tunable via plane count).
+    Default (``n_planes>0``): random-hyperplane LSH bucketing first — only
+    same-bucket pairs are scored (the 100 TB path; recall tunable via plane
+    count). ``n_planes=0`` is an explicit opt-in for exact all-pairs
+    verification at test scale — it is an O(n²) self-join and must never be
+    the production path.
+
+    ``dim`` is the embedding dimensionality; callers almost always know it
+    (it is fixed per model). Only when omitted is a single driver-side
+    ``first()`` probe used to read it — avoid that in loops.
     Output: (id_a, id_b, cosine double).
     """
     from ..functions.vectors import cosine_similarity
@@ -299,7 +306,8 @@ def embedding_neardup_pairs(
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if n_planes > 0:
-        dim = len(base.first()["_v"])
+        if dim is None:
+            dim = len(base.first()["_v"])
         base = base.withColumn("_bkt", hyperplane_bucket(F.col("_v"), dim, n_planes, seed))
         join_on = [F.col("l._bkt") == F.col("r._bkt"), F.col("l._id") < F.col("r._id")]
     else:

@@ -34,6 +34,16 @@ def _spark(cpus: str | None = None):
     return get_spark(app_name="schema-infer-cli")
 
 
+def _load_cfg(args: argparse.Namespace):
+    """File/env config for this invocation (CLI flags override it)."""
+    from schema_infer_plugin_spark.config import ConfigError, load_config
+
+    try:
+        return load_config(getattr(args, "config", None))
+    except ConfigError as e:
+        raise SystemExit(f"config error: {e}")
+
+
 def cmd_infer(args: argparse.Namespace) -> int:
     from schema_infer_plugin_spark.operators.generators import (
         fields_from_profile,
@@ -44,6 +54,21 @@ def cmd_infer(args: argparse.Namespace) -> int:
     from schema_infer_plugin_spark.operators.profile import type_profile
     from schema_infer_plugin_spark.sources.io import load_table
     from schema_infer_plugin_spark.sources.sampling import deterministic_sample
+
+    # precedence: explicit CLI flag > config file > env overlay > defaults
+    cfg = _load_cfg(args)
+    args.input = args.input or cfg.tables.input
+    args.tables = args.tables or ",".join(cfg.tables.tables)
+    if not args.input or not args.tables:
+        raise SystemExit("--input and --tables are required (flags or config)")
+    if args.sample_rate is None:
+        args.sample_rate = cfg.inference.sample_rate
+    if args.compatibility is None:
+        args.compatibility = cfg.registry.compatibility
+    if args.subject_strategy is None:
+        args.subject_strategy = cfg.registry.subject_name_strategy
+    if args.registry_dir is None and cfg.registry.root:
+        args.registry_dir = cfg.registry.root
 
     # validate flag combinations BEFORE the table loop — a failure mid-loop
     # would leave partial schema-file output behind
@@ -74,7 +99,16 @@ def cmd_infer(args: argparse.Namespace) -> int:
         if sample:
             df = deterministic_sample(df, [df.columns[0]], sample[0], sample[1])
         if args.json_col:
-            rows = [r.asDict() for r in infer_json_schema(df, args.json_col).collect()]
+            rows = [
+                r.asDict()
+                for r in infer_json_schema(
+                    df,
+                    args.json_col,
+                    max_depth=cfg.inference.max_depth,
+                    confidence_threshold=cfg.inference.confidence_threshold,
+                    n_examples=cfg.inference.n_examples,
+                ).collect()
+            ]
         else:
             string_cols = [
                 f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
@@ -153,17 +187,19 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("infer", help="profile table(s) and emit schema files")
-    p.add_argument("--input", required=True, help="sf dir or iceberg:namespace")
-    p.add_argument("--tables", "--table", required=True, dest="tables")
+    p.add_argument("--config", default=None,
+                   help="YAML/JSON config file (flags override; env SCHEMA_INFER_* underlays)")
+    p.add_argument("--input", default=None, help="sf dir or iceberg:namespace")
+    p.add_argument("--tables", "--table", default=None, dest="tables")
     p.add_argument("--format", default="avro", choices=["avro", "protobuf", "json-schema"])
     p.add_argument("--output", required=True)
     p.add_argument("--json-col", default=None, help="JSON string column to infer dynamically")
     p.add_argument("--sample-rate", default=None, help="e.g. 16/256 (hash sample)")
     p.add_argument("--register", action="store_true", help="register in the local schema registry")
     p.add_argument("--registry-dir", default=None)
-    p.add_argument("--compatibility", default="NONE",
-                   help="NONE|BACKWARD|FORWARD|FULL[_TRANSITIVE]")
-    p.add_argument("--subject-strategy", default="TopicNameStrategy")
+    p.add_argument("--compatibility", default=None,
+                   help="NONE|BACKWARD|FORWARD|FULL[_TRANSITIVE] (default from config: NONE)")
+    p.add_argument("--subject-strategy", default=None)
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("list-tables", help="discover tables (reference list-topics)")

@@ -62,12 +62,14 @@ def run_validation(
     batch_buckets: int = 16,
     fail_after_batches: int | None = None,
     on_batch: Callable[[list[str]], None] | None = None,
+    role_domain: list[str] | None = None,
+    tool_domain: list[str] | None = None,
 ) -> dict:
     """Pass B over ``transcripts`` with bucket-level checkpoint-resume.
 
     Returns summary metrics. ``fail_after_batches`` injects a crash after that
-    many completed batches (tests prove resumability with it).
-    """
+    many completed batches (tests prove resumability with it). Domains default
+    to the schema constants; a config file overrides them (config.py)."""
     keyed = with_partition_key(transcripts, n_buckets)
     all_keys = [str(i) for i in range(n_buckets)]
     done = completed_keys(spark, out_dir, run_id, PASS_B)
@@ -84,7 +86,7 @@ def run_validation(
         t0 = time.time()
         part = keyed.filter(F.col("partition_key").isin(batch))
         # partition_key is a pure function of conv_id — recompute, don't join.
-        viol = validate_transcripts(part).withColumn(
+        viol = validate_transcripts(part, role_domain, tool_domain).withColumn(
             "partition_key",
             F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("string"),
         )
@@ -294,20 +296,38 @@ def main(argv: list[str] | None = None) -> None:
     from schema_infer_plugin_spark.sources.io import load_table
     from schema_infer_plugin_spark.sources.views import transcripts_from_events
 
+    from schema_infer_plugin_spark.config import ConfigError, load_config
+
     ap = argparse.ArgumentParser(description="transcripts validation run")
-    ap.add_argument("--input", required=True, help="sf dir, iceberg:ns, or synth:N_convs")
+    ap.add_argument("--config", default=None, help="YAML/JSON config file (flags override)")
+    ap.add_argument("--input", default=None, help="sf dir, iceberg:ns, or synth:N_convs")
     ap.add_argument("--out", required=True)
     ap.add_argument("--run-id", default="run0")
-    ap.add_argument("--n-buckets", type=int, default=64)
-    ap.add_argument("--batch-buckets", type=int, default=16)
+    ap.add_argument("--n-buckets", type=int, default=None)
+    ap.add_argument("--batch-buckets", type=int, default=None)
     ap.add_argument(
         "--baseline",
         default=None,
         help="a previous run's --out dir; enables the KL/PSI drift pass",
     )
     args = ap.parse_args(argv)
+    try:
+        cfg = load_config(args.config)
+    except ConfigError as e:
+        raise SystemExit(f"config error: {e}")
+    args.input = args.input or cfg.tables.input
+    if not args.input:
+        raise SystemExit("--input is required (flag or config tables.input)")
+    n_buckets = args.n_buckets if args.n_buckets is not None else cfg.validation.n_buckets
+    batch_buckets = (
+        args.batch_buckets if args.batch_buckets is not None else cfg.validation.batch_buckets
+    )
 
-    spark = get_spark(app_name=f"validate-{args.run_id}")
+    spark = get_spark(
+        app_name=f"validate-{args.run_id}",
+        master=cfg.performance.master,
+        shuffle_partitions=cfg.performance.shuffle_partitions,
+    )
     if args.input.startswith("synth:"):
         from schema_infer_plugin_spark.sources.synth import synth_transcripts
 
@@ -321,11 +341,16 @@ def main(argv: list[str] | None = None) -> None:
         t,
         args.out,
         run_id=args.run_id,
-        n_buckets=args.n_buckets,
-        batch_buckets=args.batch_buckets,
+        n_buckets=n_buckets,
+        batch_buckets=batch_buckets,
+        role_domain=cfg.validation.role_domain or None,
+        tool_domain=cfg.validation.tool_domain or None,
     )
     if args.baseline:
-        drift = run_drift(spark, t, args.out, args.baseline, run_id=args.run_id)
+        drift = run_drift(
+            spark, t, args.out, args.baseline, run_id=args.run_id,
+            psi_threshold=cfg.validation.psi_threshold,
+        )
         summary["drift"] = {
             r["check_name"]: (r["pass"], dict(r["metrics"])) for r in drift.collect()
         }

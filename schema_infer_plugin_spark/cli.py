@@ -168,15 +168,24 @@ def cmd_list_tables(args: argparse.Namespace) -> int:
 
 def cmd_validate_tables(args: argparse.Namespace) -> int:
     """Existence + accessibility split (reference validate-topics,
-    core/discovery.py:338-371): exit 1 if any requested table is missing."""
+    core/discovery.py:338-371): exit 1 if any requested table is missing.
+    Emptiness is reported from parquet footer metadata — no scan is scheduled
+    for it (reference empty-topic skip, plugin/optimistic.py:387-510)."""
     from schema_infer_plugin_spark.sources.discovery import discover_tables
     from schema_infer_plugin_spark.sources.io import TABLES, register_views
+    from schema_infer_plugin_spark.sources.metadata import table_row_count
 
     spark = _spark()
     register_views(spark, args.input, tuple(TABLES))
     r = discover_tables(spark, names=args.tables.split(","))
     for t in r.found:
-        print(f"OK    {t}")
+        if args.input.startswith("iceberg:"):
+            # manifest counts need a catalog (sources/metadata.iceberg_partition_counts)
+            print(f"OK    {t}")
+            continue
+        n = table_row_count(os.path.join(args.input, f"{t}.parquet"))
+        status = "OK   " if n > 0 else "EMPTY"
+        print(f"{status} {t} rows={n}")
     for t in r.not_found:
         print(f"MISSING {t}")
     return 1 if r.not_found else 0

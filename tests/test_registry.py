@@ -118,3 +118,63 @@ def test_array_evolutions_are_enforced(tmp_path):
         [FieldSpec(name="xs", type_name="array<int>", array=True)], "R"))
     assert reg3.register("s", generate_avro(
         [FieldSpec(name="xs", type_name="array<float>", array=True)], "R"), "BACKWARD") == 2
+
+
+class InMemoryConfluentTransport:
+    """Fake Confluent REST server (the surface core/registry.py:53-133 talks
+    to): subjects held in a dict; no network, same endpoint shapes."""
+
+    def __init__(self):
+        self.store: dict[str, list[str]] = {}
+
+    def __call__(self, method, path, body):
+        parts = path.strip("/").split("/")
+        if method == "GET" and path == "/subjects":
+            return list(self.store)
+        if method == "GET" and len(parts) == 3 and parts[2] == "versions":
+            if parts[1] not in self.store:
+                raise KeyError(parts[1])
+            return list(range(1, len(self.store[parts[1]]) + 1))
+        if method == "GET" and len(parts) == 4 and parts[2] == "versions":
+            return {"schema": self.store[parts[1]][int(parts[3]) - 1]}
+        if method == "POST" and len(parts) == 3 and parts[2] == "versions":
+            self.store.setdefault(parts[1], []).append(body["schema"])
+            return {"version": len(self.store[parts[1]])}
+        raise ValueError((method, path))
+
+
+@pytest.fixture(params=["local", "http"])
+def registry(request, tmp_path):
+    from schema_infer_plugin_spark.operators.registry import HttpSchemaRegistry
+
+    if request.param == "local":
+        return LocalSchemaRegistry(str(tmp_path))
+    return HttpSchemaRegistry("http://registry.test", transport=InMemoryConfluentTransport())
+
+
+def test_interface_versioning_and_compat_both_backends(registry):
+    """The strategy/compat logic runs through the RegistryClient seam —
+    identical behavior on the directory backend and the HTTP client."""
+    s = subject_name("events")
+    v1 = [_f("a", "string"), _f("b", "int")]
+    assert registry.register(s, generate_avro(v1, "events")) == 1
+    v2 = v1 + [_f("c", "float", nullable=True)]
+    assert registry.register(s, generate_avro(v2, "events"), "BACKWARD") == 2
+    assert registry.get_subject_versions(s) == [1, 2]
+    assert registry.list_subjects() == [s]
+    assert registry.get_latest_schema(s)[0] == 2
+    with pytest.raises(CompatibilityError, match="field_added_required"):
+        registry.register(s, generate_avro(v2 + [_f("d", "string")], "events"), "BACKWARD")
+    # transitive: dropping b is fine vs both priors
+    v3 = [_f("a", "string"), _f("c", "float", nullable=True)]
+    assert registry.register(s, generate_avro(v3, "events"), "BACKWARD_TRANSITIVE") == 3
+    # unknown level rejected before any storage call
+    with pytest.raises(ValueError, match="invalid compatibility"):
+        registry.register(s, generate_avro(v3, "events"), "SIDEWAYS")
+
+
+def test_http_registry_requires_transport():
+    from schema_infer_plugin_spark.operators.registry import HttpSchemaRegistry
+
+    with pytest.raises(NotImplementedError, match="transport"):
+        HttpSchemaRegistry("http://registry.test")

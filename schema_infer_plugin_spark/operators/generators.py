@@ -181,10 +181,20 @@ _JSON_TYPES = {
 }
 
 
+def _elem_name(type_name: str) -> str | None:
+    """Element ladder-type of a parametrized array name, else None."""
+    if type_name.startswith("array<") and type_name.endswith(">"):
+        return type_name[6:-1]
+    return None
+
+
 def _json_leaf(spec: FieldSpec) -> dict:
+    elem = _elem_name(spec.type_name)
     base = _JSON_TYPES.get(spec.type_name, "string")
     if spec.array:
-        prop: dict = {"type": "array", "items": {"type": base}}
+        items = _JSON_TYPES.get(elem, "string") if elem else base
+        items = "string" if items in ("object", "array") else items
+        prop: dict = {"type": "array", "items": {"type": items}}
     elif spec.nullable and base != "null":
         prop = {"type": [base, "null"]}
     else:
@@ -267,12 +277,17 @@ def generate_protobuf(
         else:
             top[s.name] = s
 
+    def _ptype(spec: FieldSpec) -> str:
+        elem = _elem_name(spec.type_name)
+        if elem is not None:
+            return f"repeated {_PROTO_TYPES.get(elem, 'string')}"
+        base = _PROTO_TYPES.get(spec.type_name, "string")
+        return base if (not spec.array or base == "repeated") else f"repeated {base}"
+
     n = 1
     for fname, spec in top.items():
-        base = _PROTO_TYPES.get(spec.type_name, "string")
-        ptype = base if (not spec.array or base == "repeated") else f"repeated {base}"
         comment = f" // {spec.description}" if spec.description else ""
-        lines.append(f"  {ptype} {fname.lower().replace(' ', '_')} = {n};{comment}")
+        lines.append(f"  {_ptype(spec)} {fname.lower().replace(' ', '_')} = {n};{comment}")
         n += 1
     for head, members in nested.items():
         if head in top:
@@ -284,10 +299,8 @@ def generate_protobuf(
         for rest, spec in members:
             if "." in rest:
                 continue  # leaf fields only at this level (generators.py:326-330)
-            base = _PROTO_TYPES.get(spec.type_name, "string")
-            ptype = base if (not spec.array or base == "repeated") else f"repeated {base}"
             comment = f" // {spec.description}" if spec.description else ""
-            lines.append(f"    {ptype} {rest.lower().replace(' ', '_')} = {n};{comment}")
+            lines.append(f"    {_ptype(spec)} {rest.lower().replace(' ', '_')} = {n};{comment}")
             n += 1
         lines.append("  }")
     lines.append("}")

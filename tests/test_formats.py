@@ -174,3 +174,24 @@ def test_delimiter_scores_is_lazy_single_pass(spark):
     finally:
         sc.setJobGroup(None, None)
     assert rows["|"] == 1.0
+
+
+def test_generators_render_array_element_types():
+    """array<T> renders T in all three formats instead of collapsing to string."""
+    import json as _json
+
+    from schema_infer_plugin_spark.operators.generators import (
+        FieldSpec,
+        generate_avro,
+        generate_json_schema,
+        generate_protobuf,
+    )
+
+    fields = [FieldSpec(name="xs", type_name="array<int>", array=True)]
+    avro = _json.loads(generate_avro(fields, "R"))
+    assert avro["fields"][0]["type"] == {"type": "array", "items": "int"}
+    js = _json.loads(generate_json_schema(fields, "R"))
+    assert js["properties"]["xs"]["type"] == "array"
+    assert js["properties"]["xs"]["items"] == {"type": "integer"}
+    proto = generate_protobuf(fields, "R")
+    assert "repeated int32 xs = 1;" in proto

@@ -974,6 +974,48 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE
 """
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: 8 md5-sampled centroids, queries probe their 2 nearest
+    cells (datapipe/ann.ann_ivf_topk) — the data-adaptive scale path next to
+    the data-independent hyperplane LSH."""
+    from schema_infer_plugin_spark.datapipe import ann_ivf_topk
+
+    emb = _fan(spark, load_table(spark, sf_dir, "embeddings"))
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_ivf_topk(emb, qs, k=3, n_cells=8, n_probe=2)
+
+
+#: Oracle recomputes the identical centroid selection (ORDER BY md5(id)),
+#: cell assignment (argmax cosine, ties to lowest centroid index) and
+#: n_probe=2 probing in SQL — no literals needed, the "index" derives from
+#: the same table both engines read.
+ORACLE_ANN_IVF = f"""
+WITH cent AS (
+  SELECT cv, row_number() OVER (ORDER BY r, vid) - 1 AS cidx
+  FROM (SELECT embedding AS cv, md5(CAST(vec_id AS VARCHAR)) AS r, vec_id AS vid
+        FROM embeddings ORDER BY r, vid LIMIT 8)),
+cscore AS (
+  SELECT e.vec_id, e.embedding, c.cidx,
+         {_DUCK_COS.format(a="e.embedding", b="c.cv")} AS s
+  FROM embeddings e CROSS JOIN cent c),
+assign AS (
+  SELECT vec_id, embedding, cidx AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+    FROM cscore) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cidx AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+    FROM cscore WHERE vec_id % 50 = 0) WHERE rn <= 2),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(round({_DUCK_COS.format(a="p.qv", b="a.embedding")}, 6) AS DOUBLE) AS cosine
+  FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+           FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 3
+"""
+
+
 def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-amplified ANN: 3 independent hash tables of 8 planes each — higher
     per-table precision, recall recovered by the union (datapipe/ann.py)."""
@@ -1346,6 +1388,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_embedding_lsh": (q_embedding_neardup_lsh, _oracle_embedding_lsh()),
     "ann_lsh_topk": (q_ann_lsh, _oracle_ann_lsh()),
     "ann_lsh_multitable": (q_ann_lsh_multitable, _oracle_ann_lsh_multitable()),
+    "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
     "language_id": (q_lang_id, ORACLE_LANG_ID),

@@ -86,6 +86,109 @@ def ann_bruteforce_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_cells: int
+) -> list[list[float]]:
+    """IVF "training": deterministic centroid selection — the ``n_cells``
+    corpus vectors ranked first by ``md5(id)`` (a uniform hash sample, so the
+    centroids follow the data distribution without k-means iterations; classic
+    sampled-centroid IVF). One bounded driver collect of n_cells vectors —
+    index construction, not a per-query probe. The identical selection is
+    expressible in the DuckDB oracle (ORDER BY md5(id) LIMIT n_cells)."""
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .withColumn("_r", F.md5(F.col("_id").cast("string")))
+        .orderBy("_r", "_id")
+        .limit(n_cells)
+        .collect()
+    )
+    return [[float(x) for x in r["_v"]] for r in rows]
+
+
+def _cell_scores(vec: Column, centroids: list[list[float]]) -> list[Column]:
+    """cosine(vec, centroid_i) for every centroid, as literal-array math."""
+    return [
+        cosine_similarity(vec, F.array(*[F.lit(float(c)) for c in comps]))
+        for comps in centroids
+    ]
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    centroids: list[list[float]] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest centroid's
+    cell (argmax cosine, ties to the lowest centroid index); each query probes
+    its ``n_probe`` nearest cells and scores only those vectors.
+
+    The 100 TB shape: centroids are a broadcast-sized literal table, cell
+    assignment is a pure projection, and the candidate join is an equi-join on
+    cell id — per-query work is ~``n_probe/n_cells`` of the corpus instead of
+    all of it. Complements the hyperplane-LSH path: IVF adapts to the data
+    distribution (centroids are data samples), LSH is data-independent.
+
+    Pass ``centroids`` (from :func:`ivf_centroids`) to reuse a trained index
+    across calls; otherwise they are derived from the corpus.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    n_cells = len(centroids)
+
+    def scored_cells(vec: Column) -> Column:
+        # array of (score, -idx): descending sort puts best-first, and the
+        # negated index breaks score ties toward the LOWEST centroid index
+        return F.sort_array(
+            F.array(
+                *[
+                    F.struct(s.alias("s"), F.lit(-i).alias("ni"))
+                    for i, s in enumerate(_cell_scores(vec, centroids))
+                ]
+            ),
+            asc=False,
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cell", (-F.element_at(scored_cells(F.col("cv")), 1)["ni"]).cast("int"))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(scored_cells(F.col("qv")), 1, n_probe),
+                    lambda s: (-s["ni"]).cast("int"),
+                )
+            ),
+        )
+    )
+    scored = (
+        c.join(broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), round_digits)
+            .cast("double")
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def table_seed(seed: int, table: int) -> int:
     """Per-table hyperplane seed for OR-amplification — spaced so tables never
     share planes (hyperplane_components keys md5 on "seed:p:d")."""

@@ -2,7 +2,14 @@
 
 from schema_infer_plugin_spark.streaming.incremental import (
     row_level_violations_stream,
+    stateful_contiguity_stream,
     validation_sink,
+    windowed_violation_rates,
 )
 
-__all__ = ["row_level_violations_stream", "validation_sink"]
+__all__ = [
+    "row_level_violations_stream",
+    "stateful_contiguity_stream",
+    "validation_sink",
+    "windowed_violation_rates",
+]

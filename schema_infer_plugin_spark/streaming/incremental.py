@@ -37,9 +37,11 @@ def row_level_violations_stream(
     stream_df: DataFrame,
     role_domain: list[str] | None = None,
     tool_domain: list[str] | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Stateless Pass-B subset as a streaming-safe projection (no shuffle, no
-    state; valid in append output mode)."""
+    state; valid in append output mode). ``keep_cols`` carries extra source
+    columns (e.g. ``ts`` for downstream event-time windowing)."""
     roles = role_domain or ROLE_DOMAIN
     tools = tool_domain or TOOL_DOMAIN
 
@@ -72,11 +74,13 @@ def row_level_violations_stream(
     return stream_df.select(
         "conv_id",
         "turn_idx",
+        *keep_cols,
         F.explode(F.filter(checks, lambda c: c.isNotNull())).alias("v"),
     ).select(
         F.col("v.check_name").alias("check_name"),
         "conv_id",
         "turn_idx",
+        *keep_cols,
         F.col("v.column").alias("column"),
         F.col("v.observed").alias("observed"),
         F.col("v.expected").alias("expected"),
@@ -106,4 +110,119 @@ def validation_sink(
 
     return stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
+    )
+
+
+def windowed_violation_rates(
+    stream_df: DataFrame,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+    role_domain: list[str] | None = None,
+    tool_domain: list[str] | None = None,
+) -> DataFrame:
+    """Event-time windowed violation counts with a watermark — the streaming
+    monitoring signal (violations/minute per check) a pipeline alerts on.
+
+    The watermark bounds state: windows older than ``watermark_delay`` behind
+    the max event time are finalized and evicted, so state is O(open windows),
+    never O(stream). Rows later than the watermark are DROPPED FROM THE RATE
+    AGGREGATION ONLY — this is a monitoring view; the validation path itself
+    never watermarks violations away (a late row is a violation to report, see
+    module docstring). Valid in append output mode (emits closed windows).
+    Output: (window_start, window_end, check_name, violations).
+    """
+    v = row_level_violations_stream(
+        stream_df, role_domain, tool_domain, keep_cols=("ts",)
+    )
+    return (
+        v.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration), "check_name")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "check_name",
+            "violations",
+        )
+    )
+
+
+#: Output schema of the stateful cross-batch check.
+_STATEFUL_OUT = (
+    "check_name string, conv_id string, turn_idx int, column string,"
+    " observed string, expected string"
+)
+#: Keyed state: every turn_idx seen for the conversation. Conversations are
+#: bounded (≤ thousands of turns) while the stream is not — state stays O(conv
+#: length) per key, the canonical bounded-state shape.
+_STATEFUL_STATE = "seen array<int>"
+
+
+def stateful_contiguity_stream(stream_df: DataFrame) -> DataFrame:
+    """Cross-micro-batch uniqueness + contiguity via ``applyInPandasWithState``
+    — the keyed-state operator the foreachBatch mode's docstring defers to.
+
+    Per conversation the state is the set of turn indexes seen so far (any
+    micro-batch). On each arriving row, in (turn_idx, arrival) order:
+
+    * index already seen            → ``uniqueness`` violation (observed = the
+      occurrence count including this arrival);
+    * index beyond max(seen) + 1    → ``contiguity`` violation (expected
+      max(seen) + 1);
+    * first row of a conversation with index != 0 → ``contiguity_start``.
+
+    Semantics are PROVISIONAL-ONLINE by design: a late row that fills an
+    earlier gap is accepted silently (no retraction of the already-emitted gap
+    violation). The exact batch pass (plans/runner.py) over the affected
+    partitions remains the source of truth; this operator is the low-latency
+    alert signal. Arrow-batched via pandas — no per-row Python rows cross the
+    JVM boundary (§2.11 posture).
+    """
+    import pandas as pd  # noqa: F401 (imported for the worker closure)
+
+    def check(key, pdfs, state):
+        import pandas as pd
+
+        seen: set[int] = set(state.get[0]) if state.exists else set()
+        conv_id = key[0]
+        out_rows: list[tuple] = []
+        for pdf in pdfs:
+            for idx in sorted(int(i) for i in pdf["turn_idx"]):
+                if idx in seen:
+                    # occurrence count: state stores distinct indexes, so track
+                    # duplicates via the emitted rows themselves this batch
+                    occ = 2 + sum(
+                        1 for r in out_rows if r[0] == "uniqueness" and r[2] == idx
+                    )
+                    out_rows.append(
+                        ("uniqueness", conv_id, idx, "conv_id,turn_idx", str(occ), "1")
+                    )
+                    continue
+                if not seen:
+                    if idx != 0:
+                        out_rows.append(
+                            ("contiguity_start", conv_id, idx, "turn_idx", str(idx), "0")
+                        )
+                elif idx > max(seen) + 1:
+                    out_rows.append(
+                        ("contiguity", conv_id, idx, "turn_idx", str(idx), str(max(seen) + 1))
+                    )
+                seen.add(idx)
+        state.update((sorted(seen),))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[
+                    "check_name", "conv_id", "turn_idx", "column", "observed", "expected",
+                ],
+            )
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream_df.groupBy("conv_id").applyInPandasWithState(
+        check,
+        outputStructType=_STATEFUL_OUT,
+        stateStructType=_STATEFUL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

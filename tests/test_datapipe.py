@@ -313,3 +313,25 @@ def test_shingle_guard_bounds_candidate_explosion(spark, docs):
     assert unguarded >= viral_blob
     assert unguarded - guarded >= viral_blob
     assert guarded < unguarded / 4
+
+
+def test_ann_ivf_recall_on_planted_neardups(spark, emb):
+    """IVF cells adapt to the data: a near-duplicate lands in (or next to) its
+    source's cell, so probing 2 of 8 cells recovers the planted top-3."""
+    from schema_infer_plugin_spark.datapipe import ann_bruteforce_topk, ann_ivf_topk
+
+    corpus, qs = _planted_vectors(emb)
+    corpus = corpus.cache()
+    bf = {(r.query_id, r.neighbor_id) for r in ann_bruteforce_topk(corpus, qs, k=3).collect()}
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(corpus, qs, k=3, n_cells=8, n_probe=2).collect()
+    }
+    assert len(bf & got) / len(bf) >= 0.9
+    # fewer probes must never return pairs outside the probed cells' exact set
+    one_probe = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(corpus, qs, k=3, n_cells=8, n_probe=1).collect()
+    }
+    assert len(one_probe) <= len(got) or one_probe <= got
+    corpus.unpersist()

@@ -57,3 +57,90 @@ def test_foreach_batch_sink_full_fused(spark, tmp_path):
     want = validate_transcripts(t)
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_windowed_violation_rates_match_batch(spark, tmp_path):
+    """Watermarked event-time windowed agg (complete mode for determinism in a
+    bounded test) equals the batch windowed count of the same violations."""
+    from schema_infer_plugin_spark.streaming import windowed_violation_rates
+
+    t, stream = _staged_input(spark, tmp_path)
+    q = (
+        windowed_violation_rates(stream, "1 minute", "2 minutes")
+        .writeStream.format("memory")
+        .queryName("winrates")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("winrates")
+    want = (
+        validate_transcripts(t)
+        .filter(F.col("check_name").isin(list(ROW_LEVEL)))
+        .join(t.select("conv_id", "turn_idx", "ts").distinct(), ["conv_id", "turn_idx"])
+        .groupBy(F.window("ts", "1 minute"), "check_name")
+        .agg(F.count(F.lit(1)).alias("violations"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "check_name",
+            "violations",
+        )
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    # the watermark is actually in the plan (bounded state, not a silent no-op)
+    assert "EventTimeWatermark" in windowed_violation_rates(stream)._jdf.queryExecution().logical().toString()
+
+
+def test_stateful_contiguity_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: keyed state survives micro-batch boundaries —
+    duplicates and gaps that SPAN batches are caught, which foreachBatch
+    (per-batch exactness) cannot do."""
+    from schema_infer_plugin_spark.schema import TRANSCRIPTS_SCHEMA
+    from schema_infer_plugin_spark.streaming import stateful_contiguity_stream
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+
+    def rows(df_rows):
+        return spark.createDataFrame(df_rows, TRANSCRIPTS_SCHEMA)
+
+    def row(conv, idx):
+        import datetime
+
+        return (conv, idx, "user", "hi", None, datetime.datetime(2026, 1, 1))
+
+    # batch 1: conv A turns 0,1 ; conv B starts at 5 (bad start)
+    rows([row("A", 0), row("A", 1), row("B", 5)]).coalesce(1).write.parquet(
+        src + "/b1.parquet"
+    )
+    # batch 2: conv A turn 1 AGAIN (cross-batch dup) and turn 4 (cross-batch gap)
+    rows([row("A", 1), row("A", 4)]).coalesce(1).write.parquet(src + "/b2.parquet")
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*/")
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stateful_contiguity_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # the dup/gap genuinely spanned micro-batches (else this tests nothing)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+    got = {
+        (r["check_name"], r["conv_id"], r["turn_idx"], r["observed"], r["expected"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("contiguity_start", "B", 5, "5", "0"),
+        ("uniqueness", "A", 1, "2", "1"),
+        ("contiguity", "A", 4, "4", "2"),
+    }

@@ -86,3 +86,49 @@ def test_fused_plan_has_single_exchange(spark):
     plan = validate_transcripts(t)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python anywhere
+
+
+# ---------------------------------------------------------------------------
+# property: fused == modular on ADVERSARIAL micro-fixtures (Hypothesis)
+# ---------------------------------------------------------------------------
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ROLES = ["user", "assistant", "tool", "ALIEN", None]
+_TOOLS = ["search", "python", "BOGUS", None]
+
+_row = st.tuples(
+    st.sampled_from(["A", "B"]),                      # conv_id (collisions likely)
+    st.integers(min_value=0, max_value=4),            # turn_idx (dups + gaps likely)
+    st.sampled_from(_ROLES),
+    st.sampled_from(["hi", None]),                    # text (null-check)
+    st.sampled_from(_TOOLS),
+    st.sampled_from([None, 0, 60, 120]),              # ts offset sec (rewinds likely)
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(rows=st.lists(_row, min_size=1, max_size=8))
+def test_fused_equals_modular_union_property(spark, rows):
+    """Whatever combination of duplicate keys, gaps, bad starts, domain
+    violations, null text and ts rewinds Hypothesis throws, the fused
+    single-exchange plan must emit EXACTLY the modular checks' rows."""
+    base = datetime.datetime(2026, 1, 1)
+    data = [
+        (c, i, r, x, tl, None if o is None else base + datetime.timedelta(seconds=o))
+        for (c, i, r, x, tl, o) in rows
+    ]
+    t = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    fused = validate_transcripts(t)
+    modular = _modular_union(t)
+    assert fused.exceptAll(modular).count() == 0
+    assert modular.exceptAll(fused).count() == 0

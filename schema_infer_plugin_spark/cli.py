@@ -28,10 +28,23 @@ import sys
 ENGINE_VERSION = "1.0.0"
 
 
-def _spark(cpus: str | None = None):
+def _spark(cfg=None):
     from schema_infer_plugin_spark.session import get_spark
 
-    return get_spark(app_name="schema-infer-cli")
+    extra = None
+    if cfg is not None:
+        # performance section -> Spark conf (no-op on an already-running
+        # session: getOrCreate returns it; a fresh CLI process applies these)
+        extra = {
+            "spark.sql.adaptive.enabled": str(cfg.performance.aqe).lower(),
+            "spark.sql.files.maxPartitionBytes": cfg.performance.max_partition_bytes,
+        }
+    return get_spark(
+        app_name="schema-infer-cli",
+        master=None if cfg is None else cfg.performance.master,
+        shuffle_partitions=None if cfg is None else cfg.performance.shuffle_partitions,
+        extra_conf=extra,
+    )
 
 
 def _load_cfg(args: argparse.Namespace):
@@ -69,6 +82,17 @@ def cmd_infer(args: argparse.Namespace) -> int:
         args.subject_strategy = cfg.registry.subject_name_strategy
     if args.registry_dir is None and cfg.registry.root:
         args.registry_dir = cfg.registry.root
+    # normalize + validate registry flags here, not mid-loop: register() raising
+    # on table 2 of N would leave partial schema output; and subject_name()'s
+    # permissive fallback (a reference quirk kept at library level) must not
+    # swallow a typo'd strategy coming from the command line
+    from schema_infer_plugin_spark.config import COMPAT_LEVELS, SUBJECT_STRATEGIES
+
+    args.compatibility = args.compatibility.upper()
+    if args.compatibility not in COMPAT_LEVELS:
+        raise SystemExit(f"--compatibility must be one of {', '.join(COMPAT_LEVELS)}")
+    if args.subject_strategy not in SUBJECT_STRATEGIES:
+        raise SystemExit(f"--subject-strategy must be one of {', '.join(SUBJECT_STRATEGIES)}")
 
     # validate flag combinations BEFORE the table loop — a failure mid-loop
     # would leave partial schema-file output behind
@@ -95,7 +119,7 @@ def cmd_infer(args: argparse.Namespace) -> int:
         if num < den:  # num == den keeps every row: no sampling
             sample = (num, width)
 
-    spark = _spark()
+    spark = _spark(cfg)
     os.makedirs(args.output, exist_ok=True)
     written = []
     for table in args.tables.split(","):
@@ -111,13 +135,22 @@ def cmd_infer(args: argparse.Namespace) -> int:
                     max_depth=cfg.inference.max_depth,
                     confidence_threshold=cfg.inference.confidence_threshold,
                     n_examples=cfg.inference.n_examples,
+                    null_ratio_threshold=cfg.inference.null_ratio_threshold,
                 ).collect()
             ]
         else:
             string_cols = [
                 f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
             ]
-            rows = [r.asDict() for r in type_profile(df, string_cols or None).collect()]
+            rows = [
+                r.asDict()
+                for r in type_profile(
+                    df,
+                    string_cols or None,
+                    confidence_threshold=cfg.inference.confidence_threshold,
+                    null_ratio_threshold=cfg.inference.null_ratio_threshold,
+                ).collect()
+            ]
             # non-string columns keep their declared Spark type
             for f in df.schema.fields:
                 if f.name not in {r["column"] for r in rows}:
@@ -157,13 +190,21 @@ def cmd_list_tables(args: argparse.Namespace) -> int:
     from schema_infer_plugin_spark.sources.discovery import discover_tables
     from schema_infer_plugin_spark.sources.io import TABLES, register_views
 
-    spark = _spark()
+    cfg = _load_cfg(args)
+    spark = _spark(cfg)
+    args.input = args.input or cfg.tables.input
+    if not args.input:
+        raise SystemExit("--input is required (flag or config tables.input)")
     register_views(spark, args.input, tuple(t for t in TABLES))
+    # topic_filter mapping: internal-prefix exclusion + include-pattern override
+    exclude = tuple(cfg.tables.exclude_prefixes) if cfg.tables.exclude_internal else ()
     r = discover_tables(
         spark,
         prefix=args.prefix,
         pattern=args.pattern,
         names=None if (args.prefix or args.pattern) else list(TABLES),
+        exclude_prefixes=exclude,
+        include_patterns=tuple(cfg.tables.include_patterns),
     )
     for t in r.found:
         print(t)
@@ -216,7 +257,8 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("list-tables", help="discover tables (reference list-topics)")
-    p.add_argument("--input", required=True)
+    p.add_argument("--config", default=None)
+    p.add_argument("--input", default=None)
     p.add_argument("--prefix", default=None)
     p.add_argument("--pattern", default=None)
     p.set_defaults(fn=cmd_list_tables)

@@ -81,13 +81,14 @@ class InferenceConfig:
     max_messages/timeout knobs become the hash sample_rate — full-table is
     the default here, sampling the opt-in)."""
 
+    #: NOTE: the reference's auto_detect_format / forced_data_format knobs are
+    #: intentionally absent: they steer its Kafka byte-sampling, which this
+    #: engine replaces with declared-schema tables + an explicit --json-col.
     confidence_threshold: float = 0.8
     null_ratio_threshold: float = 0.1
     max_depth: int = 10
     n_examples: int = 3
     sample_rate: str | None = None  # e.g. "16/256"
-    auto_detect_format: bool = True
-    forced_data_format: str | None = None
 
     def validate(self) -> None:
         if not 0.0 < self.confidence_threshold <= 1.0:
@@ -121,6 +122,8 @@ class RegistryConfig:
     def validate(self) -> None:
         if self.mode not in ("local", "remote"):
             raise ConfigError(f"registry.mode must be local|remote: {self.mode}")
+        if self.mode == "remote" and not self.url:
+            raise ConfigError("registry.mode=remote requires registry.url")
         comp = self.compatibility.upper()
         if comp not in COMPAT_LEVELS:
             raise ConfigError(

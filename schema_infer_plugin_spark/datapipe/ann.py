@@ -254,10 +254,12 @@ def ann_lsh_topk(
             .cast("double")
             .alias("cosine"),
         )
-        # a pair found by several tables appears once (cosine is identical
-        # across tables, so the 3-column distinct is exact and cheap)
-        .distinct()
     )
+    if n_tables > 1:
+        # a pair found by several tables appears once (cosine is identical
+        # across tables, so the 3-column distinct is exact); with one table
+        # duplicates are impossible — skip the extra shuffle
+        scored = scored.distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -112,6 +112,7 @@ def resolve_profile(
     total: Column,
     nulls: Column,
     confidence_threshold: float = 0.8,
+    null_ratio_threshold: float = 0.1,
 ) -> dict[str, Column]:
     """Resolve a type histogram into (inferred_type, confidence, nullable, required).
 
@@ -144,7 +145,7 @@ def resolve_profile(
         .otherwise(winner)
     )
     nullable = nulls > 0
-    required = (nulls == 0) | ((nulls / total) < 0.1)
+    required = (nulls == 0) | ((nulls / total) < null_ratio_threshold)
     return {
         "inferred_type": inferred,
         "confidence": confidence,

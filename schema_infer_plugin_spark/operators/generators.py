@@ -79,6 +79,13 @@ def _group_by_head(fields: list[tuple[str, FieldSpec]]) -> dict[str, list[tuple[
     return groups
 
 
+def _elem_name(type_name: str) -> str | None:
+    """Element ladder-type of a parametrized array name, else None."""
+    if type_name.startswith("array<") and type_name.endswith(">"):
+        return type_name[6:-1]
+    return None
+
+
 # ---------------------------------------------------------------------------
 # Avro
 # ---------------------------------------------------------------------------
@@ -97,13 +104,9 @@ _AVRO_TYPES = {
 
 def _avro_leaf(spec: FieldSpec) -> dict:
     tn = spec.type_name
-    elem: str | None = None
-    if tn.startswith("array<") and tn.endswith(">"):
-        # parametrized array: render the element type, don't collapse to string
-        elem = tn[6:-1]
-        base = "array"
-    else:
-        base = _AVRO_TYPES.get(tn, "string")
+    # parametrized array: render the element type, don't collapse to string
+    elem = _elem_name(tn)
+    base = "array" if elem is not None else _AVRO_TYPES.get(tn, "string")
     t: object = base
     if spec.array:
         if elem is not None:
@@ -179,13 +182,6 @@ _JSON_TYPES = {
     "array": "array",
     "union": "string",
 }
-
-
-def _elem_name(type_name: str) -> str | None:
-    """Element ladder-type of a parametrized array name, else None."""
-    if type_name.startswith("array<") and type_name.endswith(">"):
-        return type_name[6:-1]
-    return None
 
 
 def _json_leaf(spec: FieldSpec) -> dict:

@@ -178,6 +178,7 @@ def infer_json_schema(
     max_depth: int = 10,
     confidence_threshold: float = 0.8,
     n_examples: int = 3,
+    null_ratio_threshold: float = 0.1,
 ) -> DataFrame:
     """Full-table JSON schema inference → one profile row per field path.
 
@@ -220,7 +221,10 @@ def infer_json_schema(
         inferred.alias("inferred_type"),
         F.round(confidence, 6).cast("double").alias("confidence"),
         (F.col("null_count") > 0).alias("nullable"),
-        ((F.col("null_count") == 0) | ((F.col("null_count") / F.col("total_count")) < 0.1)).alias("required"),
+        (
+            (F.col("null_count") == 0)
+            | ((F.col("null_count") / F.col("total_count")) < null_ratio_threshold)
+        ).alias("required"),
         "total_count",
         "null_count",
         "examples",

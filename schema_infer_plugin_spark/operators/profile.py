@@ -161,7 +161,12 @@ def profile(
     return long_df
 
 
-def type_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def type_profile(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    confidence_threshold: float = 0.8,
+    null_ratio_threshold: float = 0.1,
+) -> DataFrame:
     """Reference-semantics type inference over string columns only.
 
     Output: (column, inferred_type, confidence, nullable, required,
@@ -182,7 +187,9 @@ def type_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         cnts = {t: F.col(f"{c}__cnt_{t}") for t in TYPE_NAMES}
         total, nulls = F.col(f"{c}__total"), F.col(f"{c}__nulls")
         resolved = resolve_profile(
-            cnts["boolean"], cnts["int"], cnts["float"], cnts["string"], total, nulls
+            cnts["boolean"], cnts["int"], cnts["float"], cnts["string"], total, nulls,
+            confidence_threshold=confidence_threshold,
+            null_ratio_threshold=null_ratio_threshold,
         )
         structs.append(
             F.struct(

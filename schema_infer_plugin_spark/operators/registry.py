@@ -296,7 +296,12 @@ class HttpSchemaRegistry(_CompatEnforcingRegistry):
     ``transport(method, path, body) -> parsed-JSON`` is injectable: production
     wires an HTTP client (auth/SSL attach there, reference config.py:40-55);
     tests wire an in-memory fake — this sandbox has no network, so no urllib
-    default is provided and constructing without a transport raises."""
+    default is provided and constructing without a transport raises.
+
+    Transport error contract: an HTTP 404 on a subject path MUST surface as
+    ``KeyError`` (a urllib-based transport catches HTTPError(code=404) and
+    re-raises KeyError) — that is how "subject has no versions yet" is
+    distinguished from transport failure, which should propagate as-is."""
 
     def __init__(self, url: str, transport=None):
         self.url = url.rstrip("/")

@@ -336,7 +336,13 @@ def main(argv: list[str] | None = None) -> None:
 
     ap = argparse.ArgumentParser(description="transcripts validation run")
     ap.add_argument("--config", default=None, help="YAML/JSON config file (flags override)")
-    ap.add_argument("--input", default=None, help="sf dir, iceberg:ns, or synth:N_convs")
+    ap.add_argument(
+        "--input",
+        default=None,
+        help="sf dir, iceberg:ns, synth:N_convs, or bucketed:DIR (a transcripts"
+        " parquet dir partitioned by partition_key via with_partition_key —"
+        " enables metadata-only empty-bucket pruning)",
+    )
     ap.add_argument("--out", required=True)
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--n-buckets", type=int, default=None)
@@ -363,13 +369,42 @@ def main(argv: list[str] | None = None) -> None:
         app_name=f"validate-{args.run_id}",
         master=cfg.performance.master,
         shuffle_partitions=cfg.performance.shuffle_partitions,
+        extra_conf={
+            "spark.sql.adaptive.enabled": str(cfg.performance.aqe).lower(),
+            "spark.sql.files.maxPartitionBytes": cfg.performance.max_partition_bytes,
+        },
     )
+    bucket_rows = None
     if args.input.startswith("synth:"):
         from schema_infer_plugin_spark.sources.synth import synth_transcripts
 
         t = synth_transcripts(spark, int(args.input.split(":", 1)[1]))
+    elif args.input.startswith("bucketed:"):
+        # production layout: the table is already partitioned on partition_key
+        # (with_partition_key hashing, same n_buckets) — footer metadata feeds
+        # empty-bucket pruning, so those buckets never schedule a scan
+        from schema_infer_plugin_spark.sources.metadata import partition_row_counts
+
+        bdir = args.input.split(":", 1)[1]
+        bucket_rows = partition_row_counts(bdir)
+        t = spark.read.parquet(bdir).drop("partition_key")
+    elif args.input.startswith("iceberg:"):
+        from schema_infer_plugin_spark.sources.metadata import iceberg_partition_counts
+
+        table = f"{args.input.split(':', 1)[1]}.events"
+        try:
+            # manifest-only counts; partition spec must be the conv_id bucket
+            bucket_rows = iceberg_partition_counts(spark, table)
+        except Exception:
+            bucket_rows = None  # catalog absent or unpartitioned — scan all
+        t = transcripts_from_events(spark, load_table(spark, args.input, "events"))
     else:
         t = transcripts_from_events(spark, load_table(spark, args.input, "events"))
+    if bucket_rows is not None and not set(bucket_rows) <= {str(i) for i in range(n_buckets)}:
+        # partition keys don't match the runner's bucket scheme (different
+        # transform or n_buckets) — pruning on them would skip LIVE buckets;
+        # fall back to scanning everything
+        bucket_rows = None
     run_profile(spark, t, args.out, run_id=args.run_id)
     write_histograms(spark, t, args.out)
     summary = run_validation(
@@ -381,6 +416,7 @@ def main(argv: list[str] | None = None) -> None:
         batch_buckets=batch_buckets,
         role_domain=cfg.validation.role_domain or None,
         tool_domain=cfg.validation.tool_domain or None,
+        bucket_rows=bucket_rows,
     )
     if args.baseline:
         drift = run_drift(

@@ -79,7 +79,21 @@ def iceberg_partition_counts(spark, table: str) -> dict[str, int]:
     rows = spark.sql(
         f"SELECT partition, record_count FROM {table}.partitions"
     ).collect()
-    return {str(r["partition"]): int(r["record_count"]) for r in rows}
+    out: dict[str, int] = {}
+    for r in rows:
+        part = r["partition"]
+        # single-transform specs (e.g. bucket(N, conv_id)) come back as a
+        # one-field struct — unwrap to the bare value so keys line up with the
+        # runner's string bucket ids; multi-field specs keep the struct repr
+        # (the runner's key-subset guard then disables pruning rather than
+        # mis-pruning)
+        if hasattr(part, "asDict"):
+            vals = list(part.asDict().values())
+            key = str(vals[0]) if len(vals) == 1 else str(part)
+        else:
+            key = str(part)
+        out[key] = out.get(key, 0) + int(r["record_count"])
+    return out
 
 
 def prune_empty_tables(sf_dir: str, names: tuple[str, ...]) -> tuple[list[str], list[str]]:

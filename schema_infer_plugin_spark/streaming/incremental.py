@@ -152,10 +152,12 @@ _STATEFUL_OUT = (
     "check_name string, conv_id string, turn_idx int, column string,"
     " observed string, expected string"
 )
-#: Keyed state: every turn_idx seen for the conversation. Conversations are
-#: bounded (≤ thousands of turns) while the stream is not — state stays O(conv
-#: length) per key, the canonical bounded-state shape.
-_STATEFUL_STATE = "seen array<int>"
+#: Keyed state: (turn_idx, occurrence count) for every index seen so far —
+#: parallel arrays (applyInPandasWithState state is a flat struct). A repeat
+#: arrival bumps its counter instead of growing the array, so state stays
+#: O(distinct turn indexes) = O(conv length) per key no matter how many
+#: duplicates arrive — the canonical bounded-state shape.
+_STATEFUL_STATE = "idxs array<int>, counts array<int>"
 
 
 def stateful_contiguity_stream(stream_df: DataFrame) -> DataFrame:
@@ -183,32 +185,33 @@ def stateful_contiguity_stream(stream_df: DataFrame) -> DataFrame:
     def check(key, pdfs, state):
         import pandas as pd
 
-        seen: set[int] = set(state.get[0]) if state.exists else set()
+        if state.exists:
+            idxs, counts = state.get
+            occ: dict[int, int] = dict(zip(idxs, counts))
+        else:
+            occ = {}
         conv_id = key[0]
         out_rows: list[tuple] = []
         for pdf in pdfs:
             for idx in sorted(int(i) for i in pdf["turn_idx"]):
-                if idx in seen:
-                    # occurrence count: state stores distinct indexes, so track
-                    # duplicates via the emitted rows themselves this batch
-                    occ = 2 + sum(
-                        1 for r in out_rows if r[0] == "uniqueness" and r[2] == idx
-                    )
+                n_prior = occ.get(idx, 0)
+                if n_prior > 0:
+                    # true cross-batch occurrence count, carried in state
                     out_rows.append(
-                        ("uniqueness", conv_id, idx, "conv_id,turn_idx", str(occ), "1")
+                        ("uniqueness", conv_id, idx, "conv_id,turn_idx", str(n_prior + 1), "1")
                     )
-                    continue
-                if not seen:
+                elif not occ:
                     if idx != 0:
                         out_rows.append(
                             ("contiguity_start", conv_id, idx, "turn_idx", str(idx), "0")
                         )
-                elif idx > max(seen) + 1:
+                elif idx > max(occ) + 1:
                     out_rows.append(
-                        ("contiguity", conv_id, idx, "turn_idx", str(idx), str(max(seen) + 1))
+                        ("contiguity", conv_id, idx, "turn_idx", str(idx), str(max(occ) + 1))
                     )
-                seen.add(idx)
-        state.update((sorted(seen),))
+                occ[idx] = n_prior + 1
+        ordered = sorted(occ)
+        state.update((ordered, [occ[i] for i in ordered]))
         if out_rows:
             yield pd.DataFrame(
                 out_rows,

@@ -86,3 +86,25 @@ def test_register_format_checked_before_any_write(spark, tmp_path):
               "--format", "protobuf", "--output", out, "--register"])
     # validation ran before the table loop: no partial output on disk
     assert not os.path.exists(os.path.join(out, "documents.proto"))
+
+
+def test_compat_and_strategy_validated_before_writes(spark, tmp_path):
+    import pytest
+
+    out = str(tmp_path / "schemas")
+    # lowercase compatibility is normalized (config parity), not an error
+    assert main(
+        ["infer", "--input", SF, "--table", "documents", "--format", "avro",
+         "--output", out, "--register", "--compatibility", "backward"]
+    ) == 0
+    # typo'd strategy fails upfront — no schema file may appear
+    out2 = str(tmp_path / "schemas2")
+    with pytest.raises(SystemExit, match="subject-strategy"):
+        main(["infer", "--input", SF, "--tables", "documents,events",
+              "--format", "avro", "--output", out2, "--register",
+              "--subject-strategy", "RecordNameStrateg"])
+    assert not os.path.exists(os.path.join(out2, "documents.avsc"))
+    # bogus compatibility level also fails upfront
+    with pytest.raises(SystemExit, match="compatibility"):
+        main(["infer", "--input", SF, "--table", "documents", "--format", "avro",
+              "--output", out2, "--register", "--compatibility", "SIDEWAYS"])

@@ -154,3 +154,28 @@ def test_runner_domains_from_config(spark, tmp_path):
     )
     # restricting the role domain to {user} must strictly add violations
     assert strict["violations"] > default["violations"]
+
+
+def test_remote_registry_requires_url(tmp_path):
+    p = tmp_path / "r.json"
+    p.write_text(json.dumps({"registry": {"mode": "remote"}}))
+    with pytest.raises(ConfigError, match="registry.url"):
+        load_config(str(p), env={})
+    p2 = tmp_path / "r2.json"
+    p2.write_text(json.dumps({"registry": {"mode": "remote", "url": "http://r"}}))
+    assert load_config(str(p2), env={}).registry.url == "http://r"
+
+
+def test_null_ratio_threshold_is_consumed(spark):
+    """A config-exposed inference knob must actually change results."""
+    from schema_infer_plugin_spark.operators.inference import infer_json_schema
+
+    rows = [('{"x": 1}',)] * 4 + [('{"x": null}',)]  # null ratio 0.2
+    df = spark.createDataFrame(rows, ["payload"])
+    strict = {r["field_path"]: r for r in infer_json_schema(df, "payload").collect()}
+    lax = {
+        r["field_path"]: r
+        for r in infer_json_schema(df, "payload", null_ratio_threshold=0.5).collect()
+    }
+    assert strict["x"]["required"] is False  # 0.2 >= default 0.1
+    assert lax["x"]["required"] is True  # 0.2 < 0.5

@@ -104,3 +104,28 @@ def test_mixed_prune_matches_full_run(spark, tmp_path):
     assert sorted(map(tuple, a.select(cols).collect())) == sorted(
         map(tuple, b.select(cols).collect())
     )
+
+
+def test_runner_main_bucketed_input_prunes(spark, tmp_path, capsys):
+    """The production entrypoint itself (runner main, `bucketed:` input) wires
+    footer counts into pruning — not just the run_validation API."""
+    from schema_infer_plugin_spark.plans.ledger import completed_keys
+    from schema_infer_plugin_spark.plans.runner import (
+        PASS_B,
+        main,
+        with_partition_key,
+    )
+    from schema_infer_plugin_spark.sources.synth import synth_transcripts
+
+    t = synth_transcripts(spark, 200)
+    keyed = with_partition_key(t, 4)
+    bdir = str(tmp_path / "bucketed")
+    keyed.filter(F.col("partition_key") != "2").write.partitionBy(
+        "partition_key"
+    ).parquet(bdir)
+    out = str(tmp_path / "out")
+    main(["--input", f"bucketed:{bdir}", "--out", out, "--run-id", "m1",
+          "--n-buckets", "4", "--batch-buckets", "4"])
+    printed = capsys.readouterr().out
+    assert "'pruned': 1" in printed
+    assert completed_keys(spark, out, "m1", PASS_B) == {"0", "1", "2", "3"}

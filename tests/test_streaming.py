@@ -117,6 +117,8 @@ def test_stateful_contiguity_across_microbatches(spark, tmp_path):
     )
     # batch 2: conv A turn 1 AGAIN (cross-batch dup) and turn 4 (cross-batch gap)
     rows([row("A", 1), row("A", 4)]).coalesce(1).write.parquet(src + "/b2.parquet")
+    # batch 3: turn 1 a THIRD time — the occurrence counter must carry in state
+    rows([row("A", 1)]).coalesce(1).write.parquet(src + "/b3.parquet")
 
     stream = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)
@@ -142,5 +144,6 @@ def test_stateful_contiguity_across_microbatches(spark, tmp_path):
     assert got == {
         ("contiguity_start", "B", 5, "5", "0"),
         ("uniqueness", "A", 1, "2", "1"),
+        ("uniqueness", "A", 1, "3", "1"),
         ("contiguity", "A", 4, "4", "2"),
     }

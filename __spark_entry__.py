@@ -1094,6 +1094,99 @@ FROM m
 """
 
 
+#: Training-mixture rates over the transcripts role strata — per-stratum
+#: deterministic keep fraction (sources/sampling.mixture_sample).
+_MIXTURE_RATES = {"user": 1.0, "assistant": 0.25, "tool": 0.05}
+_MIXTURE_WIDTH = 4
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_infer_plugin_spark.sources.sampling import mixture_sample
+
+    t = _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "role")
+    return mixture_sample(
+        t, "role", _MIXTURE_RATES, ["conv_id", "turn_idx"], default_rate=0.0,
+        width=_MIXTURE_WIDTH,
+    )
+
+
+def _oracle_mixture() -> str:
+    buckets = 16**_MIXTURE_WIDTH
+    w = _MIXTURE_WIDTH + 1
+
+    def hexcap(rate: float) -> str:
+        return format(min(max(int(rate * buckets), 0), buckets), f"0{w}x")
+
+    whens = " ".join(
+        f"WHEN role = '{s}' THEN '{hexcap(r)}'"
+        for s, r in sorted(_MIXTURE_RATES.items())
+    )
+    return oracle_cte(
+        f"""
+SELECT conv_id, turn_idx, role FROM transcripts
+WHERE concat('0', substr(md5(concat_ws(':', role, conv_id, CAST(turn_idx AS STRING))), 1, {_MIXTURE_WIDTH}))
+      < CASE {whens} ELSE '{hexcap(0.0)}' END
+"""
+    )
+
+
+def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The staged training-corpus funnel (datapipe/pipeline.clean_corpus):
+    quality gate → exact dedup (keep min id) → MinHash-LSH near-dup removal
+    (drop the larger id of each candidate pair), over the mutated corpus."""
+    from schema_infer_plugin_spark.datapipe import clean_corpus
+
+    return clean_corpus(
+        _mutated_corpus(spark, sf_dir), "doc_id", "text",
+        min_quality=0.5, num_hashes=16, bands=4, shingle_k=3, min_est_jaccard=0.5,
+    )
+
+
+#: quality expression shared with ORACLE_TEXT_QUALITY (same formula text)
+_DUCK_QUALITY = rf"""
+(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 5 AND 10000 THEN 0.5 ELSE 0.0 END)
++ (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
+              THEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> lower(x) IN ({_EN_STOPS}))) AS DOUBLE)
+                   / len(regexp_split_to_array(trim(text), '\s+'))
+              ELSE 0.0 END) >= 0.01 THEN 0.3 ELSE 0.0 END)
++ (CASE WHEN (CASE WHEN length(text) > 0
+              THEN CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / length(text)
+              ELSE 0.0 END) > 0.2 THEN 0.0 ELSE 0.2 END)
+"""
+
+ORACLE_CLEAN_CORPUS = rf"""
+WITH {_CORPUS_CTE},
+q AS (SELECT doc_id AS _id, text AS _text,
+             CAST(round({_DUCK_QUALITY}, 6) AS DOUBLE) AS quality
+      FROM corpus
+      WHERE CAST(round({_DUCK_QUALITY}, 6) AS DOUBLE) >= 0.5),
+uniq AS (SELECT _id, _text, quality FROM (
+           SELECT *, row_number() OVER (PARTITION BY md5(_text) ORDER BY _id) AS rn FROM q)
+         WHERE rn = 1),
+toks AS (SELECT _id, regexp_split_to_array(trim(_text), '\s+') AS tk FROM uniq),
+sh AS (SELECT _id,
+              unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+                                                  i -> array_to_string(tk[i:i+2], ' ')))) AS sh
+       FROM toks),
+hh AS (SELECT _id,
+              CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) % 2147483647 AS h1,
+              CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) % 2147483647 AS h2
+       FROM sh),
+sig AS (SELECT _id, [{", ".join(f"min((h1 + {i} * h2) % 2147483647)" for i in range(16))}] AS sig
+        FROM hh GROUP BY _id),
+banded AS (SELECT _id, sig, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bh
+           FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),
+pairs AS (SELECT DISTINCT l._id AS id_a, r._id AS id_b, l.sig AS sa, r.sig AS sb
+          FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l._id < r._id),
+drops AS (SELECT DISTINCT id_b FROM (
+            SELECT id_a, id_b,
+                   CAST(len(list_filter(generate_series(1, 16), i -> sa[i] = sb[i])) AS DOUBLE)/16 AS ej
+            FROM pairs) WHERE ej >= 0.5)
+SELECT _id AS doc_id, _text AS text, quality FROM uniq
+WHERE _id NOT IN (SELECT id_b FROM drops)
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_infer_plugin_spark.datapipe import language_id_table
 
@@ -1367,6 +1460,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "transcripts_text_ordered": (q_text_ordered, ORACLE_TEXT_ORDERED),
     "transcripts_verdicts": (q_verdicts, ORACLE_VERDICTS),
     "hash_sample_stratified": (q_hash_sample, ORACLE_HASH_SAMPLE),
+    "mixture_sample_roles": (q_mixture_sample, _oracle_mixture()),
+    "clean_corpus": (q_clean_corpus, ORACLE_CLEAN_CORPUS),
     "conv_stats_salted": (q_conv_stats_salted, ORACLE_CONV_STATS),
     "csv_parse": (q_csv_parse, ORACLE_CSV_PARSE),
     "raw_text_parse": (q_raw_text, ORACLE_RAW_TEXT),

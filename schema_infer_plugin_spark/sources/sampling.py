@@ -52,3 +52,40 @@ def stratified_sample(
     threshold = format(rate_num, f"0{width}x")
     cols = [F.col(stratum_col)] + [F.col(c) for c in key_cols]
     return df.filter(hash_bucket(cols, width) < F.lit(threshold))
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_cols: list[str],
+    default_rate: float = 0.0,
+    width: int = 4,
+) -> DataFrame:
+    """Training-mixture sampler: a DIFFERENT keep-rate per stratum (e.g.
+    ``{"en": 1.0, "de": 0.25, "fr": 0.1}``) — the knob a pretraining pipeline
+    turns to rebalance languages/sources/quality buckets.
+
+    Same md5-bucket construction as ``deterministic_sample`` (map-side
+    predicate, no shuffle, no RNG, oracle-checkable); the per-stratum rate
+    resolves as ``floor(rate * 16**width)`` buckets of ``16**width``
+    (width=4 → 1/65536 granularity). ``rate >= 1.0`` keeps every row of the
+    stratum; strata absent from ``rates`` keep ``default_rate``. NULL strata
+    fall under ``default_rate`` too (md5 of a NULL-joined key still hashes,
+    but the rate lookup is by value).
+    """
+    buckets = 16**width
+
+    def hexcap(rate: float) -> str:
+        return format(min(max(int(rate * buckets), 0), buckets), f"0{width + 1}x")
+
+    cols = [F.col(stratum_col)] + [F.col(c) for c in key_cols]
+    bucket = hash_bucket(cols, width)
+    threshold = F.lit(hexcap(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(stratum_col) == stratum, F.lit(hexcap(rate))
+        ).otherwise(threshold)
+    # width+1-digit thresholds: rate 1.0 formats to 0x10000 which is
+    # lexicographically above every width-digit bucket -> keeps all rows
+    return df.filter(F.concat(F.lit("0"), bucket) < threshold)

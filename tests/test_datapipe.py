@@ -335,3 +335,46 @@ def test_ann_ivf_recall_on_planted_neardups(spark, emb):
     }
     assert len(one_probe) <= len(got) or one_probe <= got
     corpus.unpersist()
+
+
+def test_clean_corpus_funnel(spark, docs):
+    """Quality gate + exact dedup + near-dup removal compose: planted exact
+    copies and near-copies are gone, survivors keep the minimal id."""
+    from schema_infer_plugin_spark.datapipe import clean_corpus
+
+    out = clean_corpus(_planted(docs, spark), "doc_id", "text", min_quality=0.0)
+    ids = {r["doc_id"] for r in out.collect()}
+    # exact copies (id+2000000) always dropped — their source id survives
+    assert not any(i + 2000000 in ids for i in range(10))
+    assert all(i in ids for i in range(10))
+    # near-copies (one appended token): LSH catches nearly all; none may
+    # survive INSTEAD of their source
+    near_alive = sum(1 for i in range(20) if i + 1000000 in ids)
+    assert near_alive <= 4
+    for i in range(20):
+        assert i in ids  # the smaller id always wins
+    # quality gate actually gates: raising it strictly shrinks the corpus
+    strict = clean_corpus(_planted(docs, spark), "doc_id", "text", min_quality=0.8)
+    assert strict.count() < out.count()
+
+
+def test_mixture_sample_rates(spark, docs):
+    """Per-stratum keep fractions land near the configured rates and are
+    exactly reproducible."""
+    from schema_infer_plugin_spark.sources.sampling import mixture_sample
+
+    base = docs.select("doc_id", (F.col("doc_id") % 2 == 0).cast("string").alias("s"))
+    rates = {"true": 1.0, "false": 0.25}
+    out = mixture_sample(base, "s", rates, ["doc_id"], width=4)
+    counts = {r["s"]: r["count"] for r in out.groupBy("s").count().collect()}
+    totals = {r["s"]: r["count"] for r in base.groupBy("s").count().collect()}
+    assert counts["true"] == totals["true"]  # rate 1.0 keeps every row
+    frac = counts["false"] / totals["false"]
+    assert 0.15 <= frac <= 0.35  # 250 rows at 25%: generous binomial bounds
+    # absent stratum falls to default_rate=0.0
+    out2 = mixture_sample(base, "s", {"true": 0.5}, ["doc_id"], width=4)
+    assert out2.filter("s = 'false'").count() == 0
+    # deterministic: same call, same rows
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in mixture_sample(base, "s", rates, ["doc_id"], width=4).collect())
+    assert a == b

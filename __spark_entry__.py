@@ -179,6 +179,25 @@ FROM transcripts WHERE tool IS NOT NULL AND coalesce(role, '') != 'tool'
 )
 
 
+def q_role_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from schema_infer_plugin_spark.checks import role_alternation_violations
+
+    return _viol(role_alternation_violations(_transcripts(spark, sf_dir)))
+
+
+ORACLE_ROLE_ALTERNATION = oracle_cte(
+    """
+SELECT 'role_alternation' AS check_name, conv_id, turn_idx, 'role' AS col_name,
+       role AS observed, concat('!= ', prev_role) AS expected
+FROM (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC, ts ASC NULLS FIRST) AS prev_role
+  FROM transcripts)
+WHERE role IS NOT NULL AND prev_role IS NOT NULL AND role = prev_role AND role != 'tool'
+"""
+)
+
+
 def q_null_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _viol(null_violations(_transcripts(spark, sf_dir), "text"))
 
@@ -1455,6 +1474,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "transcripts_tool_domain": (q_tool_domain, ORACLE_TOOL_DOMAIN),
     "transcripts_tool_without_role": (q_tool_without_role, ORACLE_TOOL_WITHOUT_ROLE),
     "transcripts_null_text": (q_null_text, ORACLE_NULL_TEXT),
+    "transcripts_role_alternation": (q_role_alternation, ORACLE_ROLE_ALTERNATION),
     "transcripts_validate_fused": (q_validate_fused, ORACLE_VALIDATE_FUSED),
     "transcripts_ts_monotonic": (q_ts_monotonic, ORACLE_TS_MONOTONIC),
     "transcripts_text_ordered": (q_text_ordered, ORACLE_TEXT_ORDERED),

@@ -163,3 +163,24 @@ def test_ts_monotonic_us_duplicate_key_both_violating(spark):
     # 00:02 does not rewind vs 00:01 -> exactly ONE violation, not 2 or 4
     assert len(out) == 1
     assert out[0]["observed_us"] is not None and out[0]["expected_after_us"] is not None
+
+
+def test_role_alternation_micro(spark):
+    from schema_infer_plugin_spark.checks import role_alternation_violations
+
+    rows = [
+        ("A", 0, "user", "2026-01-01 00:00:00"),
+        ("A", 1, "assistant", "2026-01-01 00:01:00"),
+        ("A", 2, "assistant", "2026-01-01 00:02:00"),  # repeat -> violation
+        ("A", 3, "tool", "2026-01-01 00:03:00"),
+        ("A", 4, "tool", "2026-01-01 00:04:00"),       # tool runs are exempt
+        ("A", 5, "user", "2026-01-01 00:05:00"),
+        ("A", 6, None, "2026-01-01 00:06:00"),         # null never violates
+        ("A", 7, "user", "2026-01-01 00:07:00"),       # prev is null -> ok
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "ts_s"]).select(
+        "conv_id", "turn_idx", "role", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = [(r["conv_id"], r["turn_idx"], r["observed"]) for r in
+           role_alternation_violations(df).collect()]
+    assert got == [("A", 2, "assistant")]

@@ -57,6 +57,90 @@ def _load_cfg(args: argparse.Namespace):
         raise SystemExit(f"config error: {e}")
 
 
+def _auto_infer_rows(df, col: str, cfg) -> tuple[list[dict], str]:
+    """The reference's PRIMARY auto mode (plugin/cli.py: sample → detect
+    format → parse → infer), distributed: detect the text column's format,
+    parse with the matching parser, run the type ladder. Returns (profile
+    rows, detected format).
+
+    Distribution note: the reference's stateful CSV header capture ("first
+    message becomes the header") has no order to rely on here — generic
+    ``column_{i}`` headers are generated from the MAX field count (the
+    reference generates them from the first row's count, parsers.py:162-167)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from schema_infer_plugin_spark.operators.detector import detect_format
+    from schema_infer_plugin_spark.operators.inference import infer_json_schema
+    from schema_infer_plugin_spark.operators.parsers import parse_csv_line, parse_key_value
+    from schema_infer_plugin_spark.operators.profile import type_profile
+
+    fmt, _conf = detect_format(df, col)
+    inf = cfg.inference
+    if fmt == "json":
+        rows = [
+            r.asDict()
+            for r in infer_json_schema(
+                df, col,
+                max_depth=inf.max_depth,
+                confidence_threshold=inf.confidence_threshold,
+                n_examples=inf.n_examples,
+                null_ratio_threshold=inf.null_ratio_threshold,
+            ).collect()
+        ]
+    elif fmt in ("csv", "tsv"):
+        delim = "\t" if fmt == "tsv" else ","
+        n = (
+            df.select(
+                F.max(F.size(F.split(F.trim(F.col(col)), _re.escape(delim), -1)))
+            ).first()[0]
+            or 1
+        )
+        headers = [f"column_{i}" for i in range(int(n))]
+        parsed = parse_csv_line(df, col, headers, delim)
+        rows = [
+            r.asDict()
+            for r in type_profile(
+                parsed, headers,
+                confidence_threshold=inf.confidence_threshold,
+                null_ratio_threshold=inf.null_ratio_threshold,
+            ).collect()
+        ]
+    elif fmt == "key-value":
+        from schema_infer_plugin_spark.functions.typeladder import resolve_profile
+
+        obs = parse_key_value(df, col).select("kv_key", F.col("kv.vtype").alias("vt"))
+        agg = obs.groupBy("kv_key").agg(
+            *[
+                F.sum((F.col("vt") == t).cast("long")).alias(f"cnt_{t}")
+                for t in ("boolean", "int", "float", "string")
+            ],
+            F.count(F.lit(1)).alias("total"),
+        )
+        res = resolve_profile(
+            F.col("cnt_boolean"), F.col("cnt_int"), F.col("cnt_float"),
+            F.col("cnt_string"), F.col("total"), F.lit(0).cast("long"),
+            confidence_threshold=inf.confidence_threshold,
+            null_ratio_threshold=inf.null_ratio_threshold,
+        )
+        prof = agg.select(
+            F.col("kv_key").alias("column"),
+            res["inferred_type"].alias("inferred_type"),
+            res["nullable"].alias("nullable"),
+            res["required"].alias("required"),
+        )
+        rows = [r.asDict() for r in prof.collect()]
+    else:
+        # raw-text fallback schema (reference RawTextParser output shape)
+        rows = [
+            {"column": "raw_content", "inferred_type": "string", "nullable": False, "required": True},
+            {"column": "message_length", "inferred_type": "int", "nullable": False, "required": True},
+            {"column": "is_binary", "inferred_type": "boolean", "nullable": False, "required": True},
+        ]
+    return rows, fmt
+
+
 def cmd_infer(args: argparse.Namespace) -> int:
     from schema_infer_plugin_spark.operators.generators import (
         fields_from_profile,
@@ -138,6 +222,9 @@ def cmd_infer(args: argparse.Namespace) -> int:
                     null_ratio_threshold=cfg.inference.null_ratio_threshold,
                 ).collect()
             ]
+        elif args.text_col:
+            rows, fmt = _auto_infer_rows(df, args.text_col, cfg)
+            print(f"{table}: detected format '{fmt}' for column {args.text_col}")
         else:
             string_cols = [
                 f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
@@ -248,6 +335,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--format", default="avro", choices=["avro", "protobuf", "json-schema"])
     p.add_argument("--output", required=True)
     p.add_argument("--json-col", default=None, help="JSON string column to infer dynamically")
+    p.add_argument("--text-col", default=None,
+                   help="raw text column: auto-detect format (json/csv/tsv/kv/raw), parse, infer")
     p.add_argument("--sample-rate", default=None, help="e.g. 16/256 (hash sample)")
     p.add_argument("--register", action="store_true", help="register in the local schema registry")
     p.add_argument("--registry-dir", default=None)

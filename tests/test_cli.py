@@ -108,3 +108,45 @@ def test_compat_and_strategy_validated_before_writes(spark, tmp_path):
     with pytest.raises(SystemExit, match="compatibility"):
         main(["infer", "--input", SF, "--table", "documents", "--format", "avro",
               "--output", out2, "--register", "--compatibility", "SIDEWAYS"])
+
+
+def test_text_col_auto_detects_json(spark, tmp_path, capsys):
+    out = str(tmp_path / "schemas")
+    rc = main(["infer", "--input", SF, "--table", "events", "--text-col", "props",
+               "--format", "avro", "--output", out])
+    assert rc == 0
+    assert "detected format 'json'" in capsys.readouterr().out
+    schema = json.loads(open(os.path.join(out, "events.avsc")).read())
+    fields = {f["name"]: f for f in schema["fields"]}
+    assert "k" in fields  # props is {"k": N}
+
+
+def test_auto_infer_rows_csv_kv_raw(spark):
+    from schema_infer_plugin_spark.cli import _auto_infer_rows
+    from schema_infer_plugin_spark.config import EngineConfig
+
+    cfg = EngineConfig()
+    csv = spark.createDataFrame([("1,foo,true",), ("2,bar,false",), ("3,baz,",)], ["m"])
+    rows, fmt = _auto_infer_rows(csv, "m", cfg)
+    assert fmt == "csv"
+    by = {r["column"]: r for r in rows}
+    assert by["column_0"]["inferred_type"] == "int"
+    assert by["column_1"]["inferred_type"] == "string"
+    # pad fills '' for the short row; '' types as string, so column_2 is
+    # 2/3 boolean = 0.67 confidence < 0.8 with 2 types -> 'union' (ladder rule)
+    assert by["column_2"]["inferred_type"] == "union"
+
+    # NOTE: "a=1, b=x" ALSO matches the reference's csv regex and loses the
+    # tie on priority order (json,csv,tsv,kv — detector.py dict order), so a
+    # comma-free kv corpus is the unambiguous case
+    kv = spark.createDataFrame([("a=1",), ("a=2",), ("b=x",), ("b=y",)], ["m"])
+    rows, fmt = _auto_infer_rows(kv, "m", cfg)
+    assert fmt == "key-value"
+    by = {r["column"]: r for r in rows}
+    assert by["a"]["inferred_type"] == "int"
+    assert by["b"]["inferred_type"] == "string"
+
+    raw = spark.createDataFrame([("plain text",), ("more words here",)], ["m"])
+    rows, fmt = _auto_infer_rows(raw, "m", cfg)
+    assert fmt == "raw-text"
+    assert {r["column"] for r in rows} == {"raw_content", "message_length", "is_binary"}

@@ -21,6 +21,14 @@ Scale: the quality gate is shuffle-free; dedup shuffles once on the digest;
 the LSH stage shuffles on (band, hash) and the final removal is a broadcast
 anti-join when the drop-list is small (near-dup counts usually are) — Spark's
 AQE picks that automatically from the runtime size.
+
+Recompute note: lazily, the exact-dedup survivors (``uniq``) appear in THREE
+lineages (signature build, both sides of the banded self-join via ``sig``,
+and the anti-join's left side) — Spark would re-run the quality+dedup stages
+for each. ``persist_intermediate=True`` caches the two fan-out frames for a
+single-job run; at 100 TB the right form is STAGED MATERIALIZATION — write
+the stage-2 survivors to a table and run the near-dup stage from that scan,
+exactly how plans/runner.py stages its passes.
 """
 
 from __future__ import annotations
@@ -40,11 +48,15 @@ def clean_corpus(
     bands: int = 4,
     shingle_k: int = 3,
     min_est_jaccard: float = 0.5,
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """Cleaned corpus: (id, text, quality) of every surviving document.
 
     Survivors = quality ≥ ``min_quality``, minimal id of each exact-duplicate
     group, and not the larger side of any LSH near-dup pair.
+    ``persist_intermediate`` caches the fan-out frames (see module docstring);
+    the caller owns unpersisting via ``spark.catalog.clearCache()`` or by
+    staging to a table instead.
     """
     q = df.select(
         F.col(id_col).alias("_id"),
@@ -54,8 +66,12 @@ def clean_corpus(
 
     w = Window.partitionBy(F.md5(F.col("_text"))).orderBy(F.col("_id"))
     uniq = q.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    if persist_intermediate:
+        uniq = uniq.persist()
 
     sig = minhash_signatures(uniq, "_id", "_text", num_hashes=num_hashes, shingle_k=shingle_k)
+    if persist_intermediate:
+        sig = sig.persist()
     pairs = lsh_candidate_pairs(sig, "_id", bands=bands, min_est_jaccard=min_est_jaccard)
     drop = pairs.select(F.col("id_b").alias("_id")).distinct()
     return (

@@ -356,6 +356,13 @@ def test_clean_corpus_funnel(spark, docs):
     # quality gate actually gates: raising it strictly shrinks the corpus
     strict = clean_corpus(_planted(docs, spark), "doc_id", "text", min_quality=0.8)
     assert strict.count() < out.count()
+    # persisted-intermediate mode is a pure performance knob: identical rows
+    cached = clean_corpus(
+        _planted(docs, spark), "doc_id", "text", min_quality=0.0,
+        persist_intermediate=True,
+    )
+    assert {r["doc_id"] for r in cached.collect()} == ids
+    spark.catalog.clearCache()
 
 
 def test_mixture_sample_rates(spark, docs):

@@ -763,6 +763,55 @@ SELECT id_a, id_b, est_jaccard FROM (
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate CLUSTERS: iterative min-label propagation
+    (datapipe/graph.connected_components) over the MinHash-LSH pair graph —
+    an iterative Spark algorithm, still DuckDB-oracle-checked via a recursive
+    transitive-closure CTE."""
+    from schema_infer_plugin_spark.datapipe import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(
+        _mutated_corpus(spark, sf_dir), "doc_id", "text", num_hashes=16, shingle_k=3
+    )
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=4, min_est_jaccard=0.5)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+ORACLE_DEDUP_COMPONENTS = rf"""
+WITH RECURSIVE {_CORPUS_CTE},
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+                                                  i -> array_to_string(tk[i:i+2], ' ')))) AS sh
+       FROM toks),
+hh AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) % 2147483647 AS h1,
+              CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) % 2147483647 AS h2
+       FROM sh),
+sig AS (SELECT doc_id, [{", ".join(f"min((h1 + {i} * h2) % 2147483647)" for i in range(16))}] AS sig
+        FROM hh GROUP BY doc_id),
+banded AS (SELECT doc_id, sig, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bh
+           FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),
+cand AS (SELECT id_a, id_b FROM (
+           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                  CAST(len(list_filter(generate_series(1, 16), i -> l.sig[i] = r.sig[i])) AS DOUBLE)/16 AS ej
+           FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id)
+         WHERE ej >= 0.5),
+edges AS (SELECT id_a AS s, id_b AS d FROM cand UNION SELECT id_b, id_a FROM cand),
+reach AS (SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+SELECT s AS doc_id, CAST(least(s, min(d)) AS BIGINT) AS component
+FROM reach GROUP BY s
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_infer_plugin_spark.datapipe import simhash
 
@@ -1494,6 +1543,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "nation_revenue": (q_nation_revenue, ORACLE_NATION_REVENUE),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
     "dedup_minhash_lsh": (q_minhash_lsh, ORACLE_MINHASH_LSH),
+    "dedup_components": (q_dedup_components, ORACLE_DEDUP_COMPONENTS),
     "simhash_documents": (q_simhash, ORACLE_SIMHASH),
     "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
     "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),

@@ -1,0 +1,70 @@
+"""Connected components over near-duplicate pair graphs.
+
+``clean_corpus`` uses the single-pass keep-smallest heuristic (drop ``id_b``
+of every pair), which over-drops on chains. When exact duplicate CLUSTERS are
+needed (dedup reporting, cluster-aware sampling, keep-one-per-component), this
+module computes them properly: iterative min-label propagation —
+
+    label(v) ← min(label(v), min over neighbors of label(n))
+
+until fixpoint, which converges in O(graph diameter) rounds. Each round is one
+shuffle (edge join + groupBy); lineage is truncated every round with
+``localCheckpoint`` so the plan does not grow with the iteration count — the
+standard Spark shape for iterative algorithms (same family as GraphX/GraphFrames
+label propagation, reimplemented DataFrame-native).
+
+Determinism: labels are ids, min() is total, so the fixpoint is unique —
+component id = the minimal doc id reachable. The identical semantics are
+expressible in SQL as a recursive transitive closure, so the driver query is
+DuckDB-oracle-checked despite being iterative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node of the undirected pair graph;
+    component = minimal reachable node id. Raises if ``max_iter`` rounds don't
+    reach the fixpoint (diameter larger than max_iter — raise the cap)."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    sym = sym.localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # neighbor minimum for every node, one shuffle
+        msgs = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(msgs, labels.node == msgs.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))).alias("comp"),
+                (F.coalesce(F.col("nbr_min"), F.col("comp")) < F.col("comp")).alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("_chg")).limit(1).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            return labels.select(F.col("node"), F.col("comp").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — graph "
+        "diameter exceeds the cap; raise max_iter"
+    )

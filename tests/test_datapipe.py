@@ -385,3 +385,21 @@ def test_mixture_sample_rates(spark, docs):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in mixture_sample(base, "s", rates, ["doc_id"], width=4).collect())
     assert a == b
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chains collapse to one component (exactly what the single-pass
+    heuristic can't do); islands stay separate; singleton-free by definition."""
+    from schema_infer_plugin_spark.datapipe import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # convergence guard raises on an impossible cap
+    import pytest
+
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs, max_iter=1)

@@ -1345,6 +1345,52 @@ FROM s
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched image-resize plumbing (fake decoder: truncate/zero-pad to
+    8×8 bytes) — transform arithmetic value-checked in DuckDB."""
+    from schema_infer_plugin_spark.datapipe import resize_images, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_images(with_binary_payload(docs, "doc_id", "text"), out_w=8, out_h=8)
+
+
+ORACLE_MULTIMODAL_RESIZE = """
+WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+m AS (SELECT doc_id, least(octet_length(p), 64) AS k, hex(p) AS h FROM b)
+SELECT doc_id, CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+       CAST(64 AS BIGINT) AS n_bytes_out,
+       CAST((CASE WHEN k = 0 THEN 0
+             ELSE list_sum(list_transform(generate_series(1, k),
+                  i -> CAST(concat('0x', substr(h, (i-1)*2+1, 2)) AS BIGINT))) END)
+            % 2147483648 AS BIGINT) AS checksum_out
+FROM m
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched frame sampling (fake decoder: payload as 4 equal byte
+    slices, one output row per frame) — the 1→N fan-out a real video decode
+    has; per-frame checksums value-checked in DuckDB."""
+    from schema_infer_plugin_spark.datapipe import sample_frames, with_binary_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(with_binary_payload(docs, "doc_id", "text"), n_frames=4)
+
+
+ORACLE_MULTIMODAL_FRAMES = """
+WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+m AS (SELECT doc_id, octet_length(p) AS n, hex(p) AS h FROM b WHERE octet_length(p) > 0),
+s AS (SELECT doc_id, i, (i*n)//4 AS lo, ((i+1)*n)//4 AS hi, h
+      FROM m CROSS JOIN generate_series(0, 3) AS t(i))
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, CAST(hi - lo AS BIGINT) AS frame_bytes,
+       CAST((CASE WHEN hi = lo THEN 0
+             ELSE list_sum(list_transform(generate_series(lo + 1, hi),
+                  j -> CAST(concat('0x', substr(h, (j-1)*2+1, 2)) AS BIGINT))) END)
+            % 2147483648 AS BIGINT) AS frame_checksum
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -1558,6 +1604,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
     "language_id": (q_lang_id, ORACLE_LANG_ID),
     "multimodal_features": (q_multimodal, ORACLE_MULTIMODAL),
+    "multimodal_resize": (q_multimodal_resize, ORACLE_MULTIMODAL_RESIZE),
+    "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "json_inference": (q_json_inference, ORACLE_JSON_INFERENCE),
     "format_detect": (q_format_detect, ORACLE_FORMAT_DETECT),
     "kv_parse": (q_kv_parse, ORACLE_KV_PARSE),

@@ -20,4 +20,9 @@ from .ann import ann_bruteforce_topk, ann_ivf_topk, ann_lsh_topk, ivf_centroids 
 from .graph import connected_components  # noqa: F401
 from .pipeline import clean_corpus  # noqa: F401
 from .text import text_quality_table, language_id_table  # noqa: F401
-from .multimodal import with_binary_payload, extract_binary_features  # noqa: F401
+from .multimodal import (  # noqa: F401
+    extract_binary_features,
+    resize_images,
+    sample_frames,
+    with_binary_payload,
+)

@@ -89,3 +89,94 @@ def extract_binary_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
             )
 
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("n_bytes_out", LongType()),
+        StructField("checksum_out", LongType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8, decoder: str = "fake") -> DataFrame:
+    """Arrow-batched image resize over (doc_id, payload, meta) rows.
+
+    ``decoder='fake'``: deterministic stand-in — the "resized image" is the
+    payload truncated/zero-padded to ``out_w*out_h`` bytes (a real decoder
+    swaps in PIL's resize; batching/schema/partition behavior identical).
+    Emits the resized payload's size + checksum so the transform is
+    value-verifiable end-to-end (DuckDB oracle reproduces the truncation
+    arithmetic on the same bytes).
+    """
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: real image resize requires PIL, absent here"
+        )
+    n_out = out_w * out_h
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            outs = []
+            for p in pdf["payload"]:
+                buf = (p or b"")[:n_out]
+                buf = buf + b"\x00" * (n_out - len(buf))
+                outs.append(buf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_w": [out_w] * len(pdf),
+                    "out_h": [out_h] * len(pdf),
+                    "n_bytes_out": [len(b) for b in outs],
+                    "checksum_out": [sum(b) % (1 << 31) for b in outs],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, n_frames: int = 4, decoder: str = "fake") -> DataFrame:
+    """Arrow-batched frame sampling over (doc_id, payload, meta) rows — one
+    output row per sampled frame (the video analog of a decode step).
+
+    ``decoder='fake'``: the payload is treated as ``n_frames`` equal byte
+    slices (frame i = bytes [i*len/n, (i+1)*len/n)); a real decoder swaps in
+    ffmpeg keyframe extraction. Empty payloads yield no frames. The explode
+    (1 input row → n output rows) exercises the fan-out shape real frame
+    sampling has.
+    """
+    if decoder != "fake":
+        raise NotImplementedError(
+            f"decoder={decoder!r}: real frame sampling requires ffmpeg, absent here"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = p or b""
+                if not p:
+                    continue
+                for i in range(n_frames):
+                    lo = i * len(p) // n_frames
+                    hi = (i + 1) * len(p) // n_frames
+                    frame = p[lo:hi]
+                    rows.append((int(doc_id), i, len(frame), sum(frame) % (1 << 31)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_checksum"]
+            )
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)

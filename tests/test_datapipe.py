@@ -403,3 +403,36 @@ def test_connected_components_chain_and_islands(spark):
 
     with pytest.raises(RuntimeError, match="converge"):
         connected_components(pairs, max_iter=1)
+
+
+def test_multimodal_resize_and_frames_plumbing(spark, docs):
+    from schema_infer_plugin_spark.datapipe import (
+        resize_images,
+        sample_frames,
+        with_binary_payload,
+    )
+
+    payload = with_binary_payload(docs.limit(20), "doc_id", "text")
+    rs = resize_images(payload, out_w=8, out_h=8)
+    rows = rs.collect()
+    assert len(rows) == 20 and all(r["n_bytes_out"] == 64 for r in rows)
+    plan = rs._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+    fr = sample_frames(payload, n_frames=4)
+    frows = fr.collect()
+    assert len(frows) == 80  # 1 -> 4 fan-out
+    by_doc = {}
+    for r in frows:
+        by_doc.setdefault(r["doc_id"], 0)
+        by_doc[r["doc_id"]] += r["frame_bytes"]
+    # frame slices partition the payload exactly: sizes sum to payload length
+    sizes = {r["doc_id"]: r["meta"]["n_bytes"] for r in payload.collect()}
+    assert by_doc == {k: v for k, v in sizes.items()}
+
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        resize_images(payload, decoder="pil")
+    with pytest.raises(NotImplementedError):
+        sample_frames(payload, decoder="ffmpeg")

@@ -65,11 +65,18 @@ def validate_transcripts(
     df: DataFrame,
     role_domain: list[str] | None = None,
     tool_domain: list[str] | None = None,
+    include_alternation: bool = False,
 ) -> DataFrame:
     """All Pass-B violations of ``df`` in one fused plan.
 
     Output columns: (check_name, conv_id, turn_idx, column, observed,
     expected) — identical rows to the union of the modular checks.
+
+    ``include_alternation`` adds the role-alternation check
+    (checks/alternation.py) as a ninth lag over the SAME window — zero extra
+    exchanges (plan-gated in tests). Off by default so the verdict grid of
+    existing runs stays stable; callers opting in must extend their
+    check-name grid with ``"role_alternation"``.
     """
     roles = role_domain or ROLE_DOMAIN
     tools = tool_domain or TOOL_DOMAIN
@@ -89,6 +96,7 @@ def validate_transcripts(
         F.lag("turn_idx").over(w_conv).alias("prev_idx"),
         F.lag("ts").over(w_conv).alias("prev_ts"),
         F.count(F.lit(1)).over(w_key).alias("key_count"),
+        *([F.lag("role").over(w_conv).alias("prev_role")] if include_alternation else []),
     )
 
     first_of_key = ~F.col("prev_idx").eqNullSafe(F.col("turn_idx"))
@@ -133,6 +141,24 @@ def validate_transcripts(
         F.when(
             F.col("text_null"),
             _v("not_null_text", "text", F.lit("NULL"), F.lit("NOT NULL")),
+        ),
+        *(
+            [
+                F.when(
+                    F.col("role").isNotNull()
+                    & F.col("prev_role").isNotNull()
+                    & (F.col("role") == F.col("prev_role"))
+                    & (F.col("role") != "tool"),
+                    _v(
+                        "role_alternation",
+                        "role",
+                        F.col("role"),
+                        F.concat(F.lit("!= "), F.col("prev_role")),
+                    ),
+                )
+            ]
+            if include_alternation
+            else []
         ),
     )
 

@@ -132,3 +132,18 @@ def test_fused_equals_modular_union_property(spark, rows):
     modular = _modular_union(t)
     assert fused.exceptAll(modular).count() == 0
     assert modular.exceptAll(fused).count() == 0
+
+
+def test_fused_alternation_opt_in(spark):
+    """include_alternation adds the ninth check from the SAME window: rows ==
+    modular union + alternation rows, and the plan gains no exchange."""
+    from schema_infer_plugin_spark.checks import role_alternation_violations
+
+    t = synth_transcripts(spark, 2_000)
+    fused = validate_transcripts(t, include_alternation=True)
+    modular = _modular_union(t).unionByName(role_alternation_violations(t))
+    assert fused.exceptAll(modular).count() == 0
+    assert modular.exceptAll(fused).count() == 0
+    base_plan = validate_transcripts(t)._jdf.queryExecution().executedPlan().toString()
+    alt_plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert alt_plan.count("Exchange") == base_plan.count("Exchange")

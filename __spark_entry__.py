@@ -1395,6 +1395,44 @@ FROM s
 # contract
 # ---------------------------------------------------------------------------
 
+def q_conversation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation training-sample features + the 'trainable' keep-filter
+    (datapipe/convstats.py) — the conversation-level analog of text_quality."""
+    from schema_infer_plugin_spark.datapipe import conversation_features
+
+    return conversation_features(_transcripts(spark, sf_dir))
+
+
+ORACLE_CONVERSATION_FEATURES = oracle_cte(
+    """
+, last_role AS (
+  SELECT conv_id, role AS lr FROM (
+    SELECT conv_id, role,
+           row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC, role DESC NULLS LAST) AS rn
+    FROM transcripts) WHERE rn = 1),
+agg AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+         CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+         CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+         min(turn_idx) AS min_idx, max(turn_idx) AS max_idx,
+         count(DISTINCT turn_idx) AS n_idx,
+         CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars
+  FROM transcripts GROUP BY conv_id)
+SELECT a.conv_id, n_turns, n_user, n_assistant, n_tool,
+       (min_idx = 0) AS starts_at_zero,
+       (max_idx - min_idx + 1 = n_idx) AS contiguous,
+       coalesce(lr = 'assistant', false) AS ends_with_assistant,
+       total_chars,
+       CAST(round(CAST(total_chars AS DOUBLE) / n_turns, 6) AS DOUBLE) AS avg_chars,
+       ((min_idx = 0) AND (max_idx - min_idx + 1 = n_idx) AND n_user > 0
+        AND n_assistant > 0 AND coalesce(lr = 'assistant', false)) AS trainable
+FROM agg a JOIN last_role l ON a.conv_id = l.conv_id
+"""
+)
+
+
 def q_conv_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation rollup via the salted two-phase aggregation
     (checks/salting.py) — the skew template, oracle-checked for exactness."""
@@ -1578,6 +1616,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "mixture_sample_roles": (q_mixture_sample, _oracle_mixture()),
     "clean_corpus": (q_clean_corpus, ORACLE_CLEAN_CORPUS),
     "conv_stats_salted": (q_conv_stats_salted, ORACLE_CONV_STATS),
+    "conversation_features": (q_conversation_features, ORACLE_CONVERSATION_FEATURES),
     "csv_parse": (q_csv_parse, ORACLE_CSV_PARSE),
     "raw_text_parse": (q_raw_text, ORACLE_RAW_TEXT),
     "transcripts_profile": (q_profile, ORACLE_PROFILE),

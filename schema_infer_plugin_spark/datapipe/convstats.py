@@ -1,0 +1,63 @@
+"""Per-conversation training-sample features.
+
+For LLM training the sampling/filter unit is the CONVERSATION, not the turn —
+a fine-tuning pipeline scores whole dialogues and keeps/weights them. One
+hash aggregation over conv_id produces the standard feature set; everything
+is map-side combinable column math (min/max/count/sum/max_by), so the plan is
+scan → partial agg → one exchange on conv_id → final agg at any scale.
+Conversations are bounded, so no salting is needed here (contrast
+checks/salting.py, which exists for holistic aggs that can't pre-combine).
+
+``trainable`` encodes the usual keep-filter: the conversation starts at turn
+0, is contiguous, contains at least one user and one assistant turn, and ends
+with an assistant turn (a complete exchange a loss mask can use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def conversation_features(df: DataFrame) -> DataFrame:
+    """One feature row per conversation.
+
+    Output: (conv_id, n_turns, n_user, n_assistant, n_tool, starts_at_zero,
+    contiguous, ends_with_assistant, total_chars, avg_chars, trainable).
+    """
+    role_is = lambda r: F.sum((F.col("role") == r).cast("long"))  # noqa: E731
+    agg = df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        role_is("user").alias("n_user"),
+        role_is("assistant").alias("n_assistant"),
+        role_is("tool").alias("n_tool"),
+        F.min("turn_idx").alias("_min_idx"),
+        F.max("turn_idx").alias("_max_idx"),
+        F.count_distinct("turn_idx").alias("_n_idx"),
+        # last turn's role: max_by on turn_idx; ties (duplicate max idx) break
+        # deterministically on the NULLS-FIRST-sorted role so the oracle's
+        # row_number equivalent can reproduce the same pick
+        F.max_by("role", F.struct(F.col("turn_idx"), F.col("role"))).alias("_last_role"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0)).cast("long")).alias("total_chars"),
+    )
+    starts = F.col("_min_idx") == 0
+    contiguous = (F.col("_max_idx") - F.col("_min_idx") + 1) == F.col("_n_idx")
+    ends_assistant = F.coalesce(F.col("_last_role") == "assistant", F.lit(False))
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        "n_user",
+        "n_assistant",
+        "n_tool",
+        starts.alias("starts_at_zero"),
+        contiguous.alias("contiguous"),
+        ends_assistant.alias("ends_with_assistant"),
+        "total_chars",
+        F.round(F.col("total_chars") / F.col("n_turns"), 6).cast("double").alias("avg_chars"),
+        (
+            starts
+            & contiguous
+            & (F.col("n_user") > 0)
+            & (F.col("n_assistant") > 0)
+            & ends_assistant
+        ).alias("trainable"),
+    )

@@ -436,3 +436,32 @@ def test_multimodal_resize_and_frames_plumbing(spark, docs):
         resize_images(payload, decoder="pil")
     with pytest.raises(NotImplementedError):
         sample_frames(payload, decoder="ffmpeg")
+
+
+def test_conversation_features_micro(spark):
+    from schema_infer_plugin_spark.datapipe import conversation_features
+
+    rows = [
+        # complete exchange: trainable
+        ("A", 0, "user", "hi", None, None),
+        ("A", 1, "assistant", "hello!", None, None),
+        # starts at 2: not trainable
+        ("B", 2, "user", "x", None, None),
+        ("B", 3, "assistant", "y", None, None),
+        # gap at 1: not trainable
+        ("C", 0, "user", "x", None, None),
+        ("C", 2, "assistant", "y", None, None),
+        # ends with user: not trainable
+        ("D", 0, "user", "x", None, None),
+        ("D", 1, "assistant", "y", None, None),
+        ("D", 2, "user", "z", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    by = {r["conv_id"]: r for r in conversation_features(df).collect()}
+    assert by["A"]["trainable"] and by["A"]["total_chars"] == 8
+    assert not by["B"]["trainable"] and not by["B"]["starts_at_zero"]
+    assert not by["C"]["trainable"] and not by["C"]["contiguous"]
+    assert not by["D"]["trainable"] and not by["D"]["ends_with_assistant"]
+    assert by["A"]["avg_chars"] == 4.0

@@ -333,6 +333,7 @@ def q_drift_role(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("freq_cur", 6).cast("double").alias("freq_cur"),
         F.round("psi_term", 6).cast("double").alias("psi_term"),
         F.round("kl_term", 6).cast("double").alias("kl_term"),
+        F.round("js_term", 6).cast("double").alias("js_term"),
     )
 
 
@@ -342,7 +343,11 @@ SELECT bucket,
        CAST(round(freq_base, 6) AS DOUBLE) AS freq_base,
        CAST(round(freq_cur, 6) AS DOUBLE) AS freq_cur,
        CAST(round((freq_cur - freq_base) * ln((freq_cur + 1e-6) / (freq_base + 1e-6)), 6) AS DOUBLE) AS psi_term,
-       CAST(round(freq_cur * ln((freq_cur + 1e-6) / (freq_base + 1e-6)), 6) AS DOUBLE) AS kl_term
+       CAST(round(freq_cur * ln((freq_cur + 1e-6) / (freq_base + 1e-6)), 6) AS DOUBLE) AS kl_term,
+       CAST(round(
+         0.5 * (freq_cur + 1e-6) * ln((freq_cur + 1e-6) / (((freq_cur + 1e-6) + (freq_base + 1e-6)) / 2))
+         + 0.5 * (freq_base + 1e-6) * ln((freq_base + 1e-6) / (((freq_cur + 1e-6) + (freq_base + 1e-6)) / 2)),
+         6) AS DOUBLE) AS js_term
 FROM (
   SELECT coalesce(b.bucket, c.bucket) AS bucket,
          coalesce(b.freq, 0.0) AS freq_base, coalesce(c.freq, 0.0) AS freq_cur

@@ -52,8 +52,11 @@ def histogram(df: DataFrame, column: str, n_buckets: int | None = None) -> DataF
 def drift_stats(current: DataFrame, baseline: DataFrame, eps: float = 1e-6) -> DataFrame:
     """Per-bucket drift terms between two histograms → one summable row each.
 
-    Output: (bucket, freq_base, freq_cur, psi_term, kl_term); total PSI/KL are
-    sums over the buckets. Laplace-eps keeps empty buckets finite.
+    Output: (bucket, freq_base, freq_cur, psi_term, kl_term, js_term); total
+    PSI/KL/JS are sums over the buckets. Laplace-eps keeps empty buckets
+    finite. JS (Jensen–Shannon, natural log) is the bounded symmetric
+    companion — ≤ ln 2 even when a bucket exists on only one side, where
+    PSI/KL blow up toward the eps ceiling.
     """
     cur = current.withColumnRenamed("freq", "freq_cur")
     base = baseline.withColumnRenamed("freq", "freq_base")
@@ -62,11 +65,15 @@ def drift_stats(current: DataFrame, baseline: DataFrame, eps: float = 1e-6) -> D
         F.coalesce("freq_base", F.lit(0.0)).alias("freq_base"),
         F.coalesce("freq_cur", F.lit(0.0)).alias("freq_cur"),
     )
-    ratio = F.log((F.col("freq_cur") + eps) / (F.col("freq_base") + eps))
+    p = F.col("freq_cur") + eps
+    q = F.col("freq_base") + eps
+    m = (p + q) / 2
+    ratio = F.log(p / q)
     return joined.select(
         "bucket",
         "freq_base",
         "freq_cur",
         ((F.col("freq_cur") - F.col("freq_base")) * ratio).alias("psi_term"),
         (F.col("freq_cur") * ratio).alias("kl_term"),
+        (0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)).alias("js_term"),
     )

@@ -262,11 +262,16 @@ def run_drift(
         )
         cur = histogram(transcripts, c)
         agg = drift_stats(cur, base).agg(
-            F.sum("psi_term").alias("psi"), F.sum("kl_term").alias("kl")
+            F.sum("psi_term").alias("psi"), F.sum("kl_term").alias("kl"),
+            F.sum("js_term").alias("js"),
         ).collect()[0]
-        rows.append((run_id, "__all__", f"drift_{c}", float(agg["psi"]), float(agg["kl"])))
+        rows.append(
+            (run_id, "__all__", f"drift_{c}", float(agg["psi"]), float(agg["kl"]), float(agg["js"]))
+        )
     verd = spark.createDataFrame(
-        rows, "run_id string, partition_key string, check_name string, psi double, kl double"
+        rows,
+        "run_id string, partition_key string, check_name string, psi double,"
+        " kl double, js double",
     ).select(
         "run_id",
         "partition_key",
@@ -274,7 +279,8 @@ def run_drift(
         (F.col("psi") <= psi_threshold).alias("pass"),
         F.lit(0).cast("long").alias("violation_count"),
         F.create_map(
-            F.lit("psi"), F.col("psi"), F.lit("kl"), F.col("kl")
+            F.lit("psi"), F.col("psi"), F.lit("kl"), F.col("kl"),
+            F.lit("js"), F.col("js"),
         ).alias("metrics"),
     )
     verd.coalesce(1).write.mode("overwrite").parquet(verd_dir)

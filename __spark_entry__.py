@@ -1287,6 +1287,28 @@ FROM mx
 """
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (datapipe/text.unigram_logprob_scores):
+    per-doc mean unigram log-prob under the corpus's own distribution."""
+    from schema_infer_plugin_spark.datapipe.text import unigram_logprob_scores
+
+    return unigram_logprob_scores(
+        _fan(spark, load_table(spark, sf_dir, "documents")), "doc_id", "text"
+    )
+
+
+ORACLE_UNIGRAM_LOGPROB = r"""
+WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok0 FROM documents),
+t2 AS (SELECT doc_id, lower(tok0) AS tok FROM toks WHERE length(tok0) > 0),
+vocab AS (SELECT tok, count(*) AS cnt FROM t2 GROUP BY tok),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+lp AS (SELECT tok, ln(CAST(cnt AS DOUBLE) / total) AS lp FROM vocab CROSS JOIN tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(round(avg(lp), 6) AS DOUBLE) AS mean_logprob
+FROM t2 JOIN lp USING (tok) GROUP BY doc_id
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) document fingerprints over the first 200 chars
     of each document (functions/textstats.winnowed_fingerprints), exploded to
@@ -1645,6 +1667,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_lsh_multitable": (q_ann_lsh_multitable, _oracle_ann_lsh_multitable()),
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "unigram_logprob": (q_unigram_logprob, ORACLE_UNIGRAM_LOGPROB),
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
     "language_id": (q_lang_id, ORACLE_LANG_ID),
     "multimodal_features": (q_multimodal, ORACLE_MULTIMODAL),

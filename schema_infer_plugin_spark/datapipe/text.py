@@ -45,3 +45,45 @@ def language_id_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         predicted_lang(t).alias("pred_lang"),
         *[F.round(scores[lang], 6).cast("double").alias(f"score_{lang}") for lang in sorted(scores)],
     )
+
+
+def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean unigram log-probability of each
+    document under the corpus's own unigram distribution — the classic
+    LM-based filter signal (low mean log-prob ≈ high perplexity ≈ boilerplate,
+    gibberish, or off-distribution text).
+
+    Two passes, both scale-safe:
+    1. corpus unigram counts — one groupBy(token) over exploded lowercased
+       tokens (map-side combinable; vocabulary rows ≪ token rows);
+    2. per-doc mean of ``ln(cnt(tok) / total)`` — explode again, equi-join on
+       token (AQE broadcasts when the vocab is small, shuffles otherwise),
+       groupBy(doc). Every token exists in the vocab by construction (the
+       corpus defines it), so no smoothing term is needed for this in-corpus
+       scoring; scoring NEW docs against a frozen vocab would add Laplace.
+
+    Output: (id, n_tokens, mean_logprob) — higher is more "typical".
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("tok", F.lower(F.col("tok"))).filter(F.length("tok") > 0)
+
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    logp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("cnt") / F.col("total")).alias("lp")
+    )
+    return (
+        toks.join(logp, "tok")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("lp").alias("_mean_lp"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_tokens",
+            F.round("_mean_lp", 6).cast("double").alias("mean_logprob"),
+        )
+    )

@@ -465,3 +465,23 @@ def test_conversation_features_micro(spark):
     assert not by["C"]["trainable"] and not by["C"]["contiguous"]
     assert not by["D"]["trainable"] and not by["D"]["ends_with_assistant"]
     assert by["A"]["avg_chars"] == 4.0
+
+
+def test_unigram_logprob_separates_boilerplate(spark):
+    """A doc of corpus-common tokens scores higher (less surprising) than one
+    of hapax tokens; token counts are exact."""
+    from schema_infer_plugin_spark.datapipe.text import unigram_logprob_scores
+
+    rows = [
+        (1, "the the the the"),        # 'the' dominates the corpus
+        (2, "the the quick fox"),
+        (3, "zyx wvu tsr qpo"),        # all hapax -> most surprising
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    by = {r["doc_id"]: r for r in unigram_logprob_scores(df, "doc_id", "text").collect()}
+    assert by[1]["n_tokens"] == 4 and by[3]["n_tokens"] == 4
+    assert by[1]["mean_logprob"] > by[2]["mean_logprob"] > by[3]["mean_logprob"]
+    import math
+
+    # exact check: doc 1 is all 'the' (6 of 12 tokens) -> mean logprob = ln(0.5)
+    assert abs(by[1]["mean_logprob"] - math.log(6 / 12)) < 1e-6

@@ -1309,6 +1309,75 @@ FROM t2 JOIN lp USING (tok) GROUP BY doc_id
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition quality rules (datapipe/text.repetition_stats):
+    duplicate-line, duplicate-bigram and top-bigram fractions."""
+    from schema_infer_plugin_spark.datapipe.text import repetition_stats
+
+    return repetition_stats(
+        _fan(spark, load_table(spark, sf_dir, "documents")), "doc_id", "text"
+    )
+
+
+ORACLE_REPETITION = r"""
+WITH t AS (SELECT doc_id,
+                  list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS lines,
+                  regexp_split_to_array(trim(text), '\s+') AS tk
+           FROM documents),
+b AS (SELECT doc_id, lines,
+             CASE WHEN len(tk) >= 2
+                  THEN list_transform(generate_series(1, greatest(len(tk)-1, 1)),
+                                      i -> array_to_string(tk[i:i+1], ' '))
+                  ELSE CAST([] AS VARCHAR[]) END AS bg
+      FROM t)
+SELECT doc_id,
+  CAST(round(CASE WHEN len(lines) > 0
+                  THEN 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines)
+                  ELSE 0.0 END, 6) AS DOUBLE) AS dup_line_frac,
+  CAST(round(CASE WHEN len(bg) > 0
+                  THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                  ELSE 0.0 END, 6) AS DOUBLE) AS dup_bigram_frac,
+  CAST(round(CASE WHEN len(bg) > 0
+                  THEN CAST(list_max(list_transform(list_distinct(bg),
+                           x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg)
+                  ELSE 0.0 END, 6) AS DOUBLE) AS top_bigram_frac
+FROM b
+"""
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (datapipe/text.contamination_pairs): docs
+    sharing ≥2 winnowing fingerprints with the benchmark subset (every 25th
+    doc); identity pairs excluded — the interesting hits are leaks ACROSS
+    documents."""
+    from schema_infer_plugin_spark.datapipe.text import contamination_pairs
+
+    docs = _fan(spark, load_table(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    return contamination_pairs(docs, bench, min_shared=2).filter(
+        F.col("doc_id") != F.col("bench_id")
+    )
+
+
+ORACLE_CONTAMINATION = """
+WITH heads AS (SELECT doc_id, substr(text, 1, 200) AS head FROM documents),
+hs AS (SELECT doc_id,
+              list_transform(generate_series(1, greatest(length(head) - 4, 1)),
+                             i -> CAST(concat('0x', substr(md5(substr(head, i, 5)), 1, 8)) AS BIGINT)) AS h
+       FROM heads),
+mins AS (SELECT doc_id,
+                list_transform(generate_series(1, greatest(len(h) - 3, 1)),
+                               j -> list_min(h[j:j+3])) AS m
+         FROM hs),
+fps AS (SELECT doc_id, unnest(list_distinct(m)) AS fp FROM mins),
+bfps AS (SELECT doc_id AS bench_id, fp FROM fps WHERE doc_id % 25 = 0)
+SELECT f.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS shared_fingerprints
+FROM fps f JOIN bfps b ON f.fp = b.fp AND f.doc_id != b.bench_id
+GROUP BY f.doc_id, b.bench_id
+HAVING count(*) >= 2
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) document fingerprints over the first 200 chars
     of each document (functions/textstats.winnowed_fingerprints), exploded to
@@ -1668,6 +1737,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "unigram_logprob": (q_unigram_logprob, ORACLE_UNIGRAM_LOGPROB),
+    "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
+    "contamination_pairs": (q_contamination, ORACLE_CONTAMINATION),
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
     "language_id": (q_lang_id, ORACLE_LANG_ID),
     "multimodal_features": (q_multimodal, ORACLE_MULTIMODAL),

@@ -87,3 +87,97 @@ def unigram_logprob_scores(df: DataFrame, id_col: str, text_col: str) -> DataFra
             F.round("_mean_lp", 6).cast("double").alias("mean_logprob"),
         )
     )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition metrics — the Gopher-style quality rules
+    that catch listicles/boilerplate/stutter generations:
+
+    * ``dup_line_frac``: fraction of lines that are repeats of an earlier
+      line (1 - distinct/total over '\\n'-split non-empty lines);
+    * ``dup_bigram_frac``: fraction of word-bigram OCCURRENCES beyond each
+      bigram's first (1 - distinct/total);
+    * ``top_bigram_frac``: share of bigram occurrences held by the single
+      most frequent bigram (ties by the bigram text, deterministic).
+
+    Pure higher-order JVM functions over per-row arrays — one projection, no
+    shuffle, trivially 100 TB-safe.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.length(F.trim(x)) > 0)
+    toks = F.split(F.trim(t), r"\s+")
+    n_tok = F.size(toks)
+    bigrams = F.when(
+        n_tok >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(arr: F.Column) -> F.Column:
+        n = F.size(arr)
+        return F.when(
+            n > 0, 1.0 - F.size(F.array_distinct(arr)) / n.cast("double")
+        ).otherwise(F.lit(0.0))
+
+    # top-bigram share: max count via aggregate over the distinct set
+    def top_share(arr: F.Column) -> F.Column:
+        n = F.size(arr)
+        max_cnt = F.aggregate(
+            F.array_distinct(arr),
+            F.lit(0),
+            lambda acc, b: F.greatest(
+                acc, F.size(F.filter(arr, lambda x: x == b))
+            ),
+        )
+        return F.when(n > 0, max_cnt / n.cast("double")).otherwise(F.lit(0.0))
+
+    return df.select(
+        F.col(id_col),
+        F.round(dup_frac(lines), 6).cast("double").alias("dup_line_frac"),
+        F.round(dup_frac(bigrams), 6).cast("double").alias("dup_bigram_frac"),
+        F.round(top_share(bigrams), 6).cast("double").alias("top_bigram_frac"),
+    )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    benchmarks: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    head_chars: int = 200,
+) -> DataFrame:
+    """Benchmark decontamination: training docs sharing ≥ ``min_shared``
+    winnowing fingerprints with any benchmark doc (functions/textstats
+    winnowed_fingerprints — shared fingerprints are GUARANTEED for any common
+    substring of length ≥ k + w - 1, so verbatim benchmark leakage cannot
+    hash-split its way past the check).
+
+    Plan: fingerprint both sides map-side, explode, equi-join on the
+    fingerprint value (candidate pairs ∝ real overlaps, never |docs|×|bench|),
+    count shared prints per (doc, benchmark) pair. The benchmark side is tiny
+    in practice → AQE broadcasts it.
+    Output: (doc_id, bench_id, shared_fingerprints).
+    """
+    from ..functions.textstats import winnowed_fingerprints
+
+    def prints(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out),
+            F.explode(
+                winnowed_fingerprints(F.substring(F.col(text_col), 1, head_chars), k, w)
+            ).alias("fp"),
+        )
+
+    d = prints(docs, "doc_id")
+    b = prints(benchmarks, "bench_id")
+    return (
+        d.join(b, "fp")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -485,3 +485,42 @@ def test_unigram_logprob_separates_boilerplate(spark):
 
     # exact check: doc 1 is all 'the' (6 of 12 tokens) -> mean logprob = ln(0.5)
     assert abs(by[1]["mean_logprob"] - math.log(6 / 12)) < 1e-6
+
+
+def test_repetition_stats_micro(spark):
+    from schema_infer_plugin_spark.datapipe.text import repetition_stats
+
+    rows = [
+        (1, "a b c d e"),                       # no repetition
+        (2, "spam spam spam spam"),             # all dup bigrams ('spam spam' x3)
+        (3, "x\ny\nx\n\n  \nz"),                # 4 non-empty lines, 1 dup
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    by = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert by[1]["dup_bigram_frac"] == 0.0 and by[1]["top_bigram_frac"] == 0.25
+    assert by[2]["dup_bigram_frac"] == round(2 / 3, 6)  # 3 occurrences, 1 distinct
+    assert by[2]["top_bigram_frac"] == 1.0
+    assert by[3]["dup_line_frac"] == 0.25
+    assert by[4]["dup_line_frac"] == 0.0 and by[4]["dup_bigram_frac"] == 0.0
+
+
+def test_contamination_catches_verbatim_leak(spark, docs):
+    """A doc that embeds a benchmark doc's head verbatim must be flagged
+    (winnowing guarantee: shared substring >= k+w-1 chars -> shared print)."""
+    from schema_infer_plugin_spark.datapipe.text import contamination_pairs
+
+    bench = docs.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    leak = bench.select(
+        F.lit(999999).cast("long").alias("doc_id"),
+        F.concat(F.lit("totally new prefix "), F.substring("text", 1, 200)).alias("text"),
+    )
+    clean = spark.createDataFrame(
+        [(888888, "completely unrelated words qqq www eee rrr ttt yyy")],
+        "doc_id long, text string",
+    )
+    corpus = leak.unionByName(clean)
+    hits = contamination_pairs(corpus, bench, min_shared=2).collect()
+    flagged = {r["doc_id"] for r in hits}
+    assert 999999 in flagged
+    assert 888888 not in flagged

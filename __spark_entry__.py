@@ -722,6 +722,31 @@ def _mutated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(m1).unionByName(m2)
 
 
+def q_dedup_exact_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn-level exact dedup ACROSS conversations (transcripts × datapipe
+    crossover): repeated turn texts are template/canned messages — a training
+    pipeline deduplicates or downweights them. Reuses exact_dedup with the
+    composite turn id."""
+    from schema_infer_plugin_spark.datapipe import exact_dedup
+
+    t = _transcripts(spark, sf_dir).filter(F.col("text").isNotNull())
+    keyed = t.select(
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("turn_id"),
+        "text",
+    )
+    return exact_dedup(keyed, "turn_id", "text").filter(F.col("dup_count") > 1)
+
+
+ORACLE_DEDUP_EXACT_TURNS = oracle_cte(
+    """
+SELECT md5(text) AS text_hash, min(concat_ws('#', conv_id, CAST(turn_idx AS STRING))) AS keep_id,
+       CAST(count(*) AS BIGINT) AS dup_count
+FROM transcripts WHERE text IS NOT NULL
+GROUP BY md5(text) HAVING count(*) > 1
+"""
+)
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_infer_plugin_spark.datapipe import exact_dedup
 
@@ -1723,6 +1748,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "top_revenue_orders": (q_top_revenue_orders, ORACLE_TOP_REVENUE_ORDERS),
     "nation_revenue": (q_nation_revenue, ORACLE_NATION_REVENUE),
     "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_exact_turns": (q_dedup_exact_turns, ORACLE_DEDUP_EXACT_TURNS),
     "dedup_minhash_lsh": (q_minhash_lsh, ORACLE_MINHASH_LSH),
     "dedup_components": (q_dedup_components, ORACLE_DEDUP_COMPONENTS),
     "simhash_documents": (q_simhash, ORACLE_SIMHASH),

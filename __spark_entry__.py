@@ -127,7 +127,7 @@ ORACLE_CONTIGUITY = oracle_cte(
 , idx AS (SELECT DISTINCT conv_id, turn_idx FROM transcripts),
 lagged AS (
   SELECT conv_id, turn_idx,
-         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx
+         lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx NULLS FIRST) AS prev_idx
   FROM idx)
 SELECT 'contiguity' AS check_name, conv_id, turn_idx, 'turn_idx' AS col_name,
        CAST(turn_idx AS STRING) AS observed, CAST(prev_idx + 1 AS STRING) AS expected
@@ -191,7 +191,7 @@ SELECT 'role_alternation' AS check_name, conv_id, turn_idx, 'role' AS col_name,
        role AS observed, concat('!= ', prev_role) AS expected
 FROM (
   SELECT conv_id, turn_idx, role,
-         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC, ts ASC NULLS FIRST) AS prev_role
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST, ts ASC NULLS FIRST) AS prev_role
   FROM transcripts)
 WHERE role IS NOT NULL AND prev_role IS NOT NULL AND role = prev_role AND role != 'tool'
 """
@@ -327,13 +327,17 @@ def q_drift_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = histogram(t.filter("half = 'base'"), "role")
     cur = histogram(t.filter("half = 'cur'"), "role")
     d = drift_stats(cur, base)
+    # + 0.0 after rounding: IEEE says 0.0 * ln(x) = -0.0, and the two engines
+    # disagree on whether round() keeps the sign; adding +0.0 canonicalizes
+    # negative zero on BOTH sides (CLAUDE.md float-oracle rule)
+    z = F.lit(0.0)
     return d.select(
         "bucket",
         F.round("freq_base", 6).cast("double").alias("freq_base"),
         F.round("freq_cur", 6).cast("double").alias("freq_cur"),
-        F.round("psi_term", 6).cast("double").alias("psi_term"),
-        F.round("kl_term", 6).cast("double").alias("kl_term"),
-        F.round("js_term", 6).cast("double").alias("js_term"),
+        (F.round("psi_term", 6) + z).cast("double").alias("psi_term"),
+        (F.round("kl_term", 6) + z).cast("double").alias("kl_term"),
+        (F.round("js_term", 6) + z).cast("double").alias("js_term"),
     )
 
 
@@ -342,12 +346,12 @@ ORACLE_DRIFT_ROLE = oracle_cte(
 SELECT bucket,
        CAST(round(freq_base, 6) AS DOUBLE) AS freq_base,
        CAST(round(freq_cur, 6) AS DOUBLE) AS freq_cur,
-       CAST(round((freq_cur - freq_base) * ln((freq_cur + 1e-6) / (freq_base + 1e-6)), 6) AS DOUBLE) AS psi_term,
-       CAST(round(freq_cur * ln((freq_cur + 1e-6) / (freq_base + 1e-6)), 6) AS DOUBLE) AS kl_term,
+       CAST(round((freq_cur - freq_base) * ln((freq_cur + 1e-6) / (freq_base + 1e-6)), 6) + 0.0 AS DOUBLE) AS psi_term,
+       CAST(round(freq_cur * ln((freq_cur + 1e-6) / (freq_base + 1e-6)), 6) + 0.0 AS DOUBLE) AS kl_term,
        CAST(round(
          0.5 * (freq_cur + 1e-6) * ln((freq_cur + 1e-6) / (((freq_cur + 1e-6) + (freq_base + 1e-6)) / 2))
          + 0.5 * (freq_base + 1e-6) * ln((freq_base + 1e-6) / (((freq_cur + 1e-6) + (freq_base + 1e-6)) / 2)),
-         6) AS DOUBLE) AS js_term
+         6) + 0.0 AS DOUBLE) AS js_term
 FROM (
   SELECT coalesce(b.bucket, c.bucket) AS bucket,
          coalesce(b.freq, 0.0) AS freq_base, coalesce(c.freq, 0.0) AS freq_cur
@@ -399,7 +403,7 @@ SELECT 'ts_monotonic' AS check_name, conv_id, turn_idx,
        CAST(epoch_us(prev_ts) AS BIGINT) AS expected_after_us
 FROM (
   SELECT conv_id, turn_idx, ts,
-         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC, ts ASC NULLS FIRST) AS prev_ts
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST, ts ASC NULLS FIRST) AS prev_ts
   FROM transcripts)
 WHERE ts < prev_ts
 """
@@ -416,7 +420,7 @@ SELECT * FROM (
   WITH idx AS (SELECT DISTINCT conv_id, turn_idx FROM transcripts),
   lagged AS (
     SELECT conv_id, turn_idx,
-           lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx
+           lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx NULLS FIRST) AS prev_idx
     FROM idx)
   SELECT 'contiguity' AS check_name, conv_id, turn_idx, 'turn_idx' AS col_name,
          CAST(turn_idx AS STRING) AS observed, CAST(prev_idx + 1 AS STRING) AS expected
@@ -1160,6 +1164,18 @@ _LANG_STOP_SQL = {
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def _duck_quality_formula(n_tokens: str, sraw: str, praw: str) -> str:
+    """The quality-score formula as DuckDB SQL over caller-supplied
+    sub-expressions — the ONE source for every oracle that embeds it
+    (ORACLE_TEXT_QUALITY, ORACLE_CLEAN_CORPUS). Thresholds/weights mirror
+    functions/textstats.quality_score — change them together."""
+    return (
+        f"(CASE WHEN {n_tokens} BETWEEN 5 AND 10000 THEN 0.5 ELSE 0.0 END)"
+        f" + (CASE WHEN {sraw} >= 0.01 THEN 0.3 ELSE 0.0 END)"
+        f" + (CASE WHEN {praw} > 0.2 THEN 0.0 ELSE 0.2 END)"
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_infer_plugin_spark.datapipe import text_quality_table
 
@@ -1183,10 +1199,7 @@ m AS (
 SELECT doc_id, n_tokens, n_bpe_tokens, n_chars_obs,
        CAST(round(praw, 6) AS DOUBLE) AS punct_ratio,
        CAST(round(sraw, 6) AS DOUBLE) AS stopword_ratio,
-       CAST(round(
-         (CASE WHEN n_tokens BETWEEN 5 AND 10000 THEN 0.5 ELSE 0.0 END)
-         + (CASE WHEN sraw >= 0.01 THEN 0.3 ELSE 0.0 END)
-         + (CASE WHEN praw > 0.2 THEN 0.0 ELSE 0.2 END), 6) AS DOUBLE) AS quality,
+       CAST(round({_duck_quality_formula('n_tokens', 'sraw', 'praw')}, 6) AS DOUBLE) AS quality,
        md5(array_to_string(list_sort(list_distinct(list_transform(tk, x -> lower(x)))), ' ')) AS fingerprint
 FROM m
 """
@@ -1241,16 +1254,19 @@ def q_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: quality expression shared with ORACLE_TEXT_QUALITY (same formula text)
-_DUCK_QUALITY = rf"""
-(CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 5 AND 10000 THEN 0.5 ELSE 0.0 END)
-+ (CASE WHEN (CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) > 0
-              THEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> lower(x) IN ({_EN_STOPS}))) AS DOUBLE)
-                   / len(regexp_split_to_array(trim(text), '\s+'))
-              ELSE 0.0 END) >= 0.01 THEN 0.3 ELSE 0.0 END)
-+ (CASE WHEN (CASE WHEN length(text) > 0
-              THEN CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / length(text)
-              ELSE 0.0 END) > 0.2 THEN 0.0 ELSE 0.2 END)
-"""
+_TOKS_EXPR = r"regexp_split_to_array(trim(text), '\s+')"
+_NTOK_EXPR = f"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS_EXPR}) END)"
+_SRAW_EXPR = (
+    f"(CASE WHEN len({_TOKS_EXPR}) > 0 THEN "
+    f"CAST(len(list_filter({_TOKS_EXPR}, x -> lower(x) IN ({_EN_STOPS}))) AS DOUBLE)"
+    f" / len({_TOKS_EXPR}) ELSE 0.0 END)"
+)
+_PRAW_EXPR = (
+    r"(CASE WHEN length(text) > 0 THEN "
+    r"CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE) / length(text)"
+    r" ELSE 0.0 END)"
+)
+_DUCK_QUALITY = _duck_quality_formula(_NTOK_EXPR, _SRAW_EXPR, _PRAW_EXPR)
 
 ORACLE_CLEAN_CORPUS = rf"""
 WITH {_CORPUS_CTE},
@@ -1529,7 +1545,7 @@ ORACLE_CONVERSATION_FEATURES = oracle_cte(
 , last_role AS (
   SELECT conv_id, role AS lr FROM (
     SELECT conv_id, role,
-           row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC, role DESC NULLS LAST) AS rn
+           row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC NULLS LAST, role DESC NULLS LAST) AS rn
     FROM transcripts) WHERE rn = 1),
 agg AS (
   SELECT conv_id,
@@ -1679,7 +1695,7 @@ ORACLE_VERDICTS = oracle_cte(
     WITH idx AS (SELECT DISTINCT conv_id, turn_idx FROM transcripts),
     lagged AS (
       SELECT conv_id, turn_idx,
-             lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_idx
+             lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx NULLS FIRST) AS prev_idx
       FROM idx)
     SELECT 'contiguity' AS check_name, conv_id
     FROM lagged WHERE prev_idx IS NOT NULL AND turn_idx != prev_idx + 1
@@ -1700,7 +1716,7 @@ ORACLE_VERDICTS = oracle_cte(
   UNION ALL
   SELECT 'ts_monotonic', conv_id FROM (
     SELECT conv_id, ts,
-           lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC, ts ASC NULLS FIRST) AS prev_ts
+           lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST, ts ASC NULLS FIRST) AS prev_ts
     FROM transcripts)
   WHERE ts < prev_ts
 ),

@@ -54,9 +54,10 @@ def clean_corpus(
 
     Survivors = quality ≥ ``min_quality``, minimal id of each exact-duplicate
     group, and not the larger side of any LSH near-dup pair.
-    ``persist_intermediate`` caches the fan-out frames (see module docstring);
-    the caller owns unpersisting via ``spark.catalog.clearCache()`` or by
-    staging to a table instead.
+    ``persist_intermediate`` caches the fan-out frames for the duration of the
+    call, eagerly materializes the result via ``localCheckpoint``, and
+    unpersists the intermediates before returning — nothing leaks into the
+    caller's session cache (staging to a table is still the 100 TB form).
     """
     q = df.select(
         F.col(id_col).alias("_id"),
@@ -74,7 +75,13 @@ def clean_corpus(
         sig = sig.persist()
     pairs = lsh_candidate_pairs(sig, "_id", bands=bands, min_est_jaccard=min_est_jaccard)
     drop = pairs.select(F.col("id_b").alias("_id")).distinct()
-    return (
-        uniq.join(drop, "_id", "left_anti")
-        .select(F.col("_id").alias(id_col), F.col("_text").alias(text_col), "quality")
+    out = uniq.join(drop, "_id", "left_anti").select(
+        F.col("_id").alias(id_col), F.col("_text").alias(text_col), "quality"
     )
+    if persist_intermediate:
+        # materialize the result off the cached lineages, then free them —
+        # the caller's session cache is left exactly as it was
+        out = out.localCheckpoint(eager=True)
+        sig.unpersist()
+        uniq.unpersist()
+    return out

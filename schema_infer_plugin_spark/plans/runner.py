@@ -243,7 +243,7 @@ def run_drift(
 ) -> DataFrame:
     """KL/PSI drift of ``transcripts`` vs the histograms persisted under
     ``baseline_dir`` (a previous run's out_dir). One verdict row per column:
-    pass iff total PSI <= threshold; metrics carry psi + kl.
+    pass iff total PSI <= threshold; metrics carry psi + kl + js.
 
     The industry-conventional PSI reading: <0.1 stable, 0.1-0.2 moderate,
     >0.2 drifted — hence the 0.2 default."""

@@ -357,12 +357,18 @@ def test_clean_corpus_funnel(spark, docs):
     strict = clean_corpus(_planted(docs, spark), "doc_id", "text", min_quality=0.8)
     assert strict.count() < out.count()
     # persisted-intermediate mode is a pure performance knob: identical rows
+    # the call must clean up after itself: cached-RDD census unchanged
+    # (module fixtures keep their own caches — compare before/after)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
     cached = clean_corpus(
         _planted(docs, spark), "doc_id", "text", min_quality=0.0,
         persist_intermediate=True,
     )
     assert {r["doc_id"] for r in cached.collect()} == ids
-    spark.catalog.clearCache()
+    # exactly +1: the returned localCheckpoint result (owned by the caller);
+    # the two intermediate caches were unpersisted inside the call
+    assert jsc.getPersistentRDDs().size() == before + 1
 
 
 def test_mixture_sample_rates(spark, docs):

@@ -1,0 +1,41 @@
+"""Blanket plan gates over EVERY driver query: whatever gets added to the
+contract, its physical plan must stay scale-shaped — no cartesian products,
+no row-at-a-time Python, and nested-loop joins only where an exact O(n²)
+baseline is the documented point of the query."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.conftest import SF_SMOKE
+
+#: queries whose WHOLE PURPOSE is the exact all-pairs baseline (verifiers for
+#: the LSH/IVF scale paths) — the broadcast nested-loop join is the documented
+#: opt-in there, never the production path
+EXACT_BASELINES = {"dedup_embedding_cosine", "ann_bruteforce_topk"}
+
+#: queries where a BroadcastNestedLoopJoin is a BOUNDED broadcast cross —
+#: one side is driver-derived metadata that never grows with the table
+#: (verdict grid = partition keys × check-name literals; single-row corpus
+#: totals / stats frames). Constant-size build side → scale-safe.
+BOUNDED_BROADCAST_CROSS = {
+    "transcripts_verdicts",  # keys × CHECK_NAMES literals
+    "unigram_logprob",       # single-row vocabulary total
+    "transcripts_profile",   # single-row stats / bounded head-sample frame
+}
+
+ALL_QUERIES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", ALL_QUERIES)
+def test_query_plan_is_scale_shaped(spark, name):
+    df = entrymod.queries()[name](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python in plan"
+    if name not in EXACT_BASELINES | BOUNDED_BROADCAST_CROSS:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join outside the documented exact baselines"
+            " and bounded broadcast crosses"
+        )

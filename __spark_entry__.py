@@ -1419,6 +1419,114 @@ HAVING count(*) >= 2
 """
 
 
+#: PII-injected corpus: deterministic spans appended by doc_id residue, the
+#: IDENTICAL construction in Spark and the oracle.
+_PII_SUFFIXES = [
+    (5, " contact bob.smith+spam@example-mail.com now"),
+    (7, " see https://example.org/a?user=1&x=2 there"),
+    (11, " call +1 (415) 555-0137 today"),
+]
+
+
+def _pii_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fan(spark, load_table(spark, sf_dir, "documents")).select("doc_id", "text")
+    c = F.col("text")
+    for mod, suffix in _PII_SUFFIXES:
+        c = F.when(F.col("doc_id") % mod == 0, F.concat(c, F.lit(suffix))).otherwise(c)
+    return d.select("doc_id", c.alias("text"))
+
+
+# each Spark F.when wraps the previous expression, so a doc matching several
+# residues gets ALL its suffixes appended in order — the SQL mirror is
+# sequential concatenation of per-residue CASEs, not one CASE
+_PII_TEXT_SQL = "text" + "".join(
+    f" || (CASE WHEN doc_id % {mod} = 0 THEN '{suffix}' ELSE '' END)"
+    for mod, suffix in _PII_SUFFIXES
+)
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hit counts per doc (datapipe/text.pii_stats) over a corpus with
+    deterministic injected emails/URLs/phones."""
+    from schema_infer_plugin_spark.datapipe.text import pii_stats
+
+    return pii_stats(_pii_corpus(spark, sf_dir), "doc_id", "text")
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-placeholder PII scrubbing (datapipe/text.redact_pii): the full
+    redacted text is value-compared, so both engines' regex semantics must
+    agree byte-for-byte."""
+    from schema_infer_plugin_spark.datapipe.text import redact_pii
+
+    return redact_pii(_pii_corpus(spark, sf_dir), "text").select("doc_id", "text")
+
+
+def _oracle_pii() -> tuple[str, str]:
+    from schema_infer_plugin_spark.datapipe.text import PII_PATTERNS
+
+    def esc(p: str) -> str:
+        # backslashes are literal inside DuckDB single-quoted strings; only
+        # quotes need doubling (the patterns contain none — belt and braces)
+        return p.replace("'", "''")
+
+    corpus = f"WITH corpus AS (SELECT doc_id, {_PII_TEXT_SQL} AS text FROM documents)"
+    counts = f"""
+{corpus}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{esc(PII_PATTERNS["email"])}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{esc(PII_PATTERNS["url"])}')) AS BIGINT) AS n_url,
+       CAST(len(regexp_extract_all(text, '{esc(PII_PATTERNS["phone"])}')) AS BIGINT) AS n_phone,
+       (len(regexp_extract_all(text, '{esc(PII_PATTERNS["email"])}'))
+        + len(regexp_extract_all(text, '{esc(PII_PATTERNS["url"])}'))
+        + len(regexp_extract_all(text, '{esc(PII_PATTERNS["phone"])}'))) > 0 AS has_pii
+FROM corpus
+"""
+    redacted = f"""
+{corpus}
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{esc(PII_PATTERNS["email"])}', '<EMAIL>', 'g'),
+           '{esc(PII_PATTERNS["url"])}', '<URL>', 'g'),
+         '{esc(PII_PATTERNS["phone"])}', '<PHONE>', 'g') AS text
+FROM corpus
+"""
+    return counts, redacted
+
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (sources/sampling.split_assign):
+    stable, engine-portable membership — no row can migrate between splits."""
+    from schema_infer_plugin_spark.sources.sampling import split_assign
+
+    t = _transcripts(spark, sf_dir).select("conv_id", "turn_idx")
+    return split_assign(t, ["conv_id", "turn_idx"], _SPLIT_WEIGHTS, width=4)
+
+
+def _oracle_split() -> str:
+    buckets = 16**4
+    names = sorted(_SPLIT_WEIGHTS)
+    acc, whens = 0.0, []
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name]
+        bound = format(min(int(acc * buckets), buckets - 1), "04x")
+        whens.append((name, bound))
+    case = " ".join(
+        f"WHEN substr(md5(concat_ws(':', conv_id, CAST(turn_idx AS STRING))), 1, 4) < '{b}' THEN '{n}'"
+        for n, b in whens
+    )
+    return oracle_cte(
+        f"""
+SELECT conv_id, turn_idx, CASE {case} ELSE '{names[-1]}' END AS split
+FROM transcripts
+"""
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) document fingerprints over the first 200 chars
     of each document (functions/textstats.winnowed_fingerprints), exploded to
@@ -1780,6 +1888,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "unigram_logprob": (q_unigram_logprob, ORACLE_UNIGRAM_LOGPROB),
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
+    "pii_stats": (q_pii_stats, _oracle_pii()[0]),
+    "pii_redact": (q_pii_redact, _oracle_pii()[1]),
+    "split_assign": (q_split_assign, _oracle_split()),
     "contamination_pairs": (q_contamination, ORACLE_CONTAMINATION),
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
     "language_id": (q_lang_id, ORACLE_LANG_ID),

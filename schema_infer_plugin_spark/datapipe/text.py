@@ -181,3 +181,44 @@ def contamination_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+#: PII patterns in the Java-regex ∩ RE2 dialect intersection (both engines
+#: must agree byte-for-byte — no lookbehind, no backrefs).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+}
+
+
+def pii_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII hit counts — the scrub-or-drop signal of a training
+    pipeline. Pure projection (regexp_count per pattern), no shuffle.
+    Output: (id, n_email, n_url, n_phone, has_pii)."""
+    t = F.col(text_col)
+    counts = {
+        name: F.coalesce(F.regexp_count(t, F.lit(pat)), F.lit(0)).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.select(
+        F.col(id_col),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        (total > 0).alias("has_pii"),
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """Replace every PII span with a typed placeholder (``<EMAIL>`` etc.) —
+    the scrub path. Order matters and is fixed: emails first (an email inside
+    a URL query string is rare, a URL containing '@' is not), then URLs, then
+    phones; both engines apply the identical sequence so results byte-match.
+    """
+    out = out_col or text_col
+    c = F.col(text_col)
+    for name in ("email", "url", "phone"):
+        c = F.regexp_replace(c, PII_PATTERNS[name], f"<{name.upper()}>")
+    return df.withColumn(out, c)

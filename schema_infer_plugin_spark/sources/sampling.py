@@ -89,3 +89,35 @@ def mixture_sample(
     # width+1-digit thresholds: rate 1.0 formats to 0x10000 which is
     # lexicographically above every width-digit bucket -> keeps all rows
     return df.filter(F.concat(F.lit("0"), bucket) < threshold)
+
+
+def split_assign(
+    df: DataFrame,
+    key_cols: list[str],
+    weights: dict[str, float],
+    width: int = 4,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: the md5 bucket of the
+    key decides the split, so membership is stable across runs, machines and
+    engines — the property leakage-free splits require (a row can NEVER
+    migrate between train and test when the pipeline re-runs).
+
+    ``weights`` maps split name → fraction; names are assigned contiguous
+    bucket ranges in SORTED-name order (deterministic), the last split
+    absorbing rounding remainder. Adds a ``split`` column.
+    """
+    total = sum(weights.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split weights must sum to 1.0: {weights}")
+    buckets = 16**width
+    bucket = hash_bucket([F.col(c) for c in key_cols], width)
+    bounds = []
+    acc = 0.0
+    names = sorted(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        bounds.append((name, format(min(int(acc * buckets), buckets - 1), f"0{width}x")))
+    expr = F.lit(names[-1])
+    for name, hexbound in reversed(bounds):
+        expr = F.when(bucket < hexbound, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

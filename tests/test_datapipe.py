@@ -530,3 +530,39 @@ def test_contamination_catches_verbatim_leak(spark, docs):
     flagged = {r["doc_id"] for r in hits}
     assert 999999 in flagged
     assert 888888 not in flagged
+
+
+def test_pii_stats_and_redact(spark):
+    from schema_infer_plugin_spark.datapipe.text import pii_stats, redact_pii
+
+    rows = [
+        (1, "mail me at a.b+c@ex-ample.org or https://x.io/p?q=1 or +1 (415) 555-0137"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.co z@w.io"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    by = {r["doc_id"]: r for r in pii_stats(df, "doc_id", "text").collect()}
+    assert (by[1]["n_email"], by[1]["n_url"], by[1]["n_phone"]) == (1, 1, 1)
+    assert by[1]["has_pii"] and not by[2]["has_pii"]
+    assert by[3]["n_email"] == 2
+    red = {r["doc_id"]: r["text"] for r in redact_pii(df, "text").collect()}
+    assert red[1] == "mail me at <EMAIL> or <URL> or <PHONE>"
+    assert red[2] == "no pii here at all"
+    assert red[3] == "two mails <EMAIL> <EMAIL>"
+
+
+def test_split_assign_stable_and_proportional(spark, docs):
+    from schema_infer_plugin_spark.sources.sampling import split_assign
+
+    import pytest
+
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_assign(docs.select("doc_id"), ["doc_id"], w)
+    counts = {r["split"]: r["count"] for r in a.groupBy("split").count().collect()}
+    assert set(counts) <= set(w)
+    assert counts["train"] / 500 > 0.7  # 500 docs at 80%: loose binomial bound
+    # membership is STABLE: second call assigns identically
+    b = split_assign(docs.select("doc_id"), ["doc_id"], w)
+    assert a.exceptAll(b).count() == 0
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(docs.select("doc_id"), ["doc_id"], {"train": 0.5})

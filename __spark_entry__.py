@@ -1474,12 +1474,12 @@ def _oracle_pii() -> tuple[str, str]:
     counts = f"""
 {corpus}
 SELECT doc_id,
-       CAST(len(regexp_extract_all(text, '{esc(PII_PATTERNS["email"])}')) AS BIGINT) AS n_email,
-       CAST(len(regexp_extract_all(text, '{esc(PII_PATTERNS["url"])}')) AS BIGINT) AS n_url,
-       CAST(len(regexp_extract_all(text, '{esc(PII_PATTERNS["phone"])}')) AS BIGINT) AS n_phone,
-       (len(regexp_extract_all(text, '{esc(PII_PATTERNS["email"])}'))
-        + len(regexp_extract_all(text, '{esc(PII_PATTERNS["url"])}'))
-        + len(regexp_extract_all(text, '{esc(PII_PATTERNS["phone"])}'))) > 0 AS has_pii
+       CAST(coalesce(len(regexp_extract_all(text, '{esc(PII_PATTERNS["email"])}')), 0) AS BIGINT) AS n_email,
+       CAST(coalesce(len(regexp_extract_all(text, '{esc(PII_PATTERNS["url"])}')), 0) AS BIGINT) AS n_url,
+       CAST(coalesce(len(regexp_extract_all(text, '{esc(PII_PATTERNS["phone"])}')), 0) AS BIGINT) AS n_phone,
+       (coalesce(len(regexp_extract_all(text, '{esc(PII_PATTERNS["email"])}')), 0)
+        + coalesce(len(regexp_extract_all(text, '{esc(PII_PATTERNS["url"])}')), 0)
+        + coalesce(len(regexp_extract_all(text, '{esc(PII_PATTERNS["phone"])}')), 0)) > 0 AS has_pii
 FROM corpus
 """
     redacted = f"""

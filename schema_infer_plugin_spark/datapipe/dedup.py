@@ -296,9 +296,10 @@ def embedding_neardup_pairs(
     verification at test scale — it is an O(n²) self-join and must never be
     the production path.
 
-    ``dim`` is the embedding dimensionality; callers almost always know it
-    (it is fixed per model). Only when omitted is a single driver-side
-    ``first()`` probe used to read it — avoid that in loops.
+    ``dim`` is the embedding dimensionality and is REQUIRED on the LSH path:
+    callers always know it (fixed per embedding model), and inferring it would
+    mean a driver-side ``first()`` probe on the scale path — the pattern this
+    repo forbids (CLAUDE.md). ``n_planes=0`` ignores ``dim``.
     Output: (id_a, id_b, cosine double).
     """
     from ..functions.vectors import cosine_similarity
@@ -307,7 +308,10 @@ def embedding_neardup_pairs(
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if n_planes > 0:
         if dim is None:
-            dim = len(base.first()["_v"])
+            raise ValueError(
+                "embedding_neardup_pairs: dim is required when n_planes > 0 "
+                "(pass the embedding model's dimensionality; no driver-side probe)"
+            )
         base = base.withColumn("_bkt", hyperplane_bucket(F.col("_v"), dim, n_planes, seed))
         join_on = [F.col("l._bkt") == F.col("r._bkt"), F.col("l._id") < F.col("r._id")]
     else:

@@ -14,10 +14,26 @@ optimistic.py:387-510). The Spark-engine equivalents, cheapest first:
   ``snapshot.summary['total-records']`` for the whole table); wired through
   ``iceberg_partition_counts`` so the runner's pruning path is the same
   function shape either way.
+
+Pruning is only SAFE when the table's partition values were produced by the
+engine's own transform (``pmod(xxhash64(conv_id), n_buckets)`` — runner
+``with_partition_key``). A table partitioned by Iceberg ``bucket(N, conv_id)``
+(Murmur3 per the Iceberg spec) or written with a different ``n_buckets`` also
+yields integer keys 0..N-1, but they name DIFFERENT conversation sets — pruning
+on them would skip live buckets and emit false PASS verdicts. Hence:
+
+* parquet dirs carry a ``_bucket_scheme.json`` sidecar (Spark ignores
+  ``_``-prefixed files) written by ``runner.write_bucketed``; the runner
+  refuses to prune unless the sidecar's transform AND n_buckets match;
+* Iceberg counts are unwrapped only for an IDENTITY partition on a
+  precomputed ``partition_key`` column — ``bucket(...)`` specs keep their
+  struct field name (e.g. ``conv_id_bucket``) so the runner's guard rejects
+  them — and are cross-checked against the snapshot's total record count.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 _PARQUET_SUFFIX = ".parquet"
@@ -70,30 +86,129 @@ def partition_row_counts(path: str, partition_col: str = "partition_key") -> dic
     return counts
 
 
-def iceberg_partition_counts(spark, table: str) -> dict[str, int]:
-    """Manifest-only per-partition record counts of an Iceberg table — the
-    production twin of ``partition_row_counts`` (reads the ``.partitions``
-    metadata table; no data files are opened). Requires an Iceberg catalog on
-    the session; in-sandbox none is attached, so this path is exercised only
-    on deployments."""
-    rows = spark.sql(
-        f"SELECT partition, record_count FROM {table}.partitions"
-    ).collect()
+#: Sidecar filename recording how a bucketed parquet dir was partitioned.
+#: ``_``-prefixed → Spark never reads it as data.
+BUCKET_SCHEME_FILE = "_bucket_scheme.json"
+
+#: The engine's one and only bucketing transform (runner.with_partition_key).
+BUCKET_TRANSFORM = "pmod_xxhash64_conv_id"
+
+
+def write_bucket_scheme(path: str, n_buckets: int) -> None:
+    """Persist the bucketing scheme next to the data so future runs can VERIFY
+    (not assume) that partition values align with their own transform."""
+    with open(os.path.join(path, BUCKET_SCHEME_FILE), "w") as f:
+        json.dump({"transform": BUCKET_TRANSFORM, "n_buckets": int(n_buckets)}, f)
+
+
+def read_bucket_scheme(path: str) -> dict | None:
+    """The persisted scheme, or None (absent/unreadable → never prune)."""
+    try:
+        with open(os.path.join(path, BUCKET_SCHEME_FILE)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def verified_partition_counts(path: str, n_buckets: int) -> dict[str, int] | None:
+    """Footer row counts of a bucketed parquet dir, ONLY if its persisted
+    scheme matches (same transform, same ``n_buckets``). A dir without a
+    sidecar, or bucketed differently (e.g. fewer buckets, or an external
+    tool's hash), returns None — the caller scans everything rather than
+    pruning live buckets. Absent partitions are filled with explicit 0s:
+    under a verified scheme, absence in the listing IS emptiness."""
+    scheme = read_bucket_scheme(path)
+    if (
+        scheme is None
+        or scheme.get("transform") != BUCKET_TRANSFORM
+        or int(scheme.get("n_buckets", -1)) != int(n_buckets)
+    ):
+        return None
+    counts = partition_row_counts(path)
+    return {str(i): counts.get(str(i), 0) for i in range(n_buckets)}
+
+
+def _shape_iceberg_partition_rows(rows, identity_col: str = "partition_key") -> dict[str, int]:
+    """Shape ``{table}.partitions`` rows into {bucket_key: record_count}.
+
+    Only a single-field partition struct whose field is the IDENTITY column
+    ``identity_col`` is unwrapped to the bare value. Transform-derived fields
+    (Iceberg names them ``conv_id_bucket``, ``ts_day``, …) and multi-field
+    specs keep their struct repr — those keys can never match the runner's
+    string bucket ids, so its guard disables pruning instead of mis-pruning
+    on a Murmur3 ``bucket(N, conv_id)`` that LOOKS like 0..N-1."""
     out: dict[str, int] = {}
     for r in rows:
         part = r["partition"]
-        # single-transform specs (e.g. bucket(N, conv_id)) come back as a
-        # one-field struct — unwrap to the bare value so keys line up with the
-        # runner's string bucket ids; multi-field specs keep the struct repr
-        # (the runner's key-subset guard then disables pruning rather than
-        # mis-pruning)
         if hasattr(part, "asDict"):
-            vals = list(part.asDict().values())
-            key = str(vals[0]) if len(vals) == 1 else str(part)
+            d = part.asDict()
+            if len(d) == 1 and next(iter(d)) == identity_col:
+                key = str(next(iter(d.values())))
+            else:
+                key = str(part)
         else:
             key = str(part)
         out[key] = out.get(key, 0) + int(r["record_count"])
     return out
+
+
+def iceberg_partition_counts(
+    spark, table: str, identity_col: str = "partition_key"
+) -> dict[str, int]:
+    """Manifest-only per-partition record counts of an Iceberg table — the
+    production twin of ``partition_row_counts`` (reads the ``.partitions``
+    metadata table; no data files are opened). Requires an Iceberg catalog on
+    the session; in-sandbox none is attached, so this path is exercised only
+    on deployments.
+
+    Safety: only identity partitions on ``identity_col`` are usable for
+    pruning (see ``_shape_iceberg_partition_rows``), and the shaped counts are
+    cross-checked against the current snapshot's ``total-records`` — any
+    mismatch (concurrent write, spec confusion) raises rather than letting a
+    stale count prune a live bucket."""
+    rows = spark.sql(
+        f"SELECT partition, record_count FROM {table}.partitions"
+    ).collect()
+    out = _shape_iceberg_partition_rows(rows, identity_col)
+    total = spark.sql(
+        f"SELECT summary['total-records'] AS t FROM {table}.snapshots"
+        " ORDER BY committed_at DESC LIMIT 1"
+    ).collect()
+    if total and total[0]["t"] is not None and sum(out.values()) != int(total[0]["t"]):
+        raise ValueError(
+            f"iceberg partition counts ({sum(out.values())}) != snapshot"
+            f" total-records ({total[0]['t']}) for {table} — refusing to prune"
+        )
+    return out
+
+
+def iceberg_verified_counts(spark, table: str, n_buckets: int) -> dict[str, int] | None:
+    """``iceberg_partition_counts`` gated on the table's own declaration of the
+    bucketing scheme: the deployment that writes the table sets
+
+        ALTER TABLE t SET TBLPROPERTIES(
+          'schema_infer.bucket_transform'='pmod_xxhash64_conv_id',
+          'schema_infer.n_buckets'='64')
+
+    (the Iceberg twin of the parquet sidecar). Without matching properties —
+    or with any metadata error — returns None and the caller scans everything.
+    Absent buckets are filled with explicit 0s: under a verified scheme,
+    absence from ``.partitions`` IS emptiness."""
+    try:
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        }
+        if props.get("schema_infer.bucket_transform") != BUCKET_TRANSFORM:
+            return None
+        if int(props.get("schema_infer.n_buckets", -1)) != int(n_buckets):
+            return None
+        counts = iceberg_partition_counts(spark, table)
+    except Exception:
+        return None
+    if not set(counts) <= {str(i) for i in range(n_buckets)}:
+        return None  # declared scheme contradicts observed partition values
+    return {str(i): counts.get(str(i), 0) for i in range(n_buckets)}
 
 
 def prune_empty_tables(sf_dir: str, names: tuple[str, ...]) -> tuple[list[str], list[str]]:

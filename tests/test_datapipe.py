@@ -117,12 +117,14 @@ def test_embedding_neardup_exact_copy(spark, emb):
 
     base = emb.filter(F.col("vec_id") < 50)
     copy = base.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
-    pairs = embedding_neardup_pairs(base.unionByName(copy), "vec_id", "embedding", min_cosine=0.999)
+    pairs = embedding_neardup_pairs(
+        base.unionByName(copy), "vec_id", "embedding", min_cosine=0.999, dim=64
+    )
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert got == {(i, i + 10000) for i in range(50)}
     # bucketed variant still finds identical vectors (same bucket by definition)
     pairs_b = embedding_neardup_pairs(
-        base.unionByName(copy), "vec_id", "embedding", min_cosine=0.999, n_planes=4
+        base.unionByName(copy), "vec_id", "embedding", min_cosine=0.999, n_planes=4, dim=64
     )
     got_b = {(r["id_a"], r["id_b"]) for r in pairs_b.collect()}
     assert got_b == got

@@ -114,18 +114,111 @@ def test_runner_main_bucketed_input_prunes(spark, tmp_path, capsys):
         PASS_B,
         main,
         with_partition_key,
+        write_bucketed,
     )
     from schema_infer_plugin_spark.sources.synth import synth_transcripts
 
     t = synth_transcripts(spark, 200)
     keyed = with_partition_key(t, 4)
     bdir = str(tmp_path / "bucketed")
-    keyed.filter(F.col("partition_key") != "2").write.partitionBy(
-        "partition_key"
-    ).parquet(bdir)
+    write_bucketed(keyed.filter(F.col("partition_key") != "2"), bdir, 4)
     out = str(tmp_path / "out")
     main(["--input", f"bucketed:{bdir}", "--out", out, "--run-id", "m1",
           "--n-buckets", "4", "--batch-buckets", "4"])
     printed = capsys.readouterr().out
     assert "'pruned': 1" in printed
     assert completed_keys(spark, out, "m1", PASS_B) == {"0", "1", "2", "3"}
+
+
+def test_unverified_bucketed_dir_never_prunes(spark, tmp_path, capsys):
+    """ADVICE r2 (high): a dir whose partition values were NOT produced by
+    with_partition_key at this n_buckets must be scanned in full. Two
+    misconfigurations that previously slipped the key-subset guard: a foreign
+    dir with no sidecar, and an engine dir written with a SMALLER n_buckets
+    (its keys 0..3 are a subset of 0..7, but name different conv sets)."""
+    from schema_infer_plugin_spark.plans.ledger import completed_keys
+    from schema_infer_plugin_spark.plans.runner import (
+        PASS_B,
+        main,
+        with_partition_key,
+        write_bucketed,
+    )
+    from schema_infer_plugin_spark.sources.metadata import verified_partition_counts
+    from schema_infer_plugin_spark.sources.synth import synth_transcripts
+
+    t = synth_transcripts(spark, 200)
+
+    # (a) hand-written dir, no sidecar → verified counts refuse
+    foreign = str(tmp_path / "foreign")
+    with_partition_key(t, 4).write.partitionBy("partition_key").parquet(foreign)
+    assert verified_partition_counts(foreign, 4) is None
+    out_a = str(tmp_path / "out_a")
+    main(["--input", f"bucketed:{foreign}", "--out", out_a, "--run-id", "a",
+          "--n-buckets", "4", "--batch-buckets", "4"])
+    assert "'pruned': 0" in capsys.readouterr().out
+    assert completed_keys(spark, out_a, "a", PASS_B) == {"0", "1", "2", "3"}
+
+    # (b) engine dir at n_buckets=4, run asks for 8 → sidecar mismatch;
+    # under the OLD subset guard keys {0..3} ⊆ {0..7} would have pruned
+    # buckets 4..7 — all of them live under 8-bucket hashing
+    small = str(tmp_path / "small")
+    write_bucketed(t, small, 4)
+    assert verified_partition_counts(small, 8) is None
+    assert verified_partition_counts(small, 4) is not None  # matching run: ok
+    out_b = str(tmp_path / "out_b")
+    main(["--input", f"bucketed:{small}", "--out", out_b, "--run-id", "b",
+          "--n-buckets", "8", "--batch-buckets", "8"])
+    assert "'pruned': 0" in capsys.readouterr().out
+
+
+def test_verified_counts_fill_absent_buckets_with_zero(spark, tmp_path):
+    """Under a VERIFIED scheme, a bucket absent from the dir listing is
+    genuinely empty — verified_partition_counts returns an explicit 0 so the
+    runner's full-key-set guard holds."""
+    from schema_infer_plugin_spark.plans.runner import with_partition_key, write_bucketed
+    from schema_infer_plugin_spark.sources.metadata import verified_partition_counts
+    from schema_infer_plugin_spark.sources.synth import synth_transcripts
+
+    t = with_partition_key(synth_transcripts(spark, 200), 4)
+    bdir = str(tmp_path / "b")
+    write_bucketed(t.filter(F.col("partition_key") != "2"), bdir, 4)
+    counts = verified_partition_counts(bdir, 4)
+    assert set(counts) == {"0", "1", "2", "3"}
+    assert counts["2"] == 0 and all(counts[k] > 0 for k in ("0", "1", "3"))
+
+
+def test_iceberg_partition_shaping_rejects_bucket_transform():
+    """ADVICE r2 (high), Iceberg side: only an identity partition on the
+    engine's own partition_key column unwraps to prunable keys. A
+    bucket(N, conv_id) spec (field name conv_id_bucket) keeps its struct repr,
+    which can never equal the runner's '0'..'N-1' keys."""
+    from types import SimpleNamespace
+
+    from schema_infer_plugin_spark.sources.metadata import _shape_iceberg_partition_rows
+
+    class FakeStruct:
+        def __init__(self, **kv):
+            self._kv = kv
+
+        def asDict(self):
+            return dict(self._kv)
+
+        def __str__(self):
+            return f"Row({self._kv})"
+
+    def row(part, n):
+        return {"partition": part, "record_count": n}
+
+    # identity on partition_key → bare keys, summed per key
+    ident = [row(FakeStruct(partition_key="3"), 10), row(FakeStruct(partition_key="3"), 5)]
+    assert _shape_iceberg_partition_rows(ident) == {"3": 15}
+
+    # bucket transform → struct repr, NOT '0'..'N-1'
+    bucketed = [row(FakeStruct(conv_id_bucket=0), 7)]
+    shaped = _shape_iceberg_partition_rows(bucketed)
+    assert set(shaped) & {str(i) for i in range(64)} == set()
+
+    # multi-field spec → struct repr too
+    multi = [row(FakeStruct(partition_key="1", ts_day="2026-01-01"), 3)]
+    shaped2 = _shape_iceberg_partition_rows(multi)
+    assert "1" not in shaped2

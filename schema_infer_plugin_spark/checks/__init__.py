@@ -15,4 +15,5 @@ from .domains import domain_violations  # noqa: F401
 from .nulls import null_violations  # noqa: F401
 from .temporal import ts_monotonic_violations  # noqa: F401
 from .drift import histogram, drift_stats  # noqa: F401
+from .ksdrift import ks_statistic  # noqa: F401
 from .salting import conv_stats, salted_two_phase, with_salt  # noqa: F401

@@ -1,0 +1,101 @@
+"""Two-sample Kolmogorov–Smirnov drift statistic for numeric columns.
+
+Complements checks/drift.py (PSI/KL/JS over histograms): KS is the classic
+distribution-shift test for *numeric* columns — the supremum of the absolute
+difference between the two empirical CDFs. The engine computes it as plain
+DataFrame math (no UDF), in the same two modes the rest of the repo uses:
+
+* default ``n_buckets=1000``: values are equal-width-quantized first, so the
+  CDF domain is bounded — the single-partition ordered window that the
+  cumulative sums need runs over ≤ n_buckets rows no matter the table size
+  (the discretized KS is exact for the quantized distributions and a lower
+  bound for the raw ones; bucket count trades resolution for boundedness);
+* ``n_buckets=None``: exact KS over the raw distinct values — an explicit
+  test-scale opt-in (the repo invariant: unbounded modes are never defaults),
+  since a continuous column could have |table| distinct values and the final
+  window would see all of them.
+
+Plan shape: map-side projection → union → groupBy(value) (map-side
+combinable, one row per distinct value/bucket) → one ordered window over the
+bounded value domain → global max. The only all-to-one step operates on the
+bounded domain, not on rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+
+def ks_statistic(
+    a: DataFrame,
+    b: DataFrame,
+    column: str,
+    n_buckets: int | None = 1000,
+) -> DataFrame:
+    """KS statistic between ``column`` of two frames.
+
+    Returns one row: (ks_stat double, ks_at double, n_a long, n_b long) —
+    ``ks_at`` is the smallest value/bucket-edge where the supremum is attained
+    (deterministic tie-break). NULLs are excluded on both sides (KS is a
+    statement about values, not missingness — pair with the profile's
+    null_rate for that). Empty sides yield ks_stat NULL rather than a
+    misleading 0.
+    """
+    va = a.select(F.col(column).cast("double").alias("v")).filter(F.col("v").isNotNull())
+    vb = b.select(F.col(column).cast("double").alias("v")).filter(F.col("v").isNotNull())
+
+    if n_buckets is not None:
+        # one equal-width grid over the UNION's range so both sides quantize
+        # identically; lo/hi are a 2-value broadcast, not a driver collect
+        bounds = va.unionAll(vb).agg(
+            F.min("v").alias("lo"), F.max("v").alias("hi")
+        )
+
+        def quantize(df: DataFrame) -> DataFrame:
+            bkt = F.when(
+                F.col("hi") == F.col("lo"), F.lit(0)
+            ).otherwise(
+                F.least(
+                    F.floor(
+                        (F.col("v") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / n_buckets)
+                    ),
+                    F.lit(n_buckets - 1),
+                )
+            )
+            return df.crossJoin(broadcast(bounds)).select(
+                (F.col("lo") + bkt * (F.col("hi") - F.col("lo")) / n_buckets).alias("v")
+            )
+
+        va, vb = quantize(va), quantize(vb)
+
+    counts = (
+        va.select("v", F.lit(1).alias("ca"), F.lit(0).alias("cb"))
+        .unionAll(vb.select("v", F.lit(0).alias("ca"), F.lit(1).alias("cb")))
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy()
+    cdf = counts.select(
+        "v",
+        # try_divide: an empty side has total 0 → NULL CDF → NULL ks_stat,
+        # honoring the documented contract instead of an ANSI divide error
+        F.try_divide(F.sum("ca").over(w), F.sum("ca").over(tot)).alias("cdf_a"),
+        F.try_divide(F.sum("cb").over(w), F.sum("cb").over(tot)).alias("cdf_b"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+    ).withColumn("d", F.abs(F.col("cdf_a") - F.col("cdf_b")))
+    # the sup and its location in one pass: tag the global max via a window,
+    # then take the smallest v attaining it (both engines break the tie the
+    # same way because d is the same rational arithmetic on the same counts)
+    tagged = cdf.withColumn("dmx", F.max("d").over(tot))
+    return tagged.agg(
+        F.round(F.max("d"), 6).cast("double").alias("ks_stat"),
+        F.min(F.when(F.col("d") == F.col("dmx"), F.col("v")))
+        .cast("double")
+        .alias("ks_at"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+    )

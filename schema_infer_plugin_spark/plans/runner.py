@@ -250,6 +250,8 @@ def run_profile(
 PASS_DRIFT = "drift"
 
 DRIFT_COLUMNS = ["role", "tool"]
+NUMERIC_DRIFT_COLUMNS = ["turn_idx"]
+KS_GRID_BUCKETS = 1000
 
 
 def write_histograms(
@@ -257,9 +259,14 @@ def write_histograms(
     transcripts: DataFrame,
     out_dir: str,
     columns: list[str] | None = None,
+    numeric_columns: list[str] | None = None,
 ) -> None:
-    """Persist per-column value histograms — the drift baseline for future runs."""
+    """Persist the drift baselines for future runs: per-column value
+    histograms (categorical → PSI/KL/JS) and fixed-grid numeric counts
+    (→ two-sample KS). The numeric grid is [min, max] of THIS run's data —
+    future runs clamp onto it (checks/ksdrift.py fixed-grid notes)."""
     from schema_infer_plugin_spark.checks.drift import histogram
+    from schema_infer_plugin_spark.checks.ksdrift import grid_counts
 
     hist_dir = os.path.join(out_dir, "histograms")
     for c in columns or DRIFT_COLUMNS:
@@ -270,6 +277,22 @@ def write_histograms(
             .write.mode("overwrite")
             .parquet(os.path.join(hist_dir, c))
         )
+    num_dir = os.path.join(out_dir, "histograms_numeric")
+    # explicit [] means "no numeric baselines" — only None takes the default
+    for c in NUMERIC_DRIFT_COLUMNS if numeric_columns is None else numeric_columns:
+        # bounded 2-value collect: baseline/index construction, not a per-row
+        # probe — same posture as ivf_centroids
+        lo, hi = transcripts.agg(
+            F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))
+        ).first()
+        if lo is None:
+            continue  # all-null column: no numeric baseline to persist
+        (
+            grid_counts(transcripts, c, float(lo), float(hi), KS_GRID_BUCKETS)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(num_dir, c))
+        )
 
 
 def run_drift(
@@ -279,23 +302,32 @@ def run_drift(
     baseline_dir: str,
     run_id: str = "run0",
     columns: list[str] | None = None,
+    numeric_columns: list[str] | None = None,
     psi_threshold: float = 0.2,
+    ks_threshold: float = 0.1,
 ) -> DataFrame:
-    """KL/PSI drift of ``transcripts`` vs the histograms persisted under
+    """Distribution drift of ``transcripts`` vs the baselines persisted under
     ``baseline_dir`` (a previous run's out_dir). One verdict row per column:
-    pass iff total PSI <= threshold; metrics carry psi + kl + js.
+    categorical columns get ``drift_<col>`` (pass iff total PSI <= threshold;
+    metrics carry psi/kl/js), numeric columns get ``ks_<col>`` (two-sample KS
+    on the baseline's fixed grid; pass iff ks_stat <= ks_threshold, metrics
+    carry ks/ks_at). Columns with no persisted numeric baseline are skipped.
 
-    The industry-conventional PSI reading: <0.1 stable, 0.1-0.2 moderate,
-    >0.2 drifted — hence the 0.2 default."""
+    Thresholds follow the conventional readings: PSI <0.1 stable, 0.1-0.2
+    moderate, >0.2 drifted (default 0.2); KS two-sample flags at ~0.1 for
+    large same-source samples (default 0.1)."""
     from schema_infer_plugin_spark.checks.drift import drift_stats, histogram
+    from schema_infer_plugin_spark.checks.ksdrift import grid_counts, ks_from_counts
 
     done = completed_keys(spark, out_dir, run_id, PASS_DRIFT)
     verd_dir = os.path.join(out_dir, "drift_verdicts")
     if "__all__" in done:
         return spark.read.parquet(verd_dir)
     t0 = time.time()
-    cols = columns or DRIFT_COLUMNS
-    rows = []
+    cols = DRIFT_COLUMNS if columns is None else columns
+    num_cols = NUMERIC_DRIFT_COLUMNS if numeric_columns is None else numeric_columns
+    # (check_name, pass, metrics) — one row per column either way
+    rows: list[tuple[str, bool, dict[str, float]]] = []
     for c in cols:
         base = spark.read.parquet(os.path.join(baseline_dir, "histograms", c)).drop(
             "column"
@@ -306,28 +338,78 @@ def run_drift(
             F.sum("js_term").alias("js"),
         ).collect()[0]
         rows.append(
-            (run_id, "__all__", f"drift_{c}", float(agg["psi"]), float(agg["kl"]), float(agg["js"]))
+            (
+                f"drift_{c}",
+                float(agg["psi"]) <= psi_threshold,
+                {"psi": float(agg["psi"]), "kl": float(agg["kl"]), "js": float(agg["js"])},
+            )
+        )
+    for c in num_cols:
+        path = os.path.join(baseline_dir, "histograms_numeric", c)
+        try:
+            base = spark.read.parquet(path)
+        except Exception:
+            continue  # baseline run predates numeric baselines: skip, don't fail
+        # grid metadata rides every baseline row (≤ KS_GRID_BUCKETS rows)
+        meta = base.select("lo", "hi", "n_buckets").first()
+        cur = grid_counts(
+            transcripts, c, float(meta["lo"]), float(meta["hi"]), int(meta["n_buckets"])
+        )
+        ks = ks_from_counts(base.select("v", "cnt"), cur).collect()[0]
+        stat = float(ks["ks_stat"]) if ks["ks_stat"] is not None else 1.0
+        rows.append(
+            (
+                f"ks_{c}",
+                stat <= ks_threshold,
+                {"ks": stat, "ks_at": float(ks["ks_at"]) if ks["ks_at"] is not None else 0.0},
+            )
         )
     verd = spark.createDataFrame(
-        rows,
-        "run_id string, partition_key string, check_name string, psi double,"
-        " kl double, js double",
-    ).select(
-        "run_id",
-        "partition_key",
-        "check_name",
-        (F.col("psi") <= psi_threshold).alias("pass"),
-        F.lit(0).cast("long").alias("violation_count"),
-        F.create_map(
-            F.lit("psi"), F.col("psi"), F.lit("kl"), F.col("kl"),
-            F.lit("js"), F.col("js"),
-        ).alias("metrics"),
+        [(run_id, "__all__", name, ok, 0, metrics) for name, ok, metrics in rows],
+        "run_id string, partition_key string, check_name string, pass boolean,"
+        " violation_count long, metrics map<string, double>",
     )
     verd.coalesce(1).write.mode("overwrite").parquet(verd_dir)
     append_ledger(
-        spark, out_dir, run_id, PASS_DRIFT, [("__all__", len(cols), 0, time.time() - t0)]
+        spark, out_dir, run_id, PASS_DRIFT, [("__all__", len(rows), 0, time.time() - t0)]
     )
     return spark.read.parquet(verd_dir)
+
+
+PASS_PROFILE_DIFF = "profile_diff"
+
+
+def run_profile_compare(
+    spark: SparkSession,
+    out_dir: str,
+    baseline_dir: str,
+    run_id: str = "run0",
+) -> DataFrame:
+    """Data-profile diff gate (plans/compare.py): OK/WARN/BREAKING verdicts
+    per column between this run's persisted profile and the baseline run's.
+    Complements run_schema_evolution — that pass applies the registry's
+    declared-schema compat rules, this one classifies what the DATA actually
+    did (null-rate shifts, distinct blow-ups, observed type changes).
+    Ledger-resumable; violation_count = non-OK columns."""
+    from schema_infer_plugin_spark.plans.compare import profile_compare
+
+    done = completed_keys(spark, out_dir, run_id, PASS_PROFILE_DIFF)
+    verd_dir = os.path.join(out_dir, "profile_diff_verdicts")
+    if "__all__" in done:
+        return spark.read.parquet(verd_dir)
+    t0 = time.time()
+    base = spark.read.parquet(os.path.join(baseline_dir, "profiles"))
+    cur = spark.read.parquet(os.path.join(out_dir, "profiles"))
+    diff = profile_compare(cur, base).withColumn("run_id", F.lit(run_id))
+    diff.coalesce(1).write.mode("overwrite").parquet(verd_dir)
+    written = spark.read.parquet(verd_dir)
+    n_rows = written.count()
+    n_bad = written.filter(F.col("verdict") != "OK").count()
+    append_ledger(
+        spark, out_dir, run_id, PASS_PROFILE_DIFF,
+        [("__all__", n_rows, n_bad, time.time() - t0)],
+    )
+    return written
 
 
 PASS_EVOLUTION = "schema_evolution"
@@ -479,6 +561,10 @@ def main(argv: list[str] | None = None) -> None:
         summary["schema_evolution"] = [
             (r["pass"], r["kind"], r["field"]) for r in evo.collect()
         ]
+        pdiff = run_profile_compare(spark, args.out, args.baseline, run_id=args.run_id)
+        summary["profile_diff"] = {
+            r["col_name"]: r["verdict"] for r in pdiff.collect()
+        }
     print(summary)
 
 

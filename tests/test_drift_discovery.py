@@ -42,6 +42,69 @@ def test_drift_pass_self_vs_shifted(spark, tmp_path):
         t.unpersist()
 
 
+def test_numeric_ks_drift_pass(spark, tmp_path):
+    """KS leg of run_drift: same data vs itself passes with ks ~ 0; a
+    conversation-length-skewed slice shifts the turn_idx CDF and fails.
+    Out-of-grid values clamp (conservative) rather than error."""
+    t = synth_transcripts(spark, 2_000).persist()
+    try:
+        base_out = str(tmp_path / "base")
+        write_histograms(spark, t, base_out, ["role"], numeric_columns=["turn_idx"])
+
+        out1 = str(tmp_path / "r1")
+        v = run_drift(
+            spark, t, out1, base_out, run_id="r1",
+            columns=["role"], numeric_columns=["turn_idx"],
+        )
+        rows = {r["check_name"]: r for r in v.collect()}
+        assert rows["ks_turn_idx"]["pass"]
+        assert rows["ks_turn_idx"]["metrics"]["ks"] < 1e-9
+
+        # keep only early turns (turn_idx < 3) + clamp probe: +1000 outliers
+        shifted = t.filter(F.col("turn_idx") < 3).union(
+            t.limit(5).withColumn("turn_idx", F.col("turn_idx") + 1000)
+        )
+        out2 = str(tmp_path / "r2")
+        v2 = run_drift(
+            spark, shifted, out2, base_out, run_id="r2",
+            columns=["role"], numeric_columns=["turn_idx"],
+        )
+        rows2 = {r["check_name"]: r for r in v2.collect()}
+        assert not rows2["ks_turn_idx"]["pass"]
+        assert rows2["ks_turn_idx"]["metrics"]["ks"] > 0.1
+    finally:
+        t.unpersist()
+
+
+def test_numeric_ks_missing_baseline_skipped(spark, tmp_path):
+    """A baseline run that predates numeric baselines: the KS leg skips the
+    column instead of failing the whole drift pass."""
+    t = synth_transcripts(spark, 500)
+    base_out = str(tmp_path / "base")
+    write_histograms(spark, t, base_out, ["role"], numeric_columns=[])
+    v = run_drift(spark, t, str(tmp_path / "r1"), base_out, run_id="r1", columns=["role"])
+    names = {r["check_name"] for r in v.collect()}
+    assert "drift_role" in names and "ks_turn_idx" not in names
+
+
+def test_profile_diff_pass(spark, tmp_path):
+    """run_profile_compare: identical runs diff to all-OK; resumable from the
+    ledger; the verdict parquet carries the run_id stamp."""
+    from schema_infer_plugin_spark.plans.runner import run_profile_compare, run_profile
+
+    t = synth_transcripts(spark, 500)
+    base_out, cur_out = str(tmp_path / "base"), str(tmp_path / "cur")
+    run_profile(spark, t, base_out, run_id="base")
+    run_profile(spark, t, cur_out, run_id="cur")
+    v = run_profile_compare(spark, cur_out, base_out, run_id="cur")
+    rows = {r["col_name"]: r for r in v.collect()}
+    assert rows and all(r["verdict"] == "OK" for r in rows.values())
+    assert all(r["run_id"] == "cur" for r in rows.values())
+    # resume: served from disk
+    v2 = run_profile_compare(spark, cur_out, base_out, run_id="cur")
+    assert v2.count() == v.count()
+
+
 def test_discover_tables(spark, tmp_path):
     spark.range(1).createOrReplaceTempView("disc_orders")
     spark.range(1).createOrReplaceTempView("disc_lineitem")

@@ -228,13 +228,13 @@ MIN of two independent pinned 4× pairs — local[2]→local[8] = {s["eff_2_8"]}
 local[4]→local[16] = {s["eff_4_16"]}).
 
 Supplementary: local[8]→local[32] measures {s["eff_8_32"]} on this VM. The
-sandbox's 32 vCPUs are shared/oversubscribed (iteration variance up to 2.5× at
-32 threads vs <5% at 2-8 threads), so the top pair reflects host contention,
-not the plan — the plan is exchange-free and embarrassingly parallel over
-buckets; both pairs that stay below the host ceiling meet the criterion
-independently. On a real 4N-executor cluster the scan/sort/window work
-partitions across 4× the memory bandwidth and cores with no shared-bus
-ceiling.
+sandbox's 32 vCPUs are shared/oversubscribed, so the top pair reflects host
+contention, not the plan — the plan is exchange-free and embarrassingly
+parallel over buckets. On a real 4N-executor cluster the scan/sort/window
+work partitions across 4× the memory bandwidth and cores with no shared-bus
+ceiling. NOTE: even under taskset pinning and min-of-8, window-level host
+contention can shift a single level by ±30% between ladders — quote pair
+efficiencies together with a repeat run, never a single ladder in isolation.
 
 Raw JSON:
 

@@ -2070,6 +2070,89 @@ FROM o
 """
 
 
+_HOT_TOP_N = 20
+
+
+def q_conv_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnosis (checks/skew.py): the 20 hottest conv_ids with their
+    share and cumulative share of all turns — the measurement that decides
+    when/what to salt. One exchange + TakeOrdered; no global sort."""
+    from schema_infer_plugin_spark.checks import hot_key_report
+
+    return hot_key_report(_transcripts(spark, sf_dir), "conv_id", _HOT_TOP_N)
+
+
+ORACLE_CONV_HOT_KEYS = oracle_cte(
+    f"""
+, counts AS (SELECT conv_id AS key, CAST(count(*) AS BIGINT) AS cnt
+             FROM transcripts GROUP BY conv_id),
+tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts),
+top AS (SELECT key, cnt FROM counts ORDER BY cnt DESC, key ASC LIMIT {_HOT_TOP_N})
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS INT) AS rank,
+       key, cnt,
+       CAST(round(cnt / (SELECT total FROM tot), 6) AS DOUBLE) AS share,
+       CAST(round(sum(cnt) OVER (ORDER BY cnt DESC, key ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            / (SELECT total FROM tot), 6) AS DOUBLE) AS cum_share
+FROM top
+"""
+)
+
+
+def q_conv_group_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row group-size distribution under conv_id (checks/skew.py) —
+    skew_factor = max/avg is the salting trigger."""
+    from schema_infer_plugin_spark.checks import group_size_stats
+
+    return group_size_stats(_transcripts(spark, sf_dir), "conv_id")
+
+
+ORACLE_CONV_GROUP_SIZES = oracle_cte(
+    """
+, counts AS (SELECT CAST(count(*) AS BIGINT) AS cnt FROM transcripts GROUP BY conv_id)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(min(cnt) AS BIGINT) AS min_size,
+       CAST(max(cnt) AS BIGINT) AS max_size,
+       CAST(round(avg(cnt), 6) AS DOUBLE) AS avg_size,
+       CAST(round(max(cnt) / avg(cnt), 6) AS DOUBLE) AS skew_factor
+FROM counts
+"""
+)
+
+
+def q_conv_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation inter-turn latency profile (checks/temporal.py) —
+    epoch-microsecond gaps over the contiguity window, user→assistant
+    response latency split out."""
+    from schema_infer_plugin_spark.checks import conv_latency_stats
+
+    return conv_latency_stats(_transcripts(spark, sf_dir))
+
+
+ORACLE_CONV_LATENCY = oracle_cte(
+    """
+, lagged AS (
+  SELECT conv_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w AS gap_us,
+         CASE WHEN lag(role) OVER w = 'user' AND role = 'assistant'
+              THEN epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+         END AS resp_us
+  FROM transcripts
+  WINDOW w AS (PARTITION BY conv_id
+               ORDER BY turn_idx ASC, ts ASC NULLS FIRST, role ASC NULLS FIRST))
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(gap_us) AS BIGINT) AS n_gaps,
+       CAST(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) AS DOUBLE) AS mean_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(count(resp_us) AS BIGINT) AS n_responses,
+       CAST(CAST(sum(resp_us) AS DOUBLE) / count(resp_us) AS DOUBLE) AS mean_response_us
+FROM lagged GROUP BY conv_id
+"""
+)
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "transcripts_uniqueness": (q_uniqueness, ORACLE_UNIQUENESS),
     "transcripts_contiguity": (q_contiguity, ORACLE_CONTIGUITY),
@@ -2123,6 +2206,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "multimodal_resize": (q_multimodal_resize, ORACLE_MULTIMODAL_RESIZE),
     "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "ks_drift_turn_idx": (q_ks_drift, ORACLE_KS_DRIFT),
+    "conv_hot_keys": (q_conv_hot_keys, ORACLE_CONV_HOT_KEYS),
+    "conv_group_sizes": (q_conv_group_sizes, ORACLE_CONV_GROUP_SIZES),
+    "conv_latency": (q_conv_latency, ORACLE_CONV_LATENCY),
     "profile_compare_runs": (q_profile_compare, _oracle_profile_compare()),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
     "json_inference": (q_json_inference, ORACLE_JSON_INFERENCE),

@@ -13,7 +13,8 @@ from .uniqueness import uniqueness_violations  # noqa: F401
 from .contiguity import contiguity_violations  # noqa: F401
 from .domains import domain_violations  # noqa: F401
 from .nulls import null_violations  # noqa: F401
-from .temporal import ts_monotonic_violations  # noqa: F401
+from .temporal import conv_latency_stats, ts_monotonic_violations  # noqa: F401
+from .skew import group_size_stats, hot_key_report  # noqa: F401
 from .drift import histogram, drift_stats  # noqa: F401
 from .ksdrift import ks_statistic  # noqa: F401
 from .salting import conv_stats, salted_two_phase, with_salt  # noqa: F401

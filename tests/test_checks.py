@@ -184,3 +184,56 @@ def test_role_alternation_micro(spark):
     got = [(r["conv_id"], r["turn_idx"], r["observed"]) for r in
            role_alternation_violations(df).collect()]
     assert got == [("A", 2, "assistant")]
+
+
+def test_hot_key_report_micro(spark):
+    from schema_infer_plugin_spark.checks import group_size_stats, hot_key_report
+
+    rows = [("hot", i) for i in range(6)] + [("warm", 0), ("warm", 1), ("cold", 0)]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx"])
+    top = hot_key_report(df, "conv_id", top_n=2).collect()
+    assert [(r["rank"], r["key"], r["cnt"]) for r in top] == [(1, "hot", 6), (2, "warm", 2)]
+    # shares are of the WHOLE table (9 rows), cum_share accumulates
+    assert top[0]["share"] == round(6 / 9, 6)
+    assert top[1]["cum_share"] == round(8 / 9, 6)
+
+    stats = group_size_stats(df, "conv_id").collect()[0]
+    assert (stats["n_keys"], stats["n_rows"], stats["min_size"], stats["max_size"]) == (3, 9, 1, 6)
+    assert stats["skew_factor"] == 2.0  # max 6 / avg 3
+
+
+def test_hot_key_report_deterministic_ties(spark):
+    from schema_infer_plugin_spark.checks import hot_key_report
+
+    rows = [("b", 0), ("b", 1), ("a", 0), ("a", 1), ("c", 0)]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx"]).repartition(8)
+    top = hot_key_report(df, "conv_id", top_n=3).collect()
+    # tie on cnt=2 breaks on key ascending: a before b
+    assert [r["key"] for r in top] == ["a", "b", "c"]
+
+
+def test_conv_latency_micro(spark):
+    from schema_infer_plugin_spark.checks import conv_latency_stats
+
+    rows = [
+        ("A", 0, "user", "2026-01-01 00:00:00"),
+        ("A", 1, "assistant", "2026-01-01 00:00:02"),  # response gap 2s
+        ("A", 2, "user", "2026-01-01 00:00:03"),
+        ("A", 3, "assistant", None),                    # null ts: no gap either side
+        ("A", 4, "user", "2026-01-01 00:00:10"),
+        ("B", 0, "user", "2026-01-01 00:00:00"),        # single-gap conv, no response
+        ("B", 1, "tool", "2026-01-01 00:00:05"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "ts_s"]).select(
+        "conv_id", "turn_idx", "role", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = {r["conv_id"]: r for r in conv_latency_stats(df).collect()}
+    a = out["A"]
+    # gaps: 0->1 = 2s, 1->2 = 1s; 2->3 and 3->4 are null-adjacent -> no gap
+    assert (a["n_turns"], a["n_gaps"], a["n_responses"]) == (5, 2, 1)
+    assert a["mean_gap_us"] == 1_500_000.0
+    assert a["max_gap_us"] == 2_000_000
+    assert a["mean_response_us"] == 2_000_000.0
+    b = out["B"]
+    assert (b["n_gaps"], b["n_responses"]) == (1, 0)
+    assert b["mean_response_us"] is None

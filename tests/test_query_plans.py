@@ -25,6 +25,7 @@ BOUNDED_BROADCAST_CROSS = {
     "transcripts_profile",   # single-row stats / bounded head-sample frame
     "profile_compare_runs",  # two profile() calls, same head-sample frame
     "ks_drift_turn_idx",     # single-row (lo, hi) bounds frame for quantization
+    "conv_hot_keys",         # single-row corpus-total frame joined to ≤ top_n rows
 }
 
 ALL_QUERIES = sorted(entrymod.queries().keys())

@@ -2070,6 +2070,124 @@ FROM o
 """
 
 
+#: shared MinHash-LSH candidate chain (identical to ORACLE_MINHASH_LSH /
+#: ORACLE_DEDUP_COMPONENTS) for oracles that build on the pair graph
+_MINHASH_CAND_CTES = rf"""
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+                                                  i -> array_to_string(tk[i:i+2], ' ')))) AS sh
+       FROM toks),
+hh AS (SELECT doc_id,
+              CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) % 2147483647 AS h1,
+              CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) % 2147483647 AS h2
+       FROM sh),
+sig AS (SELECT doc_id, [{", ".join(f"min((h1 + {i} * h2) % 2147483647)" for i in range(16))}] AS sig
+        FROM hh GROUP BY doc_id),
+banded AS (SELECT doc_id, sig, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bh
+           FROM sig CROSS JOIN generate_series(0, 3) AS t(b)),
+cand AS (SELECT id_a, id_b FROM (
+           SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                  CAST(len(list_filter(generate_series(1, 16), i -> l.sig[i] = r.sig[i])) AS DOUBLE)/16 AS ej
+           FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id)
+         WHERE ej >= 0.5)"""
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection per duplicate cluster (datapipe/graph.py
+    canonical_docs): MinHash-LSH pairs → connected components → keep the
+    LONGEST doc per cluster (ties: smallest id); singletons keep themselves.
+    The step that turns near-dup pairs into a deduplicated corpus."""
+    from schema_infer_plugin_spark.datapipe import (
+        canonical_docs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    corpus = _mutated_corpus(spark, sf_dir)
+    sig = minhash_signatures(corpus, "doc_id", "text", num_hashes=16, shingle_k=3)
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=4, min_est_jaccard=0.5)
+    docs = corpus.select("doc_id", F.length("text").cast("long").alias("q"))
+    return canonical_docs(docs, pairs, id_col="doc_id", quality_col="q")
+
+
+ORACLE_DEDUP_CANONICAL = rf"""
+WITH RECURSIVE {_CORPUS_CTE},
+{_MINHASH_CAND_CTES},
+edges AS (SELECT id_a AS s, id_b AS d FROM cand UNION SELECT id_b, id_a FROM cand),
+reach AS (SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+comp AS (SELECT s AS doc_id, least(s, min(d)) AS component FROM reach GROUP BY s),
+lab AS (SELECT c.doc_id, CAST(length(c.text) AS BIGINT) AS q,
+               CAST(coalesce(p.component, c.doc_id) AS BIGINT) AS component
+        FROM corpus c LEFT JOIN comp p ON c.doc_id = p.doc_id),
+best AS (SELECT component, doc_id AS canonical_id,
+                row_number() OVER (PARTITION BY component
+                                   ORDER BY q DESC, doc_id ASC) AS rn
+         FROM lab)
+SELECT l.doc_id, l.component, CAST(b.canonical_id AS BIGINT) AS canonical_id,
+       l.doc_id = b.canonical_id AS keep
+FROM lab l JOIN (SELECT component, canonical_id FROM best WHERE rn = 1) b
+  USING (component)
+"""
+
+
+#: containment corpus: documents ∪ 10-token snippets of every 5th doc —
+#: snippets are true subsets, the asymmetric case Jaccard misses
+_CONTAIN_CTE = r"""
+ccorpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:10], ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0
+)"""
+
+
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment (datapipe/dedup.ngram_containment_pairs)
+    over documents ∪ planted 10-token snippets: every snippet must surface
+    with cont ≈ 1 from its side even though its Jaccard vs the full doc is
+    tiny — the subset case exact-Jaccard dedup misses."""
+    from schema_infer_plugin_spark.datapipe import ngram_containment_pairs
+
+    d = _fan(spark, load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    snippets = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 10), " ").alias("text"),
+    )
+    corpus = d.unionByName(snippets)
+    return ngram_containment_pairs(
+        corpus, "doc_id", "text", shingle_k=3, min_containment=0.9
+    )
+
+
+ORACLE_NGRAM_CONTAINMENT = rf"""
+WITH {_CONTAIN_CTE},
+ctoks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM ccorpus),
+sh0 AS (SELECT doc_id,
+               unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+                                                   i -> array_to_string(tk[i:i+2], ' ')))) AS sh
+        FROM ctoks),
+ok AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 1000),
+shf AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN ok USING (sh)),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM shf GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+          FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b,
+       CAST(round(CAST(i AS DOUBLE) / sa.sz, 6) AS DOUBLE) AS cont_a_in_b,
+       CAST(round(CAST(i AS DOUBLE) / sb.sz, 6) AS DOUBLE) AS cont_b_in_a,
+       CAST(round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON inter.id_a = sa.doc_id
+JOIN sizes sb ON inter.id_b = sb.doc_id
+WHERE round(CAST(i AS DOUBLE) / sa.sz, 6) >= 0.9
+   OR round(CAST(i AS DOUBLE) / sb.sz, 6) >= 0.9
+"""
+
+
 _HOT_TOP_N = 20
 
 
@@ -2183,6 +2301,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_exact_turns": (q_dedup_exact_turns, ORACLE_DEDUP_EXACT_TURNS),
     "dedup_minhash_lsh": (q_minhash_lsh, ORACLE_MINHASH_LSH),
     "dedup_components": (q_dedup_components, ORACLE_DEDUP_COMPONENTS),
+    "dedup_canonical": (q_dedup_canonical, ORACLE_DEDUP_CANONICAL),
+    "ngram_containment": (q_ngram_containment, ORACLE_NGRAM_CONTAINMENT),
     "simhash_documents": (q_simhash, ORACLE_SIMHASH),
     "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
     "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),

@@ -244,6 +244,41 @@ def simhash_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _shingle_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    max_shingle_freq: int | None,
+) -> DataFrame:
+    """Shared candidate core of the exact-overlap family: inverted-index
+    self-join on distinct word shingles → (id_a, id_b, inter, sz_a, sz_b)
+    with id_a < id_b. ``max_shingle_freq`` is the stop-shingle skew cut
+    (see :func:`ngram_jaccard_pairs` for the guarantees)."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("sh"),
+    )
+    if max_shingle_freq is not None:
+        freq_ok = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(
+            F.col("f") <= max_shingle_freq
+        )
+        sh = sh.join(freq_ok.select("sh"), "sh")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("_id").alias("id_a"), "sh")
+    b = sh.select(F.col("_id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -267,33 +302,52 @@ def ngram_jaccard_pairs(
 
     Output: (id_a, id_b, jaccard double).
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), shingle_k))).alias("sh"),
-    )
-    if max_shingle_freq is not None:
-        freq_ok = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f")).filter(
-            F.col("f") <= max_shingle_freq
-        )
-        sh = sh.join(freq_ok.select("sh"), "sh")
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col("_id").alias("id_a"), "sh")
-    b = sh.select(F.col("_id").alias("id_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     return (
-        inter.join(sizes.withColumnRenamed("_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        _shingle_overlap(df, id_col, text_col, shingle_k, max_shingle_freq)
         .select(
             "id_a",
             "id_b",
             (F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    min_containment: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT via the same inverted-index join as
+    :func:`ngram_jaccard_pairs` — C(A→B) = |A∩B| / |A|.
+
+    Jaccard misses subset relationships: a benchmark answer pasted into a
+    10×-longer document scores a tiny Jaccard but containment ≈ 1 from the
+    short side. Emits one row per unordered pair with both directions; the
+    filter keeps pairs where EITHER direction reaches ``min_containment``.
+    Same skew guard / scale posture as the Jaccard join (stop-shingles
+    dropped by default; candidate pairs ∝ shared shingles, never O(n²)).
+
+    Output: (id_a, id_b, cont_a_in_b, cont_b_in_a, jaccard), id_a < id_b.
+    """
+    return (
+        _shingle_overlap(df, id_col, text_col, shingle_k, max_shingle_freq)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("inter") / F.col("sz_a"), 6).cast("double").alias("cont_a_in_b"),
+            F.round(F.col("inter") / F.col("sz_b"), 6).cast("double").alias("cont_b_in_a"),
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            ).cast("double").alias("jaccard"),
+        )
+        .filter(
+            (F.col("cont_a_in_b") >= min_containment)
+            | (F.col("cont_b_in_a") >= min_containment)
+        )
     )
 
 

@@ -68,3 +68,54 @@ def connected_components(
         f"connected_components did not converge in {max_iter} rounds — graph "
         "diameter exceeds the cap; raise max_iter"
     )
+
+
+def canonical_docs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Pick ONE canonical document per duplicate cluster — the step that turns
+    near-dup PAIRS into a deduplicated corpus without the keep-smallest
+    over-drop (module docstring).
+
+    Cluster = connected component of ``pairs``; documents in no pair are their
+    own singleton cluster. Canonical = highest (numeric) ``quality_col`` in the cluster,
+    ties broken by smallest id (or smallest id outright when no quality column
+    is given) — deterministic at any parallelism.
+
+    Plan: components over the pair graph (edges ∝ near-dups, never the
+    corpus), then ONE equi-join of docs→components (left: singletons keep
+    their own id) and one max_by aggregation per component joined back. No
+    step touches more than |docs| + |pairs| rows.
+
+    Output: (id, component, canonical_id, keep boolean) — ``keep`` marks the
+    canonical row; filtering on it yields the cleaned corpus.
+    """
+    comp = connected_components(pairs, max_iter=max_iter)
+    qual = (
+        F.col(quality_col) if quality_col is not None else F.lit(0)
+    )
+    labeled = (
+        docs.select(F.col(id_col).alias("_id"), qual.alias("_q"))
+        .join(comp, F.col("_id") == F.col("node"), "left")
+        .select("_id", "_q", F.coalesce(F.col("component"), F.col("_id")).alias("component"))
+    )
+    # argmax as min_by over (-quality, id): max quality first, smallest id on
+    # ties — one total order, so quality_col must be numeric
+    best = labeled.groupBy("component").agg(
+        F.min_by(
+            "_id", F.struct((-F.col("_q")).alias("nq"), F.col("_id").alias("i"))
+        ).alias("canonical_id")
+    )
+    return (
+        labeled.join(best, "component")
+        .select(
+            F.col("_id").alias(id_col),
+            "component",
+            "canonical_id",
+            (F.col("_id") == F.col("canonical_id")).alias("keep"),
+        )
+    )

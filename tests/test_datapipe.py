@@ -507,6 +507,65 @@ def test_connected_components_chain_and_islands(spark):
         connected_components(pairs, max_iter=1)
 
 
+def test_canonical_docs_keeps_best_per_cluster(spark):
+    """Canonical selection: highest quality wins within a component, ties go
+    to the smallest id, singletons (docs in no pair) keep themselves."""
+    from schema_infer_plugin_spark.datapipe import canonical_docs
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (4, 7), (10, 1), (11, 1), (99, 3)],
+        "doc_id long, q long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r["doc_id"]: r for r in canonical_docs(docs, pairs, quality_col="q").collect()}
+    assert set(out) == {1, 2, 3, 4, 10, 11, 99}
+    # cluster {1,2,3}: q=50 tie between 2 and 3 -> smallest id 2
+    assert out[1]["canonical_id"] == 2 and out[3]["canonical_id"] == 2
+    assert [out[i]["keep"] for i in (1, 2, 3)] == [False, True, False]
+    # cluster {10,11}: q tie -> 10; singletons keep themselves
+    assert out[10]["keep"] and not out[11]["keep"]
+    assert out[4]["keep"] and out[4]["canonical_id"] == 4
+    assert out[99]["keep"] and out[99]["component"] == 99
+    # no quality column: smallest id outright
+    out2 = {r["doc_id"]: r for r in canonical_docs(docs, pairs).collect()}
+    assert out2[3]["canonical_id"] == 1
+    # exactly one keep per component either way
+    for o in (out, out2):
+        comps = {}
+        for r in o.values():
+            comps.setdefault(r["component"], 0)
+            comps[r["component"]] += int(r["keep"])
+        assert all(v == 1 for v in comps.values())
+
+
+def test_ngram_containment_finds_subset_docs(spark):
+    """A 10-token snippet of a 100-token doc has tiny Jaccard but containment
+    ≈ 1 from the snippet side — the asymmetric case Jaccard dedup misses."""
+    from schema_infer_plugin_spark.datapipe import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    words = " ".join(f"w{i}" for i in range(100))
+    snippet = " ".join(f"w{i}" for i in range(10))
+    other = " ".join(f"x{i}" for i in range(50))
+    corpus = spark.createDataFrame(
+        [(1, words), (2, snippet), (3, other)], "doc_id long, text string"
+    )
+    got = ngram_containment_pairs(corpus, "doc_id", "text", min_containment=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["cont_b_in_a"] == 1.0  # every snippet shingle appears in the doc
+    assert r["jaccard"] < 0.15  # and Jaccard alone would never flag it
+    # sanity: the symmetric query indeed misses the pair at the same bar
+    assert (
+        ngram_jaccard_pairs(corpus, "doc_id", "text", min_jaccard=0.5).count() == 0
+    )
+
+
 def test_multimodal_resize_and_frames_plumbing(spark, docs):
     from schema_infer_plugin_spark.datapipe import (
         resize_images,

@@ -1124,6 +1124,44 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style clustered dedup (datapipe/dedup.semantic_dedup_pairs):
+    embeddings → 8 IVF cells (md5-sampled centroids) → cosine pairs scored
+    only within a cell — the data-adaptive sibling of the hyperplane-LSH
+    path, per-cell work bounded by (n/n_cells)²."""
+    from schema_infer_plugin_spark.datapipe import semantic_dedup_pairs
+
+    emb = _fan(spark, load_table(spark, sf_dir, "embeddings"))
+    return semantic_dedup_pairs(
+        emb, "vec_id", "embedding", min_cosine=0.4, n_cells=8
+    )
+
+
+#: same centroid-selection / cell-assignment CTEs as ORACLE_ANN_IVF, then an
+#: intra-cell pair join instead of the query-probe join
+ORACLE_SEMANTIC_DEDUP = f"""
+WITH cent AS (
+  SELECT cv, row_number() OVER (ORDER BY r, vid) - 1 AS cidx
+  FROM (SELECT embedding AS cv, md5(CAST(vec_id AS VARCHAR)) AS r, vec_id AS vid
+        FROM embeddings ORDER BY r, vid LIMIT 8)),
+cscore AS (
+  SELECT e.vec_id, e.embedding, c.cidx,
+         {{_cos}} AS s
+  FROM embeddings e CROSS JOIN cent c),
+assign AS (
+  SELECT vec_id, embedding, CAST(cidx AS INT) AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+    FROM cscore) WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cell,
+       CAST(round({{_pcos}}, 6) AS DOUBLE) AS cosine
+FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round({{_pcos}}, 6) >= 0.4
+""".format(
+    _cos=_DUCK_COS.format(a="e.embedding", b="c.cv"),
+    _pcos=_DUCK_COS.format(a="a.embedding", b="b.embedding"),
+)
+
+
 def q_ann_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OR-amplified ANN: 3 independent hash tables of 8 planes each — higher
     per-table precision, recall recovered by the union (datapipe/ann.py)."""
@@ -1655,6 +1693,44 @@ FROM s
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (datapipe/sessions.py): split each user's
+    event stream at >1 h silences, one stats row per session — the time-aware
+    grouping that turns raw logs into conversation-shaped units. Single
+    window shuffle; all gap math in integer microseconds."""
+    from schema_infer_plugin_spark.datapipe import session_stats, sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=3600, order_cols=["event_id"])
+    return session_stats(s, "user_id", count_distinct_col="event_type")
+
+
+#: ROWS frame spelled out: DuckDB's default with ORDER BY is RANGE (peers
+#: included on ts ties) — Spark side uses an explicit rowsBetween.
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_type, ts_us,
+         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INT)
+           AS session_idx
+  FROM g)
+SELECT user_id, session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_us) AS start_us,
+       max(ts_us) AS end_us,
+       max(ts_us) - min(ts_us) AS duration_us,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct
+FROM s GROUP BY user_id, session_idx
+"""
+
 
 def q_conversation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation training-sample features + the 'trainable' keep-filter
@@ -2288,6 +2364,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "clean_corpus": (q_clean_corpus, ORACLE_CLEAN_CORPUS),
     "conv_stats_salted": (q_conv_stats_salted, ORACLE_CONV_STATS),
     "conversation_features": (q_conversation_features, ORACLE_CONVERSATION_FEATURES),
+    "sessionize_events": (q_sessionize_events, ORACLE_SESSIONIZE),
     "csv_parse": (q_csv_parse, ORACLE_CSV_PARSE),
     "raw_text_parse": (q_raw_text, ORACLE_RAW_TEXT),
     "transcripts_profile": (q_profile, ORACLE_PROFILE),
@@ -2313,6 +2390,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_lsh_topk": (q_ann_lsh, _oracle_ann_lsh()),
     "ann_lsh_multitable": (q_ann_lsh_multitable, _oracle_ann_lsh_multitable()),
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
+    "dedup_semantic": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "unigram_logprob": (q_unigram_logprob, ORACLE_UNIGRAM_LOGPROB),
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),

@@ -170,6 +170,29 @@ def _cell_scores(vec: Column, centroids: list[list[float]]) -> list[Column]:
     ]
 
 
+def scored_cells(vec: Column, centroids: list[list[float]]) -> Column:
+    """Centroid scores best-first as an array of (score, -idx) structs: the
+    descending sort puts the nearest cell at position 1, and the negated index
+    breaks score ties toward the LOWEST centroid index (deterministic at any
+    parallelism)."""
+    return F.sort_array(
+        F.array(
+            *[
+                F.struct(s.alias("s"), F.lit(-i).alias("ni"))
+                for i, s in enumerate(_cell_scores(vec, centroids))
+            ]
+        ),
+        asc=False,
+    )
+
+
+def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (argmax cosine, ties to lowest index) —
+    the IVF cell-assignment projection shared by :func:`ann_ivf_topk` and
+    the SemDeDup-style clustered dedup (datapipe/dedup.semantic_dedup_pairs)."""
+    return (-F.element_at(scored_cells(vec, centroids), 1)["ni"]).cast("int")
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -199,29 +222,16 @@ def ann_ivf_topk(
         centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
     n_cells = len(centroids)
 
-    def scored_cells(vec: Column) -> Column:
-        # array of (score, -idx): descending sort puts best-first, and the
-        # negated index breaks score ties toward the LOWEST centroid index
-        return F.sort_array(
-            F.array(
-                *[
-                    F.struct(s.alias("s"), F.lit(-i).alias("ni"))
-                    for i, s in enumerate(_cell_scores(vec, centroids))
-                ]
-            ),
-            asc=False,
-        )
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("cell", (-F.element_at(scored_cells(F.col("cv")), 1)["ni"]).cast("int"))
+    ).withColumn("cell", nearest_cell(F.col("cv"), centroids))
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .withColumn(
             "cell",
             F.explode(
                 F.transform(
-                    F.slice(scored_cells(F.col("qv")), 1, n_probe),
+                    F.slice(scored_cells(F.col("qv"), centroids), 1, n_probe),
                     lambda s: (-s["ni"]).cast("int"),
                 )
             ),

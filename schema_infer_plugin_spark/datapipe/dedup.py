@@ -445,3 +445,53 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float = 0.9,
+    n_cells: int = 64,
+    centroids: list[list[float]] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster embeddings into
+    IVF cells (nearest md5-sampled centroid — datapipe/ann.ivf_centroids),
+    then score cosine ONLY within a cell.
+
+    The data-adaptive sibling of :func:`embedding_neardup_pairs`'s hyperplane
+    LSH: centroids follow the corpus distribution, so dense regions (where
+    semantic duplicates live) get finer cells. Per-cell work is
+    O((n/n_cells)²) — at scale, size ``n_cells ∝ corpus/target_cell_size`` to
+    bound each task, exactly the published SemDeDup recipe (cluster, then
+    dedup inside clusters). Cell assignment is a pure projection against
+    broadcast-sized literal centroids; the only shuffle is the equi-join on
+    cell id. Misses cross-cell pairs by design (recall, not exactness — the
+    LSH path or a higher n_probe variant covers boundary pairs).
+
+    Pass ``centroids`` to reuse a trained index; otherwise derived from the
+    corpus (one bounded driver collect — index construction, not a per-query
+    probe). Output: (id_a, id_b, cell, cosine), id_a < id_b.
+    """
+    from ..functions.vectors import cosine_similarity
+    from .ann import ivf_centroids, nearest_cell
+
+    if centroids is None:
+        centroids = ivf_centroids(df, id_col, vec_col, n_cells)
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("cell", nearest_cell(F.col("_v"), centroids))
+    return (
+        base.alias("l")
+        .join(base.alias("r"), [F.col("l.cell") == F.col("r.cell"), F.col("l._id") < F.col("r._id")])
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l.cell").alias("cell"),
+            F.round(cosine_similarity(F.col("l._v"), F.col("r._v")), round_digits)
+            .cast("double")
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= min_cosine)
+    )

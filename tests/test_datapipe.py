@@ -184,6 +184,54 @@ def test_embedding_neardup_exact_copy(spark, emb):
     assert got_b == got
 
 
+def test_sessionize_gap_splits_and_stats(spark):
+    """Sessions split exactly at gaps > threshold; stats aggregate per
+    (key, session_idx); ties on ts break by the order column."""
+    from schema_infer_plugin_spark.datapipe import session_stats, sessionize
+
+    rows = [
+        # user 1: events at t=0s, 10s, 2000s (gap>1800 -> new session), 2005s
+        (1, 1, "2024-01-01 00:00:00"),
+        (1, 2, "2024-01-01 00:00:10"),
+        (1, 3, "2024-01-01 00:33:20"),
+        (1, 4, "2024-01-01 00:33:25"),
+        # user 2: single event
+        (2, 5, "2024-01-01 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    s = sessionize(df, "user_id", "ts", gap_seconds=1800, order_cols=["event_id"])
+    idx = {r["event_id"]: r["session_idx"] for r in s.collect()}
+    assert idx == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+    stats = {
+        (r["user_id"], r["session_idx"]): r
+        for r in session_stats(s, "user_id").collect()
+    }
+    assert stats[(1, 0)]["n_events"] == 2 and stats[(1, 0)]["duration_us"] == 10_000_000
+    assert stats[(1, 1)]["n_events"] == 2 and stats[(1, 1)]["duration_us"] == 5_000_000
+    assert stats[(2, 0)]["n_events"] == 1 and stats[(2, 0)]["duration_us"] == 0
+
+
+def test_semantic_dedup_finds_exact_copies_within_cells(spark, emb):
+    """Identical vectors always share an IVF cell (same argmax centroid), so
+    the clustered dedup must recover every planted copy; all reported pairs
+    must truly clear the cosine bar."""
+    from schema_infer_plugin_spark.datapipe import semantic_dedup_pairs
+
+    base = emb.filter(F.col("vec_id") < 50)
+    copy = base.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding", "label")
+    pairs = semantic_dedup_pairs(
+        base.unionByName(copy), "vec_id", "embedding", min_cosine=0.999, n_cells=8
+    )
+    rows = pairs.collect()
+    got = {(r["id_a"], r["id_b"]) for r in rows}
+    assert got >= {(i, i + 10000) for i in range(50)}
+    assert all(r["cosine"] >= 0.999 for r in rows)
+    # both members of a pair carry the same cell id by construction
+    assert all(0 <= r["cell"] < 8 for r in rows)
+
+
 def test_multimodal_arrow_plumbing(spark, docs):
     from schema_infer_plugin_spark.datapipe import extract_binary_features, with_binary_payload
 

@@ -118,6 +118,27 @@ FROM transcripts GROUP BY conv_id, turn_idx HAVING count(*) > 1
 )
 
 
+def q_fd_role(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency check (checks/fd.py): (conv_id, turn_idx) → role.
+    The fixture's collapsed duplicate turns (views.py: event_id % 101) map one
+    key to two roles — exactly the whole-table constraint the reference's
+    per-record validators cannot see. One hash agg, output ∝ violations."""
+    from schema_infer_plugin_spark.checks import fd_violations
+
+    return fd_violations(_transcripts(spark, sf_dir), ["conv_id", "turn_idx"], "role")
+
+
+ORACLE_FD_ROLE = oracle_cte(
+    """
+SELECT conv_id, turn_idx,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT role) AS BIGINT) AS n_values,
+       min(role) AS role_min, max(role) AS role_max
+FROM transcripts GROUP BY conv_id, turn_idx HAVING count(DISTINCT role) > 1
+"""
+)
+
+
 def q_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _viol(contiguity_violations(_transcripts(spark, sf_dir)))
 
@@ -1694,6 +1715,33 @@ FROM s
 # contract
 # ---------------------------------------------------------------------------
 
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outliers on events.value (checks/outliers.py), k=3.
+    approx=False is the exact-percentile opt-in so the run is value-checkable
+    against DuckDB quantile_cont; the production default is the
+    percentile_approx sketch. Bounds are a single broadcast row — the
+    documented bounded-broadcast-cross pattern."""
+    from schema_infer_plugin_spark.checks import iqr_outliers
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    return iqr_outliers(ev, "value", k=3.0, approx=False)
+
+
+ORACLE_VALUE_OUTLIERS = """
+WITH b AS (
+  SELECT quantile_cont(CAST(value AS DOUBLE), 0.25) AS q1,
+         quantile_cont(CAST(value AS DOUBLE), 0.75) AS q3
+  FROM events),
+f AS (SELECT q1, q3, q1 - 3.0 * (q3 - q1) AS lo, q3 + 3.0 * (q3 - q1) AS hi FROM b)
+SELECT event_id, CAST(round(CAST(value AS DOUBLE), 6) AS DOUBLE) AS value,
+       CAST(round(q1, 6) AS DOUBLE) AS q1, CAST(round(q3, 6) AS DOUBLE) AS q3,
+       CAST(round(lo, 6) AS DOUBLE) AS lo, CAST(round(hi, 6) AS DOUBLE) AS hi
+FROM events, f
+WHERE round(CAST(value AS DOUBLE), 6) < round(lo, 6)
+   OR round(CAST(value AS DOUBLE), 6) > round(hi, 6)
+"""
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (datapipe/sessions.py): split each user's
     event stream at >1 h silences, one stats row per session — the time-aware
@@ -2349,6 +2397,7 @@ FROM lagged GROUP BY conv_id
 
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "transcripts_uniqueness": (q_uniqueness, ORACLE_UNIQUENESS),
+    "transcripts_fd_role": (q_fd_role, ORACLE_FD_ROLE),
     "transcripts_contiguity": (q_contiguity, ORACLE_CONTIGUITY),
     "transcripts_role_domain": (q_role_domain, ORACLE_ROLE_DOMAIN),
     "transcripts_tool_domain": (q_tool_domain, ORACLE_TOOL_DOMAIN),
@@ -2365,6 +2414,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "conv_stats_salted": (q_conv_stats_salted, ORACLE_CONV_STATS),
     "conversation_features": (q_conversation_features, ORACLE_CONVERSATION_FEATURES),
     "sessionize_events": (q_sessionize_events, ORACLE_SESSIONIZE),
+    "value_outliers": (q_value_outliers, ORACLE_VALUE_OUTLIERS),
     "csv_parse": (q_csv_parse, ORACLE_CSV_PARSE),
     "raw_text_parse": (q_raw_text, ORACLE_RAW_TEXT),
     "transcripts_profile": (q_profile, ORACLE_PROFILE),

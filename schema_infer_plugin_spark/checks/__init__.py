@@ -12,7 +12,9 @@ from .alternation import role_alternation_violations  # noqa: F401
 from .uniqueness import uniqueness_violations  # noqa: F401
 from .contiguity import contiguity_violations  # noqa: F401
 from .domains import domain_violations  # noqa: F401
+from .fd import fd_violations  # noqa: F401
 from .nulls import null_violations  # noqa: F401
+from .outliers import iqr_outliers  # noqa: F401
 from .temporal import conv_latency_stats, ts_monotonic_violations  # noqa: F401
 from .skew import group_size_stats, hot_key_report  # noqa: F401
 from .drift import histogram, drift_stats  # noqa: F401

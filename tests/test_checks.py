@@ -237,3 +237,53 @@ def test_conv_latency_micro(spark):
     b = out["B"]
     assert (b["n_gaps"], b["n_responses"]) == (1, 0)
     assert b["mean_response_us"] is None
+
+
+def test_fd_violations_micro(spark):
+    """(conv_id, turn_idx) → role: only the key mapping to two roles is
+    flagged; NULL dependents don't create conflicts."""
+    from schema_infer_plugin_spark.checks import fd_violations
+
+    rows = [
+        ("A", 0, "user"),
+        ("A", 0, "assistant"),   # conflict: two roles for one key
+        ("A", 1, "user"),
+        ("A", 1, "user"),        # duplicate but consistent -> no violation
+        ("B", 0, "user"),
+        ("B", 0, None),          # NULL is ignored, not a second value
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = fd_violations(df, ["conv_id", "turn_idx"], "role").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["conv_id"], r["turn_idx"]) == ("A", 0)
+    assert r["n_rows"] == 2 and r["n_values"] == 2
+    assert (r["role_min"], r["role_max"]) == ("assistant", "user")
+
+
+def test_iqr_outliers_micro(spark):
+    """Exact and approx fences agree on a clean separation; the grouped
+    variant computes per-group bounds."""
+    from schema_infer_plugin_spark.checks import iqr_outliers
+
+    vals = [float(v) for v in range(1, 101)] + [1000.0, -1000.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, value double"
+    )
+    exact = iqr_outliers(df, "value", k=1.5, approx=False)
+    got = {r["id"]: r for r in exact.collect()}
+    assert set(got) == {100, 101}  # only the planted extremes
+    r = got[100]
+    assert r["value"] == 1000.0 and r["lo"] < 0 < r["hi"] < 1000
+    # sketch path flags the same extremes here (clean separation)
+    approx = iqr_outliers(df, "value", k=1.5, approx=True)
+    assert {r["id"] for r in approx.collect()} == {100, 101}
+    # grouped: an extreme value in one group is normal in another
+    rows = [("a", float(v)) for v in range(10)] + [("a", 500.0)] + [
+        ("b", float(v)) for v in range(490, 510)
+    ]
+    gdf = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id long, g string, value double"
+    )
+    gout = iqr_outliers(gdf, "value", k=1.5, approx=False, group_by=["g"]).collect()
+    assert [(r["g"], r["value"]) for r in gout] == [("a", 500.0)]

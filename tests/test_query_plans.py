@@ -26,6 +26,7 @@ BOUNDED_BROADCAST_CROSS = {
     "profile_compare_runs",  # two profile() calls, same head-sample frame
     "ks_drift_turn_idx",     # single-row (lo, hi) bounds frame for quantization
     "conv_hot_keys",         # single-row corpus-total frame joined to ≤ top_n rows
+    "value_outliers",        # single-row quantile-bounds frame (checks/outliers.py)
 }
 
 ALL_QUERIES = sorted(entrymod.queries().keys())

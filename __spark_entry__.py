@@ -1276,6 +1276,29 @@ _MIXTURE_RATES = {"user": 1.0, "assistant": 0.25, "tool": 0.05}
 _MIXTURE_WIDTH = 4
 
 
+def q_fixed_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sample (sources/sampling.fixed_k_sample): 20
+    documents per language ranked by md5(lang:doc_id) — the fixed-size eval
+    sampler a rate can't provide; deterministic at any parallelism and
+    identical in the oracle."""
+    from schema_infer_plugin_spark.sources.sampling import fixed_k_sample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return fixed_k_sample(d, "lang", ["doc_id"], k=20)
+
+
+ORACLE_FIXED_K = """
+SELECT doc_id, lang, CAST(rnk AS INT) AS sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(concat_ws(':', lang, CAST(doc_id AS STRING))), doc_id
+         ) AS rnk
+  FROM documents)
+WHERE rnk <= 20
+"""
+
+
 def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_infer_plugin_spark.sources.sampling import mixture_sample
 
@@ -2410,6 +2433,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "transcripts_verdicts": (q_verdicts, ORACLE_VERDICTS),
     "hash_sample_stratified": (q_hash_sample, ORACLE_HASH_SAMPLE),
     "mixture_sample_roles": (q_mixture_sample, _oracle_mixture()),
+    "fixed_k_sample_lang": (q_fixed_k_sample, ORACLE_FIXED_K),
     "clean_corpus": (q_clean_corpus, ORACLE_CLEAN_CORPUS),
     "conv_stats_salted": (q_conv_stats_salted, ORACLE_CONV_STATS),
     "conversation_features": (q_conversation_features, ORACLE_CONVERSATION_FEATURES),

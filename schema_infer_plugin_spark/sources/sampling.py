@@ -121,3 +121,46 @@ def split_assign(
     for name, hexbound in reversed(bounds):
         expr = F.when(bucket < hexbound, F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def fixed_k_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_cols: list[str],
+    k: int,
+    prefilter_rate_num: int | None = None,
+    prefilter_width: int = 2,
+) -> DataFrame:
+    """EXACTLY ``min(k, |stratum|)`` rows per stratum, deterministically:
+    rows are ranked within each stratum by the full md5 of (stratum, key) —
+    a uniform random order that is identical at any parallelism and in the
+    DuckDB oracle — and ranks > k are dropped. The fixed-size counterpart of
+    the rate-based samplers above (a rate can't promise "exactly 100 docs
+    per language for the eval set"; this does).
+
+    Scale: the rank is one window over ``stratum_col`` — a hot stratum is
+    sorted in one task. For 10^12-row strata pass ``prefilter_rate_num``:
+    the map-side hash-bucket predicate (same construction as
+    ``deterministic_sample``) prunes each stratum to an expected
+    ``rate × |stratum|`` rows BEFORE the window. The k survivors are
+    *identical* to the unfiltered result whenever ≥ k rows clear the
+    pre-filter (the kept rows are the k smallest hashes, and the pre-filter
+    keeps a hash-prefix range — a superset of any bottom-k inside it); size
+    the rate ≥ ~4k/|stratum| so undershoot probability is negligible.
+
+    Adds ``sample_rank`` (1-based). Output rows: input columns + rank.
+    """
+    from pyspark.sql import Window
+
+    cols = [F.col(stratum_col)] + [F.col(c) for c in key_cols]
+    if prefilter_rate_num is not None:
+        threshold = format(prefilter_rate_num, f"0{prefilter_width}x")
+        df = df.filter(hash_bucket(cols, prefilter_width) < F.lit(threshold))
+    rank_key = F.md5(F.concat_ws(":", *cols))
+    w = Window.partitionBy(stratum_col).orderBy(
+        rank_key, *[F.col(c) for c in key_cols]
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )

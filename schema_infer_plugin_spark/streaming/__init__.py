@@ -1,6 +1,7 @@
 """Structured Streaming surface: incremental transcript validation."""
 
 from schema_infer_plugin_spark.streaming.incremental import (
+    dedup_stream,
     row_level_violations_stream,
     stateful_contiguity_stream,
     validation_sink,
@@ -8,6 +9,7 @@ from schema_infer_plugin_spark.streaming.incremental import (
 )
 
 __all__ = [
+    "dedup_stream",
     "row_level_violations_stream",
     "stateful_contiguity_stream",
     "validation_sink",

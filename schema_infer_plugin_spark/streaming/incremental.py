@@ -229,3 +229,34 @@ def stateful_contiguity_stream(stream_df: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+    content_col: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: keep the FIRST arrival per key, drop later
+    copies — the incremental analog of datapipe/dedup.exact_dedup for
+    stream-fed corpora (retried producers, at-least-once sources).
+
+    State is bounded by the watermark: ``dropDuplicatesWithinWatermark``
+    evicts a key's dedup state once event time passes ``ts_col`` + ``delay``,
+    so memory is ∝ keys per watermark window, never ∝ stream history — the
+    property that keeps the operator alive on an unbounded 10^12-turn feed
+    (plain ``dropDuplicates`` on a stream grows state forever). Duplicates
+    arriving later than ``delay`` are NOT caught; the batch pass over the
+    landed table (plans/runner.py) is the backstop, mirroring the
+    batch-is-primary contract in this module's docstring.
+
+    ``content_col`` switches to content-hash identity: dedups on
+    ``md5(content_col)`` (adds ``text_hash``) instead of ``id_cols`` — e.g.
+    drop re-posted documents whose ids differ.
+    """
+    s = stream_df.withWatermark(ts_col, delay)
+    if content_col is not None:
+        s = s.withColumn("text_hash", F.md5(F.col(content_col)))
+        return s.dropDuplicatesWithinWatermark(["text_hash"])
+    return s.dropDuplicatesWithinWatermark(list(id_cols))

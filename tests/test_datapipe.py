@@ -515,6 +515,31 @@ def test_clean_corpus_funnel(spark, docs):
     assert jsc.getPersistentRDDs().size() == before + 1
 
 
+def test_fixed_k_sample_exact_count_and_prefilter_parity(spark, docs):
+    """Exactly min(k, group size) rows per stratum; the scale-path hash
+    pre-filter returns the identical sample when enough rows clear it."""
+    from schema_infer_plugin_spark.sources.sampling import fixed_k_sample
+
+    d = docs.select("doc_id", "lang")
+    out = fixed_k_sample(d, "lang", ["doc_id"], k=7)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    sizes = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {lang: min(7, n) for lang, n in sizes.items()}
+    # deterministic: re-running yields the same ids in the same ranks
+    a = sorted((r["lang"], r["sample_rank"], r["doc_id"]) for r in out.collect())
+    b = sorted(
+        (r["lang"], r["sample_rank"], r["doc_id"])
+        for r in fixed_k_sample(d, "lang", ["doc_id"], k=7).collect()
+    )
+    assert a == b
+    # generous pre-filter (rate 64/256 = 25% of ~100-doc strata >> k=7):
+    # same sample, strictly fewer rows reach the window
+    pf = fixed_k_sample(d, "lang", ["doc_id"], k=7, prefilter_rate_num=64)
+    assert sorted(
+        (r["lang"], r["sample_rank"], r["doc_id"]) for r in pf.collect()
+    ) == a
+
+
 def test_mixture_sample_rates(spark, docs):
     """Per-stratum keep fractions land near the configured rates and are
     exactly reproducible."""

@@ -147,3 +147,76 @@ def test_stateful_contiguity_across_microbatches(spark, tmp_path):
         ("uniqueness", "A", 1, "3", "1"),
         ("contiguity", "A", 4, "4", "2"),
     }
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first arrival per key across
+    micro-batches (watermark-bounded state); content-hash mode dedups
+    re-posted texts under new ids."""
+    import datetime
+
+    from schema_infer_plugin_spark.schema import TRANSCRIPTS_SCHEMA
+    from schema_infer_plugin_spark.streaming import dedup_stream
+
+    src = str(tmp_path / "din")
+    os.makedirs(src)
+
+    def row(conv, idx, text, minute):
+        return (conv, idx, "user", text, None, datetime.datetime(2026, 1, 1, 0, minute))
+
+    def write(batch, name):
+        spark.createDataFrame(batch, TRANSCRIPTS_SCHEMA).coalesce(1).write.parquet(
+            f"{src}/{name}.parquet"
+        )
+
+    write([row("A", 0, "x", 0), row("A", 1, "y", 1)], "b1")
+    # duplicate key (A,0) in a LATER micro-batch, inside the watermark window
+    write([row("A", 0, "x-retry", 2), row("B", 0, "z", 2)], "b2")
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*/")
+    )
+    out = str(tmp_path / "dout")
+    q = (
+        dedup_stream(stream, ["conv_id", "turn_idx"], delay="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) >= 2
+    got = spark.read.parquet(out)
+    keys = sorted((r["conv_id"], r["turn_idx"]) for r in got.collect())
+    assert keys == [("A", 0), ("A", 1), ("B", 0)]
+    # first arrival won: (A,0) kept text "x", not the retry
+    assert {r["text"] for r in got.collect()} == {"x", "y", "z"}
+
+    # content-hash identity: same text under a fresh id is dropped
+    src2, out2 = str(tmp_path / "cin"), str(tmp_path / "cout")
+    os.makedirs(src2)
+    spark.createDataFrame(
+        [row("A", 0, "same", 0)], TRANSCRIPTS_SCHEMA
+    ).coalesce(1).write.parquet(src2 + "/b1.parquet")
+    spark.createDataFrame(
+        [row("C", 9, "same", 1), row("D", 2, "new", 1)], TRANSCRIPTS_SCHEMA
+    ).coalesce(1).write.parquet(src2 + "/b2.parquet")
+    stream2 = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src2 + "/*/")
+    )
+    q2 = (
+        dedup_stream(stream2, [], content_col="text")
+        .writeStream.format("parquet")
+        .option("path", out2)
+        .option("checkpointLocation", str(tmp_path / "cckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    texts = sorted(r["text"] for r in spark.read.parquet(out2).collect())
+    assert texts == ["new", "same"]

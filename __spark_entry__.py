@@ -2240,6 +2240,41 @@ cand AS (SELECT id_a, id_b FROM (
          WHERE ej >= 0.5)"""
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH dedup (datapipe/dedup.lsh_pairs_vs_index): the mutated
+    copies (doc_id ≥ 100000) arrive as a NEW BATCH and are matched against
+    the band index of the original corpus only — band the increment, one
+    equi-join against the stored bands, history never re-shingled."""
+    from schema_infer_plugin_spark.datapipe import (
+        banded_signatures,
+        lsh_pairs_vs_index,
+        minhash_signatures,
+    )
+
+    corpus = _mutated_corpus(spark, sf_dir)
+    old = corpus.filter(F.col("doc_id") < 100000)
+    new = corpus.filter(F.col("doc_id") >= 100000)
+    index = banded_signatures(
+        minhash_signatures(old, "doc_id", "text", num_hashes=16, shingle_k=3),
+        "doc_id",
+        bands=4,
+    )
+    sig_new = minhash_signatures(new, "doc_id", "text", num_hashes=16, shingle_k=3)
+    return lsh_pairs_vs_index(sig_new, index, "doc_id", min_est_jaccard=0.5, bands=4)
+
+
+ORACLE_DEDUP_INCREMENTAL = rf"""
+WITH {_CORPUS_CTE},
+{_MINHASH_CAND_CTES.split("cand AS")[0].rstrip().rstrip(",")}
+SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old,
+       CAST(len(list_filter(generate_series(1, 16), i -> n.sig[i] = o.sig[i])) AS DOUBLE)/16
+         AS est_jaccard
+FROM banded n JOIN banded o ON n.b = o.b AND n.bh = o.bh
+WHERE n.doc_id >= 100000 AND o.doc_id < 100000
+  AND CAST(len(list_filter(generate_series(1, 16), i -> n.sig[i] = o.sig[i])) AS DOUBLE)/16 >= 0.5
+"""
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-doc selection per duplicate cluster (datapipe/graph.py
     canonical_docs): MinHash-LSH pairs → connected components → keep the
@@ -2453,6 +2488,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_minhash_lsh": (q_minhash_lsh, ORACLE_MINHASH_LSH),
     "dedup_components": (q_dedup_components, ORACLE_DEDUP_COMPONENTS),
     "dedup_canonical": (q_dedup_canonical, ORACLE_DEDUP_CANONICAL),
+    "dedup_incremental_lsh": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
     "ngram_containment": (q_ngram_containment, ORACLE_NGRAM_CONTAINMENT),
     "simhash_documents": (q_simhash, ORACLE_SIMHASH),
     "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),

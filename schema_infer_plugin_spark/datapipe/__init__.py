@@ -10,7 +10,9 @@ verifiable in DuckDB (functions/hashing.py).
 from .dedup import (  # noqa: F401
     exact_dedup,
     minhash_signatures,
+    banded_signatures,
     lsh_candidate_pairs,
+    lsh_pairs_vs_index,
     simhash,
     simhash_candidate_pairs,
     ngram_jaccard_pairs,

@@ -132,23 +132,17 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
-    sig_df: DataFrame,
-    id_col: str,
-    bands: int = 4,
-    min_est_jaccard: float = 0.5,
-) -> DataFrame:
-    """LSH banding over MinHash signatures → verified candidate pairs.
+def banded_signatures(sig_df: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
+    """Split each MinHash signature into ``bands`` equal bands and hash each —
+    the persistable LSH BAND INDEX: one row per (doc, band) with the band's
+    md5. Written once per corpus snapshot (partition by band_hash prefix for
+    co-located joins), it lets every later increment find its near-dups with
+    one equi-join instead of re-banding the whole history
+    (:func:`lsh_pairs_vs_index`).
 
-    Signature is split into ``bands`` equal bands; docs sharing any band hash
-    become candidates (equi-join on (band_idx, band_hash) — the scale path:
-    pair count ∝ actual near-dups, not n²). Estimated Jaccard = fraction of
-    matching signature positions; pairs below ``min_est_jaccard`` are dropped.
-
-    Output: (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
-    """
+    Output: (_id, sig, band_idx, band_hash)."""
     rows_per_band = F.size(F.col("sig")) / bands
-    banded = sig_df.select(
+    return sig_df.select(
         F.col(id_col).alias("_id"),
         F.col("sig"),
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band_idx"),
@@ -165,6 +159,24 @@ def lsh_candidate_pairs(
             )
         ),
     )
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    bands: int = 4,
+    min_est_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH banding over MinHash signatures → verified candidate pairs.
+
+    Signature is split into ``bands`` equal bands; docs sharing any band hash
+    become candidates (equi-join on (band_idx, band_hash) — the scale path:
+    pair count ∝ actual near-dups, not n²). Estimated Jaccard = fraction of
+    matching signature positions; pairs below ``min_est_jaccard`` are dropped.
+
+    Output: (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
+    """
+    banded = banded_signatures(sig_df, id_col, bands)
     left = banded.select(
         F.col("_id").alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
     )
@@ -187,6 +199,51 @@ def lsh_candidate_pairs(
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", (matches / F.size(F.col("sig_a"))).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .distinct()
+    )
+
+
+def lsh_pairs_vs_index(
+    sig_new: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    min_est_jaccard: float = 0.5,
+    bands: int = 4,
+) -> DataFrame:
+    """INCREMENTAL near-dup detection: match a new batch's signatures against
+    a persisted band index (:func:`banded_signatures`, typically read back
+    from parquet) — the daily-increment pattern: band only the increment,
+    equi-join against the stored bands, never re-shingle or re-band the
+    historical corpus. Join work is ∝ |increment| × collision rate; with the
+    index partitioned/bucketed on ``band_hash`` the shuffle moves only the
+    (small) new side.
+
+    Intra-batch duplicates are NOT reported here — run
+    :func:`lsh_candidate_pairs` on ``sig_new`` for those, then append the
+    increment's bands to the index. Same estimate and threshold semantics as
+    the batch join.
+
+    Output: (id_new, id_old, est_jaccard), deduped across bands;
+    rows with id_new == id_old (re-submitted doc under the same id) dropped.
+    """
+    nb = banded_signatures(sig_new, id_col, bands).select(
+        F.col("_id").alias("id_new"), F.col("sig").alias("sig_n"), "band_idx", "band_hash"
+    )
+    ob = index.select(
+        F.col("_id").alias("id_old"), F.col("sig").alias("sig_o"), "band_idx", "band_hash"
+    )
+    matches = F.aggregate(
+        F.zip_with(F.col("sig_n"), F.col("sig_o"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        nb.join(ob, ["band_idx", "band_hash"])
+        .filter(F.col("id_new") != F.col("id_old"))
+        .select(
+            "id_new", "id_old", (matches / F.size(F.col("sig_n"))).alias("est_jaccard")
+        )
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .distinct()
     )

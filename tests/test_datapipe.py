@@ -184,6 +184,42 @@ def test_embedding_neardup_exact_copy(spark, emb):
     assert got_b == got
 
 
+def test_incremental_lsh_matches_batch_cross_slice(spark, docs, tmp_path):
+    """Pairs found by joining an increment against the PERSISTED band index
+    equal exactly the new↔old slice of the full batch join — so daily
+    increments never need to re-band history."""
+    from schema_infer_plugin_spark.datapipe import (
+        banded_signatures,
+        lsh_candidate_pairs,
+        lsh_pairs_vs_index,
+        minhash_signatures,
+    )
+
+    full = _planted(docs.select("doc_id", "text"), spark)
+    old = full.filter(F.col("doc_id") < 1000000)
+    new = full.filter(F.col("doc_id") >= 1000000)
+
+    # index written to parquet and read back: the persistence seam is real
+    idx_path = str(tmp_path / "band_index")
+    banded_signatures(
+        minhash_signatures(old, "doc_id", "text"), "doc_id"
+    ).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    inc = lsh_pairs_vs_index(
+        minhash_signatures(new, "doc_id", "text"), index, "doc_id"
+    )
+    got = {(r["id_new"], r["id_old"], r["est_jaccard"]) for r in inc.collect()}
+
+    batch = lsh_candidate_pairs(minhash_signatures(full, "doc_id", "text"), "doc_id")
+    want = {
+        (r["id_b"], r["id_a"], r["est_jaccard"])
+        for r in batch.collect()
+        if r["id_a"] < 1000000 <= r["id_b"]
+    }
+    assert got == want and len(got) > 0
+
+
 def test_sessionize_gap_splits_and_stats(spark):
     """Sessions split exactly at gaps > threshold; stats aggregate per
     (key, session_idx); ties on ts break by the order column."""

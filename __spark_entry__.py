@@ -118,6 +118,38 @@ FROM transcripts GROUP BY conv_id, turn_idx HAVING count(*) > 1
 )
 
 
+def q_infer_role_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain inference (checks/domains.infer_domain): suggest the role
+    domain from the data — most-frequent values until 95% cumulative
+    coverage; the fixture's injected 'moderator' (error events) lands
+    outside. Hash agg + TakeOrdered, no global window."""
+    from schema_infer_plugin_spark.checks import infer_domain
+
+    return infer_domain(_transcripts(spark, sf_dir), "role", coverage=0.95, max_values=10)
+
+
+ORACLE_INFER_DOMAIN = oracle_cte(
+    """
+SELECT value, cnt,
+       CAST(round(share, 6) AS DOUBLE) AS share,
+       CAST(round(cum, 6) AS DOUBLE) AS cum_share,
+       (cum - share) < 0.95 AS in_domain
+FROM (
+  SELECT value, cnt,
+         CAST(cnt AS DOUBLE) / t AS share,
+         CAST(sum(cnt) OVER (ORDER BY cnt DESC, value ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / t
+           AS cum
+  FROM (
+    SELECT CAST(role AS STRING) AS value, CAST(count(*) AS BIGINT) AS cnt
+    FROM transcripts WHERE role IS NOT NULL GROUP BY role
+    ORDER BY cnt DESC, value ASC LIMIT 10
+  ), (SELECT count(*) AS t FROM transcripts WHERE role IS NOT NULL)
+)
+"""
+)
+
+
 def q_fd_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Functional-dependency check (checks/fd.py): (conv_id, turn_idx) → role.
     The fixture's collapsed duplicate turns (views.py: event_id % 101) map one
@@ -2456,6 +2488,7 @@ FROM lagged GROUP BY conv_id
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "transcripts_uniqueness": (q_uniqueness, ORACLE_UNIQUENESS),
     "transcripts_fd_role": (q_fd_role, ORACLE_FD_ROLE),
+    "infer_role_domain": (q_infer_role_domain, ORACLE_INFER_DOMAIN),
     "transcripts_contiguity": (q_contiguity, ORACLE_CONTIGUITY),
     "transcripts_role_domain": (q_role_domain, ORACLE_ROLE_DOMAIN),
     "transcripts_tool_domain": (q_tool_domain, ORACLE_TOOL_DOMAIN),

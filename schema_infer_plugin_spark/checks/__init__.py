@@ -11,7 +11,7 @@ module.
 from .alternation import role_alternation_violations  # noqa: F401
 from .uniqueness import uniqueness_violations  # noqa: F401
 from .contiguity import contiguity_violations  # noqa: F401
-from .domains import domain_violations  # noqa: F401
+from .domains import domain_violations, infer_domain  # noqa: F401
 from .fd import fd_violations  # noqa: F401
 from .nulls import null_violations  # noqa: F401
 from .outliers import iqr_outliers  # noqa: F401

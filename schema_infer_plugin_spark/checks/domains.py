@@ -59,3 +59,53 @@ def tool_requires_role_violations(df: DataFrame, tool_role: str = "tool") -> Dat
         F.col("tool").cast("string").alias("observed"),
         F.lit("NULL unless role=tool").alias("expected"),
     )
+
+
+def infer_domain(
+    df: DataFrame,
+    column: str,
+    coverage: float = 0.99,
+    max_values: int = 20,
+) -> DataFrame:
+    """INFER a validation domain from the data — the reference's
+    inference-first philosophy applied to constraints: the suggested domain
+    is the most-frequent values whose cumulative share of non-null rows
+    reaches ``coverage`` (a value is in-domain iff the mass BEFORE it is
+    still below the bar), capped at ``max_values``. Feed the accepted rows
+    straight into :func:`domain_violations` as a catalog-backed domain.
+
+    Plan: one hash agg on the column (partial-agg bounded), then
+    ``orderBy(count desc).limit(max_values)`` — a distributed TakeOrdered,
+    NOT a global window, so a high-cardinality column never funnels its
+    distinct values through one task. The cumulative window runs over the
+    ≤ max_values survivors only (driver-scale). Ties break by value for
+    determinism. Shares are exact IEEE doubles (identical in the oracle);
+    displayed rounded.
+
+    Output: (value, cnt, share, cum_share, in_domain), ordered cnt desc.
+    """
+    nn = df.filter(F.col(column).isNotNull()).select(
+        F.col(column).cast("string").alias("value")
+    )
+    total = nn.agg(F.count(F.lit(1)).alias("_total"))
+    counts = nn.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("value")).limit(max_values)
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    w = (
+        Window.orderBy(F.desc("cnt"), F.asc("value"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    share = F.col("cnt") / F.col("_total")
+    cum = F.sum("cnt").over(w) / F.col("_total")
+    return (
+        top.crossJoin(broadcast(total))
+        .select(
+            "value",
+            "cnt",
+            F.round(share, 6).cast("double").alias("share"),
+            F.round(cum, 6).cast("double").alias("cum_share"),
+            ((cum - share) < coverage).alias("in_domain"),
+        )
+    )

@@ -287,3 +287,25 @@ def test_iqr_outliers_micro(spark):
     )
     gout = iqr_outliers(gdf, "value", k=1.5, approx=False, group_by=["g"]).collect()
     assert [(r["g"], r["value"]) for r in gout] == [("a", 500.0)]
+
+
+def test_infer_domain_coverage_and_cap(spark):
+    """Values enter the suggested domain until cumulative coverage is
+    reached; max_values caps the candidate set; ties break by value."""
+    from schema_infer_plugin_spark.checks import infer_domain
+
+    rows = (
+        [("user",)] * 60 + [("assistant",)] * 30 + [("tool",)] * 8
+        + [("moderator",)] * 2 + [(None,)]
+    )
+    df = spark.createDataFrame(rows, "role string")
+    out = {r["value"]: r for r in infer_domain(df, "role", coverage=0.9).collect()}
+    assert set(out) == {"user", "assistant", "tool", "moderator"}
+    # mass before user(0) / assistant(0.6) / tool(0.9) / moderator(0.98)
+    assert [out[v]["in_domain"] for v in ("user", "assistant", "tool", "moderator")] == [
+        True, True, False, False,
+    ]
+    assert out["user"]["share"] == 0.6 and out["moderator"]["cum_share"] == 1.0
+    # cap: only the top-2 most frequent are even reported
+    capped = infer_domain(df, "role", coverage=0.9, max_values=2)
+    assert {r["value"] for r in capped.collect()} == {"user", "assistant"}

@@ -27,6 +27,7 @@ BOUNDED_BROADCAST_CROSS = {
     "ks_drift_turn_idx",     # single-row (lo, hi) bounds frame for quantization
     "conv_hot_keys",         # single-row corpus-total frame joined to ≤ top_n rows
     "value_outliers",        # single-row quantile-bounds frame (checks/outliers.py)
+    "infer_role_domain",     # single-row non-null-total frame over ≤ max_values rows
 }
 
 ALL_QUERIES = sorted(entrymod.queries().keys())

@@ -504,6 +504,37 @@ FROM transcripts WHERE text IS NULL
 # ---------------------------------------------------------------------------
 
 
+
+def q_violations_triage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded triage sample (operators/violations.violations_sample): a
+    deterministic md5-ranked 5-row slice of EVERY check's violations — the
+    artifact a human reads when a check fails on 10^12 turns; ≤ k × #checks
+    rows no matter how broken the input."""
+    from schema_infer_plugin_spark.operators.violations import violations_sample
+    from schema_infer_plugin_spark.plans.validate import validate_transcripts
+
+    viol = validate_transcripts(_transcripts(spark, sf_dir)).filter(
+        F.col("check_name") != "ts_monotonic"
+    )
+    return _viol(violations_sample(viol, k=5))
+
+
+ORACLE_VIOLATIONS_TRIAGE = f"""
+WITH v AS ({ORACLE_VALIDATE_FUSED})
+SELECT check_name, conv_id, turn_idx, col_name, observed, expected,
+       CAST(rnk AS INT) AS sample_rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY check_name
+      ORDER BY md5(concat_ws(':', check_name, conv_id, CAST(turn_idx AS STRING), observed)),
+               conv_id NULLS FIRST, turn_idx NULLS FIRST, observed NULLS FIRST
+    ) AS rnk
+  FROM v)
+WHERE rnk <= 5
+"""
+
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -2496,6 +2527,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "transcripts_null_text": (q_null_text, ORACLE_NULL_TEXT),
     "transcripts_role_alternation": (q_role_alternation, ORACLE_ROLE_ALTERNATION),
     "transcripts_validate_fused": (q_validate_fused, ORACLE_VALIDATE_FUSED),
+    "violations_triage": (q_violations_triage, ORACLE_VIOLATIONS_TRIAGE),
     "transcripts_ts_monotonic": (q_ts_monotonic, ORACLE_TS_MONOTONIC),
     "transcripts_text_ordered": (q_text_ordered, ORACLE_TEXT_ORDERED),
     "transcripts_verdicts": (q_verdicts, ORACLE_VERDICTS),

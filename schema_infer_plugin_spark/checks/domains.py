@@ -109,3 +109,21 @@ def infer_domain(
             ((cum - share) < coverage).alias("in_domain"),
         )
     )
+
+
+def inferred_domain_values(
+    df: DataFrame,
+    column: str,
+    coverage: float = 0.999,
+    max_values: int = 20,
+) -> list[str]:
+    """Accepted domain (sorted list) from :func:`infer_domain` — the bounded
+    driver collect is ≤ ``max_values`` rows BY CONSTRUCTION (the plan limits
+    before collecting), so this is index-construction-sized like
+    datapipe/ann.ivf_centroids, not a table collect."""
+    rows = (
+        infer_domain(df, column, coverage, max_values)
+        .filter(F.col("in_domain"))
+        .collect()
+    )
+    return sorted(r["value"] for r in rows)

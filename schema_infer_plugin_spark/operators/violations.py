@@ -63,3 +63,24 @@ def verdicts(
             F.coalesce("violation_count", F.lit(0)).cast("double"),
         ).alias("metrics"),
     )
+
+
+def violations_sample(
+    violations: DataFrame,
+    k: int = 100,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx", "observed"),
+) -> DataFrame:
+    """Bounded TRIAGE sample: a deterministic k-row slice of each check's
+    violations (sources/sampling.fixed_k_sample, md5-ranked within
+    check_name) — at 10^12 turns a failing check can emit billions of rows,
+    but a human triages from a handful of examples; this keeps the triage
+    artifact ≤ k × #checks rows no matter how broken the input is, and the
+    SAME rows are picked on every run/engine. ``observed`` participates in
+    the rank key so coordinate-duplicate violations (two bad rows at one
+    (conv_id, turn_idx)) still rank deterministically.
+
+    Adds ``sample_rank`` (1-based within check_name).
+    """
+    from ..sources.sampling import fixed_k_sample
+
+    return fixed_k_sample(violations, "check_name", list(key_cols), k)

@@ -481,6 +481,20 @@ def main(argv: list[str] | None = None) -> None:
         default=None,
         help="a previous run's --out dir; enables the KL/PSI drift pass",
     )
+    ap.add_argument(
+        "--infer-domains",
+        action="store_true",
+        help="derive role/tool domains from the DATA (checks/domains."
+        "inferred_domain_values) instead of config/schema constants — the"
+        " inference-first mode: values below --domain-coverage cumulative"
+        " frequency become violations",
+    )
+    ap.add_argument(
+        "--domain-coverage",
+        type=float,
+        default=0.999,
+        help="cumulative-frequency bar for --infer-domains (default 0.999)",
+    )
     args = ap.parse_args(argv)
     try:
         cfg = load_config(args.config)
@@ -536,6 +550,13 @@ def main(argv: list[str] | None = None) -> None:
         # from any other transform or bucket count can't satisfy this, and
         # absent-key-means-empty is never assumed at this layer
         bucket_rows = None
+    role_domain = cfg.validation.role_domain or None
+    tool_domain = cfg.validation.tool_domain or None
+    if args.infer_domains:
+        from schema_infer_plugin_spark.checks.domains import inferred_domain_values
+
+        role_domain = inferred_domain_values(t, "role", args.domain_coverage)
+        tool_domain = inferred_domain_values(t, "tool", args.domain_coverage)
     run_profile(spark, t, args.out, run_id=args.run_id)
     write_histograms(spark, t, args.out)
     summary = run_validation(
@@ -545,8 +566,8 @@ def main(argv: list[str] | None = None) -> None:
         run_id=args.run_id,
         n_buckets=n_buckets,
         batch_buckets=batch_buckets,
-        role_domain=cfg.validation.role_domain or None,
-        tool_domain=cfg.validation.tool_domain or None,
+        role_domain=role_domain,
+        tool_domain=tool_domain,
         bucket_rows=bucket_rows,
     )
     if args.baseline:

@@ -117,3 +117,47 @@ def test_profile_pass_resumes_without_recompute(spark, tmp_path):
     p2 = run_profile(spark, t, out)  # second call: served from disk
     assert read_ledger(spark, out).count() == n_ledger
     assert p1.count() == p2.count()
+
+
+def test_inferred_domains_drive_validation(spark):
+    """--infer-domains mode: inferred_domain_values returns the bounded
+    accepted set, and run-validation wiring with it equals an explicit-domain
+    run — inference-first validation without configured constants."""
+    from schema_infer_plugin_spark.checks.domains import inferred_domain_values
+    from schema_infer_plugin_spark.plans.validate import validate_transcripts
+
+    t = synth_transcripts(spark, 5_000).persist()
+    try:
+        roles = inferred_domain_values(t, "role", coverage=0.999)
+        # the common roles are accepted; the 5e-5-rate injected 'moderator'
+        # cannot clear a 99.9% cumulative bar
+        assert {"user", "assistant", "system", "tool"} <= set(roles)
+        assert "moderator" not in roles
+        inferred = validate_transcripts(t, role_domain=roles)
+        explicit = validate_transcripts(t, role_domain=sorted(roles))
+        assert inferred.exceptAll(explicit).count() == 0
+        assert explicit.exceptAll(inferred).count() == 0
+        # moderator rows ARE flagged under the inferred domain
+        assert (
+            inferred.filter(
+                (F.col("check_name") == "domain_role")
+                & (F.col("observed") == "moderator")
+            ).count()
+            > 0
+        )
+    finally:
+        t.unpersist()
+
+
+def test_violations_sample_bounded_and_deterministic(spark):
+    from schema_infer_plugin_spark.operators.violations import violations_sample
+    from schema_infer_plugin_spark.plans.validate import validate_transcripts
+
+    t = synth_transcripts(spark, 2_000)
+    viol = validate_transcripts(t)
+    s = violations_sample(viol, k=3)
+    per_check = {r["check_name"]: r["n"] for r in s.groupBy("check_name").agg(F.count("*").alias("n")).collect()}
+    assert per_check and all(n <= 3 for n in per_check.values())
+    a = sorted(map(tuple, s.drop("detail").collect()))
+    b = sorted(map(tuple, violations_sample(viol, k=3).drop("detail").collect()))
+    assert a == b

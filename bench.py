@@ -90,6 +90,10 @@ def run_bench(sf_dir: str, cpus: int, n_convs: int | None = None) -> dict:
         "text_quality",
         "dedup_simhash_pairs",
         "winnow_fingerprints",
+        # round-3 additions (supplementary keys; round-over-round comparison
+        # uses the shared prefix above)
+        "dedup_semantic",
+        "dedup_incremental_lsh",
     ):
         timed(name, lambda name=name: q[name](spark, sf_dir).count())
 

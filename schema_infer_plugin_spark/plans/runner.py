@@ -455,6 +455,27 @@ def run_schema_evolution(
     return spark.read.parquet(verd_dir)
 
 
+def write_triage(
+    spark: SparkSession, out_dir: str, k: int = 100, run_id: str = "run0"
+) -> int:
+    """Write the bounded triage artifact: a deterministic md5-ranked k-row
+    slice per check of the run's written violations
+    (operators/violations.violations_sample) to ``violations_triage/``.
+    One bounded job over the violations output (∝ errors, not input) — the
+    file a human opens first when a 10^12-turn run reports failures.
+    Returns the triage row count (≤ k × #checks)."""
+    from schema_infer_plugin_spark.operators.violations import violations_sample
+
+    viol_dir = os.path.join(out_dir, "violations")
+    triage_dir = os.path.join(out_dir, "violations_triage")
+    viol = spark.read.parquet(viol_dir).withColumn(
+        "partition_key", F.col("partition_key").cast("string")
+    )
+    sample = violations_sample(viol, k=k).withColumn("run_id", F.lit(run_id))
+    sample.coalesce(1).write.mode("overwrite").parquet(triage_dir)
+    return spark.read.parquet(triage_dir).count()
+
+
 def main(argv: list[str] | None = None) -> None:
     from schema_infer_plugin_spark.session import get_spark
     from schema_infer_plugin_spark.sources.io import load_table
@@ -494,6 +515,12 @@ def main(argv: list[str] | None = None) -> None:
         type=float,
         default=0.999,
         help="cumulative-frequency bar for --infer-domains (default 0.999)",
+    )
+    ap.add_argument(
+        "--triage-k",
+        type=int,
+        default=100,
+        help="rows per check in the violations_triage artifact (0 disables)",
     )
     args = ap.parse_args(argv)
     try:
@@ -570,6 +597,10 @@ def main(argv: list[str] | None = None) -> None:
         tool_domain=tool_domain,
         bucket_rows=bucket_rows,
     )
+    if args.triage_k:
+        summary["triage_rows"] = write_triage(
+            spark, args.out, k=args.triage_k, run_id=args.run_id
+        )
     if args.baseline:
         drift = run_drift(
             spark, t, args.out, args.baseline, run_id=args.run_id,

@@ -161,3 +161,28 @@ def test_violations_sample_bounded_and_deterministic(spark):
     a = sorted(map(tuple, s.drop("detail").collect()))
     b = sorted(map(tuple, violations_sample(viol, k=3).drop("detail").collect()))
     assert a == b
+
+
+def test_write_triage_artifact(spark, tmp_path):
+    """The runner's triage artifact is bounded (≤ k per check), stamped with
+    run_id, and derived from the written violations."""
+    from schema_infer_plugin_spark.plans.runner import write_triage
+
+    t = synth_transcripts(spark, 2_000)
+    out = str(tmp_path / "run")
+    run_validation(spark, t, out, n_buckets=8, batch_buckets=8)
+    n = write_triage(spark, out, k=4, run_id="run0")
+    got = spark.read.parquet(str(tmp_path / "run" / "violations_triage"))
+    assert n == got.count() > 0
+    per_check = {
+        r["check_name"]: r["n"]
+        for r in got.groupBy("check_name").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(v <= 4 for v in per_check.values())
+    assert got.select("run_id").distinct().collect()[0][0] == "run0"
+    # deterministic: rewriting yields identical rows (materialize before the
+    # overwrite invalidates the first read's file listing)
+    rows_a = sorted(map(tuple, got.collect()))
+    write_triage(spark, out, k=4, run_id="run0")
+    again = spark.read.parquet(str(tmp_path / "run" / "violations_triage"))
+    assert sorted(map(tuple, again.collect())) == rows_a

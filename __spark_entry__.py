@@ -1828,6 +1828,34 @@ WHERE round(CAST(value AS DOUBLE), 6) < round(lo, 6)
 """
 
 
+def q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example extraction (datapipe/examples.py): one training example
+    per assistant turn — target text + ≤4 preceding turns rendered as a flat
+    byte-comparable context string. Bounded ROWS-frame collect over the same
+    conv_id window partitioning validation uses (zero exchange when
+    bucketed)."""
+    from schema_infer_plugin_spark.datapipe import sft_examples
+
+    return sft_examples(_transcripts(spark, sf_dir), max_context=4)
+
+
+ORACLE_SFT_EXAMPLES = oracle_cte(
+    """
+SELECT conv_id, turn_idx, text AS target,
+       coalesce(array_to_string(ctx, chr(31)), '') AS context,
+       CAST(coalesce(len(ctx), 0) AS INT) AS n_context
+FROM (
+  SELECT conv_id, turn_idx, role, text,
+         list(concat_ws(chr(9), coalesce(role, '<null>'), coalesce(text, '<null>'))) OVER (
+           PARTITION BY conv_id
+           ORDER BY turn_idx, coalesce(role, ''), coalesce(text, '')
+           ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS ctx
+  FROM transcripts)
+WHERE role = 'assistant' AND text IS NOT NULL
+"""
+)
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (datapipe/sessions.py): split each user's
     event stream at >1 h silences, one stats row per session — the time-aware
@@ -2538,6 +2566,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "conv_stats_salted": (q_conv_stats_salted, ORACLE_CONV_STATS),
     "conversation_features": (q_conversation_features, ORACLE_CONVERSATION_FEATURES),
     "sessionize_events": (q_sessionize_events, ORACLE_SESSIONIZE),
+    "sft_examples": (q_sft_examples, ORACLE_SFT_EXAMPLES),
     "value_outliers": (q_value_outliers, ORACLE_VALUE_OUTLIERS),
     "csv_parse": (q_csv_parse, ORACLE_CSV_PARSE),
     "raw_text_parse": (q_raw_text, ORACLE_RAW_TEXT),

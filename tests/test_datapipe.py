@@ -917,3 +917,35 @@ def test_split_assign_stable_and_proportional(spark, docs):
     assert a.exceptAll(b).count() == 0
     with pytest.raises(ValueError, match="sum to 1"):
         split_assign(docs.select("doc_id"), ["doc_id"], {"train": 0.5})
+
+
+def test_sft_examples_context_window(spark):
+    """Context = preceding ≤ max_context turns in order; first-turn targets
+    get an empty context; duplicate turn_idx rows order deterministically."""
+    from schema_infer_plugin_spark.datapipe import sft_examples
+    from schema_infer_plugin_spark.datapipe.examples import _FIELD_SEP, _TURN_SEP
+
+    rows = [
+        ("A", 0, "assistant", "a0"),   # no context
+        ("A", 1, "user", "u1"),
+        ("A", 2, "assistant", "a2"),
+        ("A", 3, "user", None),        # NULL text renders <null> in context
+        ("A", 4, "assistant", "a4"),
+        ("B", 0, "user", "u0"),
+        ("B", 1, "assistant", "b1"),
+        ("B", 1, "assistant", "b1-dup"),  # duplicate idx: text tie-break
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    out = {(r["conv_id"], r["turn_idx"], r["target"]): r for r in sft_examples(df, max_context=2).collect()}
+
+    def ctx(*turns):
+        return _TURN_SEP.join(_FIELD_SEP.join(t) for t in turns)
+
+    assert out[("A", 0, "a0")]["context"] == "" and out[("A", 0, "a0")]["n_context"] == 0
+    assert out[("A", 2, "a2")]["context"] == ctx(("assistant", "a0"), ("user", "u1"))
+    # window truncates to the 2 immediately preceding turns
+    assert out[("A", 4, "a4")]["context"] == ctx(("assistant", "a2"), ("user", "<null>"))
+    # duplicate (B,1): 'b1' sorts before 'b1-dup', so b1's context is just u0
+    # and b1-dup's context is (u0, b1) truncated to the last 2
+    assert out[("B", 1, "b1")]["context"] == ctx(("user", "u0"))
+    assert out[("B", 1, "b1-dup")]["context"] == ctx(("user", "u0"), ("assistant", "b1"))

@@ -1078,6 +1078,52 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE
 """
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over an int8-QUANTIZED corpus (functions/vectors.quantize_
+    embedding): per-vector affine [lo, step, q..255] — 1 byte/component
+    instead of 4, the storage/shuffle lever for 100 TB embedding corpora.
+    The whole quantize→dequantize→cosine chain is value-checked against
+    DuckDB (floor(x+0.5) rounding: the engines' round() tie rules differ)."""
+    from schema_infer_plugin_spark.datapipe import ann_bruteforce_topk
+    from schema_infer_plugin_spark.functions.vectors import (
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    emb = _fan(spark, load_table(spark, sf_dir, "embeddings"))
+    deq = emb.select(
+        "vec_id",
+        dequantize_embedding(quantize_embedding(F.col("embedding"))).alias("embedding"),
+    )
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_bruteforce_topk(deq, qs, k=3)
+
+
+ORACLE_ANN_QUANTIZED = f"""
+WITH dq AS (
+  SELECT vec_id,
+         list_min(embedding::DOUBLE[]) AS lo,
+         (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[])) / 255.0 AS step,
+         embedding
+  FROM embeddings),
+dqv AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> lo + (CASE WHEN step > 0
+                           THEN greatest(0.0, least(255.0, floor((x - lo) / step + 0.5)))
+                           ELSE 0.0 END) * step) AS emb
+  FROM dq),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         CAST(round({_DUCK_COS.format(a="qv", b="c.emb")}, 6) AS DOUBLE) AS cosine
+  FROM q JOIN dqv c ON c.vec_id != q.query_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+           FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 3
+"""
+
+
 _EMB_DIM = 64  # testdata embeddings dimensionality (TESTDATA.md)
 
 
@@ -2589,6 +2635,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "dedup_ngram_jaccard_guarded": (q_ngram_jaccard_guarded, ORACLE_NGRAM_JACCARD_GUARDED),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
+    "ann_quantized_topk": (q_ann_quantized, ORACLE_ANN_QUANTIZED),
     "dedup_embedding_cosine": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
     "dedup_embedding_lsh": (q_embedding_neardup_lsh, _oracle_embedding_lsh()),
     "ann_lsh_topk": (q_ann_lsh, _oracle_ann_lsh()),

@@ -949,3 +949,37 @@ def test_sft_examples_context_window(spark):
     # and b1-dup's context is (u0, b1) truncated to the last 2
     assert out[("B", 1, "b1")]["context"] == ctx(("user", "u0"))
     assert out[("B", 1, "b1-dup")]["context"] == ctx(("user", "u0"), ("assistant", "b1"))
+
+
+def test_quantize_dequantize_error_bound_and_recall(spark, emb):
+    """Affine int8 quantization: per-component error ≤ step/2, constant
+    vectors round-trip exactly, and quantized brute-force top-3 keeps high
+    recall vs full precision."""
+    from schema_infer_plugin_spark.datapipe import ann_bruteforce_topk
+    from schema_infer_plugin_spark.functions.vectors import (
+        dequantize_embedding,
+        quantize_embedding,
+    )
+
+    s = quantize_embedding(F.col("embedding"))
+    checked = emb.select(
+        "vec_id",
+        s["step"].alias("step"),
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            dequantize_embedding(s),
+            lambda a, b: F.abs(a - b),
+        ).alias("err"),
+    ).select("vec_id", "step", F.array_max("err").alias("max_err"))
+    bad = checked.filter(F.col("max_err") > F.col("step") / 2 + 1e-12).count()
+    assert bad == 0
+    # constant vector: exact round-trip via the step=0 branch
+    const = spark.createDataFrame([(1, [2.5] * 8)], "vec_id long, embedding array<double>")
+    rt = const.select(dequantize_embedding(quantize_embedding(F.col("embedding"))).alias("d"))
+    assert rt.collect()[0]["d"] == [2.5] * 8
+    # recall of quantized corpus vs full precision (top-3, 10 queries)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    deq = emb.select("vec_id", dequantize_embedding(quantize_embedding(F.col("embedding"))).alias("embedding"))
+    exact = {(r["query_id"], r["neighbor_id"]) for r in ann_bruteforce_topk(emb, qs, k=3).collect()}
+    quant = {(r["query_id"], r["neighbor_id"]) for r in ann_bruteforce_topk(deq, qs, k=3).collect()}
+    assert len(exact & quant) / len(exact) >= 0.9

@@ -13,7 +13,7 @@ from tests.conftest import SF_SMOKE
 #: queries whose WHOLE PURPOSE is the exact all-pairs baseline (verifiers for
 #: the LSH/IVF scale paths) — the broadcast nested-loop join is the documented
 #: opt-in there, never the production path
-EXACT_BASELINES = {"dedup_embedding_cosine", "ann_bruteforce_topk"}
+EXACT_BASELINES = {"dedup_embedding_cosine", "ann_bruteforce_topk", "ann_quantized_topk"}
 
 #: queries where a BroadcastNestedLoopJoin is a BOUNDED broadcast cross —
 #: one side is driver-derived metadata that never grows with the table

@@ -3,6 +3,7 @@
 from schema_infer_plugin_spark.streaming.incremental import (
     dedup_stream,
     row_level_violations_stream,
+    session_stats_stream,
     stateful_contiguity_stream,
     validation_sink,
     windowed_violation_rates,
@@ -11,6 +12,7 @@ from schema_infer_plugin_spark.streaming.incremental import (
 __all__ = [
     "dedup_stream",
     "row_level_violations_stream",
+    "session_stats_stream",
     "stateful_contiguity_stream",
     "validation_sink",
     "windowed_violation_rates",

@@ -260,3 +260,33 @@ def dedup_stream(
         s = s.withColumn("text_hash", F.md5(F.col(content_col)))
         return s.dropDuplicatesWithinWatermark(["text_hash"])
     return s.dropDuplicatesWithinWatermark(list(id_cols))
+
+
+def session_stats_stream(
+    stream_df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "1 hour",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming-native sessionization: Spark's built-in ``session_window``
+    grows a per-key window while events keep arriving within ``gap`` and
+    closes it after a silence — the incremental twin of
+    datapipe/sessions.sessionize, with state bounded by the watermark
+    (a session finalizes and its state evicts once event time passes its
+    end + ``delay``; append mode emits exactly one row per closed session).
+
+    Output: (key, session_start, session_end, n_events) — event-time
+    timestamps from the window struct.
+    """
+    s = stream_df.withWatermark(ts_col, delay)
+    return (
+        s.groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

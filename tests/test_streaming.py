@@ -220,3 +220,54 @@ def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
     q2.awaitTermination(120)
     texts = sorted(r["text"] for r in spark.read.parquet(out2).collect())
     assert texts == ["new", "same"]
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
+    """Built-in session_window sessions equal the batch gap-based
+    sessionization on the same closed data (event time far past the
+    watermark): same session count, bounds and sizes per key."""
+    import datetime
+
+    from schema_infer_plugin_spark.datapipe import session_stats, sessionize
+    from schema_infer_plugin_spark.streaming import session_stats_stream
+
+    rows = []
+    for u in (1, 2, 3):
+        base = datetime.datetime(2026, 1, 1, 8, 0, 0)
+        for s_i in range(u):  # user u has u sessions, 3 events each
+            start = base + datetime.timedelta(hours=3 * s_i)
+            for e in range(3):
+                rows.append((u, start + datetime.timedelta(minutes=10 * e)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    # sentinel event two days later: the watermark only reaches
+    # max_event_time - delay, so without it the globally-latest session
+    # would never close and append mode would hold its row back
+    sentinel = spark.createDataFrame(
+        [(99, datetime.datetime(2026, 1, 3))], "user_id long, ts timestamp"
+    )
+    src = str(tmp_path / "sess_in")
+    df.unionByName(sentinel).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = str(tmp_path / "sess_out")
+    q = (
+        session_stats_stream(stream, gap="1 hour", delay="10 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).filter(F.col("user_id") != 99)
+    # batch analog over the same rows (same 1h gap)
+    batch = session_stats(sessionize(df, "user_id", "ts", gap_seconds=3600), "user_id")
+    # one row per (user, session); session counts and sizes must agree
+    g = {(r["user_id"], r["session_start"]): r["n_events"] for r in got.collect()}
+    b = {(r["user_id"], r["start_us"]): r["n_events"] for r in batch.collect()}
+    assert len(g) == len(b) == 6  # 1+2+3 sessions
+    assert sorted(g.values()) == sorted(b.values()) == [3] * 6
+    # window bounds: each session starts at its first event's time
+    starts_g = sorted(int(k[1].timestamp() * 1_000_000) for k in g)
+    starts_b = sorted(v for _, v in b)
+    assert starts_g == starts_b

@@ -1874,6 +1874,54 @@ WHERE round(CAST(value AS DOUBLE), 6) < round(lo, 6)
 """
 
 
+def q_dedup_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSATION-level near-dup pairs: render each conversation's turns to
+    one deterministic text (datapipe/convstats.conversation_texts), then the
+    standard MinHash-LSH chain — two conversations with near-identical
+    content are duplicates even when ids/timestamps differ. The transcripts ×
+    datapipe crossover a training pipeline runs before SFT extraction."""
+    from schema_infer_plugin_spark.datapipe import (
+        conversation_texts,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    ct = conversation_texts(_transcripts(spark, sf_dir))
+    sig = minhash_signatures(ct, "conv_id", "text", num_hashes=16, shingle_k=3)
+    return lsh_candidate_pairs(sig, "conv_id", bands=4, min_est_jaccard=0.5)
+
+
+#: same signature/banding arithmetic as _MINHASH_CAND_CTES but over the
+#: rendered conversation texts; emits est_jaccard like the engine
+ORACLE_DEDUP_CONVERSATIONS = oracle_cte(
+    rf"""
+SELECT id_a, id_b, ej AS est_jaccard FROM (
+  WITH ct AS (
+    SELECT conv_id,
+           string_agg(coalesce(text, '<null>'), ' '
+                      ORDER BY turn_idx, coalesce(text, '<null>')) AS text
+    FROM transcripts GROUP BY conv_id),
+  toks AS (SELECT conv_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM ct),
+  sh AS (SELECT conv_id,
+                unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+                                                    i -> array_to_string(tk[i:i+2], ' ')))) AS sh
+         FROM toks),
+  hh AS (SELECT conv_id,
+                CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) % 2147483647 AS h1,
+                CAST(concat('0x', substr(md5(sh), 9, 8)) AS BIGINT) % 2147483647 AS h2
+         FROM sh),
+  sig AS (SELECT conv_id, [{", ".join(f"min((h1 + {i} * h2) % 2147483647)" for i in range(16))}] AS sig
+          FROM hh GROUP BY conv_id),
+  banded AS (SELECT conv_id, sig, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bh
+             FROM sig CROSS JOIN generate_series(0, 3) AS t(b))
+  SELECT DISTINCT l.conv_id AS id_a, r.conv_id AS id_b,
+         CAST(len(list_filter(generate_series(1, 16), i -> l.sig[i] = r.sig[i])) AS DOUBLE)/16 AS ej
+  FROM banded l JOIN banded r ON l.b = r.b AND l.bh = r.bh AND l.conv_id < r.conv_id)
+WHERE ej >= 0.5
+"""
+)
+
+
 def q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT example extraction (datapipe/examples.py): one training example
     per assistant turn — target text + ≤4 preceding turns rendered as a flat
@@ -2613,6 +2661,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "conversation_features": (q_conversation_features, ORACLE_CONVERSATION_FEATURES),
     "sessionize_events": (q_sessionize_events, ORACLE_SESSIONIZE),
     "sft_examples": (q_sft_examples, ORACLE_SFT_EXAMPLES),
+    "dedup_conversations": (q_dedup_conversations, ORACLE_DEDUP_CONVERSATIONS),
     "value_outliers": (q_value_outliers, ORACLE_VALUE_OUTLIERS),
     "csv_parse": (q_csv_parse, ORACLE_CSV_PARSE),
     "raw_text_parse": (q_raw_text, ORACLE_RAW_TEXT),

@@ -21,7 +21,7 @@ from .dedup import (  # noqa: F401
     semantic_dedup_pairs,
 )
 from .ann import ann_bruteforce_topk, ann_ivf_topk, ann_lsh_topk, ivf_centroids  # noqa: F401
-from .convstats import conversation_features  # noqa: F401
+from .convstats import conversation_features, conversation_texts  # noqa: F401
 from .examples import sft_examples  # noqa: F401
 from .graph import canonical_docs, connected_components  # noqa: F401
 from .packing import pack_sequences  # noqa: F401

@@ -61,3 +61,29 @@ def conversation_features(df: DataFrame) -> DataFrame:
             & ends_assistant
         ).alias("trainable"),
     )
+
+
+def conversation_texts(df: DataFrame) -> DataFrame:
+    """One row per conversation with its turns' text concatenated in
+    (turn_idx, text) order — the unit for CONVERSATION-level dedup: two
+    conversations whose rendered texts are near-identical are duplicates even
+    when ids/timestamps differ.
+
+    collect_list over a groupBy is bounded here by the engine's data model
+    (conversations are bounded — the same invariant the validation windows
+    rely on); sort_array makes the render order deterministic at any
+    parallelism, with text as the tie-breaker for duplicate turn indexes.
+    NULL text renders as '<null>' so gap patterns still count as content.
+
+    Output: (conv_id, text).
+    """
+    turn = F.struct(
+        F.col("turn_idx"),
+        F.coalesce(F.col("text"), F.lit("<null>")).alias("t"),
+    )
+    return df.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list(turn)), lambda s: s["t"]),
+            " ",
+        ).alias("text")
+    )

@@ -983,3 +983,31 @@ def test_quantize_dequantize_error_bound_and_recall(spark, emb):
     exact = {(r["query_id"], r["neighbor_id"]) for r in ann_bruteforce_topk(emb, qs, k=3).collect()}
     quant = {(r["query_id"], r["neighbor_id"]) for r in ann_bruteforce_topk(deq, qs, k=3).collect()}
     assert len(exact & quant) / len(exact) >= 0.9
+
+
+def test_conversation_dedup_finds_cloned_conversations(spark):
+    """A conversation cloned under a new conv_id (ids/ts differ, content
+    identical) is caught by conversation-level MinHash-LSH; render order is
+    deterministic under shuffled input row order."""
+    from schema_infer_plugin_spark.datapipe import (
+        conversation_texts,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = []
+    for c in range(6):
+        for t in range(12):
+            rows.append((f"conv_{c}", t, f"w{c}t{t} common filler text here", ))
+    # clone conv_2's content under a fresh id
+    rows += [("conv_clone", t, f"w2t{t} common filler text here") for t in range(12)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    ct = conversation_texts(df.orderBy(F.rand(7)))  # shuffle input order
+    sig = minhash_signatures(ct, "conv_id", "text")
+    pairs = lsh_candidate_pairs(sig, "conv_id")
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got.get(("conv_2", "conv_clone")) == 1.0
+    # deterministic text render regardless of row order
+    a = {r["conv_id"]: r["text"] for r in conversation_texts(df).collect()}
+    b = {r["conv_id"]: r["text"] for r in conversation_texts(df.orderBy(F.rand(9))).collect()}
+    assert a == b

@@ -1847,6 +1847,35 @@ FROM s
 # contract
 # ---------------------------------------------------------------------------
 
+def q_value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of events.value (checks/drift.histogram_
+    equidepth), 8 buckets at the column's own quantiles — robust to the
+    outliers that stretch equal-width bins. Exact-percentile opt-in for
+    oracle parity; production default is the sketch."""
+    from schema_infer_plugin_spark.checks import histogram_equidepth
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+    return histogram_equidepth(ev, "value", n_buckets=8, approx=False)
+
+
+ORACLE_VALUE_HISTOGRAM = """
+WITH nn AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
+st AS (
+  SELECT [{probs}] AS edges, min(v) AS lo, max(v) AS hi
+  FROM nn),
+b AS (
+  SELECT len(list_filter(edges, e -> v > e)) AS bucket, edges, lo, hi
+  FROM nn, st)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(round(CASE WHEN bucket = 0 THEN lo ELSE edges[bucket] END, 6) AS DOUBLE) AS edge_lo,
+       CAST(round(CASE WHEN bucket = 7 THEN hi ELSE edges[bucket + 1] END, 6) AS DOUBLE) AS edge_hi,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM b GROUP BY bucket, edges, lo, hi
+""".format(
+    probs=", ".join(f"quantile_cont(v, {i}.0/8)" for i in range(1, 8))
+)
+
+
 def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outliers on events.value (checks/outliers.py), k=3.
     approx=False is the exact-percentile opt-in so the run is value-checkable
@@ -2663,6 +2692,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sft_examples": (q_sft_examples, ORACLE_SFT_EXAMPLES),
     "dedup_conversations": (q_dedup_conversations, ORACLE_DEDUP_CONVERSATIONS),
     "value_outliers": (q_value_outliers, ORACLE_VALUE_OUTLIERS),
+    "value_histogram_equidepth": (q_value_histogram_equidepth, ORACLE_VALUE_HISTOGRAM),
     "csv_parse": (q_csv_parse, ORACLE_CSV_PARSE),
     "raw_text_parse": (q_raw_text, ORACLE_RAW_TEXT),
     "transcripts_profile": (q_profile, ORACLE_PROFILE),

@@ -17,6 +17,6 @@ from .nulls import null_violations  # noqa: F401
 from .outliers import iqr_outliers  # noqa: F401
 from .temporal import conv_latency_stats, ts_monotonic_violations  # noqa: F401
 from .skew import group_size_stats, hot_key_report  # noqa: F401
-from .drift import histogram, drift_stats  # noqa: F401
+from .drift import histogram, histogram_equidepth, drift_stats  # noqa: F401
 from .ksdrift import ks_statistic  # noqa: F401
 from .salting import conv_stats, salted_two_phase, with_salt  # noqa: F401

@@ -77,3 +77,59 @@ def drift_stats(current: DataFrame, baseline: DataFrame, eps: float = 1e-6) -> D
         (F.col("freq_cur") * ratio).alias("kl_term"),
         (0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)).alias("js_term"),
     )
+
+
+def histogram_equidepth(
+    df: DataFrame,
+    column: str,
+    n_buckets: int = 10,
+    approx: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Equi-DEPTH histogram: bucket edges at the column's own quantiles, so
+    every bucket holds ~1/n of the rows — the robust companion to the
+    equal-width :func:`histogram` (one outlier stretches equal-width bins
+    into uselessness; quantile edges don't move).
+
+    Plan: one aggregation derives the n-1 interior edges (a single broadcast
+    row), then bucket assignment is a map-side per-row fold over the edge
+    array (count of edges strictly below the value — JVM HOF, no UDF) and
+    one hash agg counts per bucket. ``approx=True`` (default, the 10^12-row
+    path) uses the percentile_approx sketch; ``approx=False`` is the exact
+    opt-in whose edges match DuckDB ``quantile_cont`` for the oracle.
+
+    Output: (bucket int, edge_lo double, edge_hi double, cnt long) — edge_lo
+    of bucket 0 and edge_hi of the last bucket are the column min/max;
+    NULLs are excluded.
+    """
+    c = F.col(column).cast("double")
+    probs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    quant = F.percentile_approx(c, probs) if approx else F.percentile(c, probs)
+    nn = df.filter(c.isNotNull())
+    stats = nn.agg(
+        quant.alias("_edges"), F.min(c).alias("_lo"), F.max(c).alias("_hi")
+    )
+    x = c
+    bucket = F.aggregate(
+        F.col("_edges"),
+        F.lit(0),
+        lambda acc, e: acc + (x > e).cast("int"),
+    )
+    counts = (
+        nn.crossJoin(broadcast(stats))
+        .select(bucket.alias("bucket"), "_edges", "_lo", "_hi")
+        .groupBy("bucket", "_edges", "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lo_edge = F.when(
+        F.col("bucket") == 0, F.col("_lo")
+    ).otherwise(F.element_at(F.col("_edges"), F.col("bucket")))
+    hi_edge = F.when(
+        F.col("bucket") == n_buckets - 1, F.col("_hi")
+    ).otherwise(F.element_at(F.col("_edges"), F.col("bucket") + 1))
+    return counts.select(
+        "bucket",
+        F.round(lo_edge, round_digits).cast("double").alias("edge_lo"),
+        F.round(hi_edge, round_digits).cast("double").alias("edge_hi"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )

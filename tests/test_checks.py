@@ -309,3 +309,24 @@ def test_infer_domain_coverage_and_cap(spark):
     # cap: only the top-2 most frequent are even reported
     capped = infer_domain(df, "role", coverage=0.9, max_values=2)
     assert {r["value"] for r in capped.collect()} == {"user", "assistant"}
+
+
+def test_histogram_equidepth_balanced_buckets(spark):
+    """Quantile edges put ~1/n of rows in every bucket even with an extreme
+    outlier; the equal-width histogram collapses under the same input."""
+    from schema_infer_plugin_spark.checks import histogram, histogram_equidepth
+
+    vals = [float(v) for v in range(1, 801)] + [1e9]  # outlier stretches range
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    eq = histogram_equidepth(df, "value", n_buckets=8, approx=False).collect()
+    assert len(eq) == 8
+    counts = sorted(r["cnt"] for r in eq)
+    assert counts[0] >= 90 and counts[-1] <= 110  # ~100 each
+    by_bucket = {r["bucket"]: r for r in eq}
+    assert by_bucket[0]["edge_lo"] == 1.0 and by_bucket[7]["edge_hi"] == 1e9
+    # edges are monotone and adjacent buckets share an edge
+    for b in range(7):
+        assert by_bucket[b]["edge_hi"] == by_bucket[b + 1]["edge_lo"]
+    # equal-width: the outlier shoves ALL regular rows into bucket 0
+    ew = {int(r["bucket"]): r["freq"] for r in histogram(df, "value", n_buckets=8).collect()}
+    assert ew[0] > 0.99

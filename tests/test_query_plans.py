@@ -28,6 +28,7 @@ BOUNDED_BROADCAST_CROSS = {
     "conv_hot_keys",         # single-row corpus-total frame joined to ≤ top_n rows
     "value_outliers",        # single-row quantile-bounds frame (checks/outliers.py)
     "infer_role_domain",     # single-row non-null-total frame over ≤ max_values rows
+    "value_histogram_equidepth",  # single-row quantile-edges frame (checks/drift.py)
 }
 
 ALL_QUERIES = sorted(entrymod.queries().keys())

@@ -2489,6 +2489,69 @@ WHERE n.doc_id >= 100000 AND o.doc_id < 100000
 """
 
 
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word 3-grams by document frequency (datapipe/text.
+    boilerplate_ngrams) — the corpus's boilerplate, i.e. exactly the
+    shingles the dedup joins' stop-shingle guard would cut. Hash agg +
+    distributed TakeOrdered; no global window."""
+    from schema_infer_plugin_spark.datapipe import boilerplate_ngrams
+
+    d = _fan(spark, load_table(spark, sf_dir, "documents").select("text"))
+    return boilerplate_ngrams(d, "text", shingle_k=3, top_n=20)
+
+
+ORACLE_BOILERPLATE = r"""
+WITH toks AS (SELECT regexp_split_to_array(trim(text), '\s+') AS tk FROM documents),
+sh AS (SELECT unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+                                                  i -> array_to_string(tk[i:i+2], ' ')))) AS shingle
+       FROM toks)
+SELECT shingle, CAST(count(*) AS BIGINT) AS doc_freq
+FROM sh GROUP BY shingle
+ORDER BY doc_freq DESC, shingle ASC LIMIT 20
+"""
+
+
+def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate-pair matrix (datapipe/dedup.
+    contamination_matrix): MinHash-LSH pairs over the mutated corpus rolled
+    up by synthetic source bracket (orig / near-copy / exact-copy) — the
+    curation view showing which sources mirror each other."""
+    from schema_infer_plugin_spark.datapipe import (
+        contamination_matrix,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    corpus = _mutated_corpus(spark, sf_dir)
+    sig = minhash_signatures(corpus, "doc_id", "text", num_hashes=16, shingle_k=3)
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=4, min_est_jaccard=0.5)
+    groups = corpus.select(
+        "doc_id",
+        F.when(F.col("doc_id") < 100000, "orig")
+        .when(F.col("doc_id") < 200000, "near")
+        .otherwise("exact")
+        .alias("src"),
+    )
+    return contamination_matrix(groups, pairs, "doc_id", "src")
+
+
+ORACLE_CONTAMINATION_MATRIX = rf"""
+WITH {_CORPUS_CTE},
+{_MINHASH_CAND_CTES},
+grp AS (SELECT doc_id,
+               CASE WHEN doc_id < 100000 THEN 'orig'
+                    WHEN doc_id < 200000 THEN 'near'
+                    ELSE 'exact' END AS src
+        FROM corpus)
+SELECT least(ga.src, gb.src) AS group_a, greatest(ga.src, gb.src) AS group_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM cand
+JOIN grp ga ON cand.id_a = ga.doc_id
+JOIN grp gb ON cand.id_b = gb.doc_id
+GROUP BY 1, 2
+"""
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-doc selection per duplicate cluster (datapipe/graph.py
     canonical_docs): MinHash-LSH pairs → connected components → keep the
@@ -2708,6 +2771,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_components": (q_dedup_components, ORACLE_DEDUP_COMPONENTS),
     "dedup_canonical": (q_dedup_canonical, ORACLE_DEDUP_CANONICAL),
     "dedup_incremental_lsh": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, ORACLE_BOILERPLATE),
+    "contamination_matrix": (q_contamination_matrix, ORACLE_CONTAMINATION_MATRIX),
     "ngram_containment": (q_ngram_containment, ORACLE_NGRAM_CONTAINMENT),
     "simhash_documents": (q_simhash, ORACLE_SIMHASH),
     "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),

@@ -19,6 +19,7 @@ from .dedup import (  # noqa: F401
     ngram_containment_pairs,
     embedding_neardup_pairs,
     semantic_dedup_pairs,
+    contamination_matrix,
 )
 from .ann import ann_bruteforce_topk, ann_ivf_topk, ann_lsh_topk, ivf_centroids  # noqa: F401
 from .convstats import conversation_features, conversation_texts  # noqa: F401
@@ -27,7 +28,7 @@ from .graph import canonical_docs, connected_components  # noqa: F401
 from .packing import pack_sequences  # noqa: F401
 from .sessions import session_stats, sessionize  # noqa: F401
 from .pipeline import clean_corpus  # noqa: F401
-from .text import text_quality_table, language_id_table  # noqa: F401
+from .text import boilerplate_ngrams, text_quality_table, language_id_table  # noqa: F401
 from .multimodal import (  # noqa: F401
     extract_binary_features,
     resize_images,

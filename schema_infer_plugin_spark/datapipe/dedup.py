@@ -552,3 +552,35 @@ def semantic_dedup_pairs(
         )
         .filter(F.col("cosine") >= min_cosine)
     )
+
+
+def contamination_matrix(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Roll near-dup PAIRS up to a cross-GROUP matrix: how many duplicate
+    pairs link each (group_a, group_b) — the corpus-curation view that shows
+    which sources plagiarize/mirror each other (diagonal = within-source
+    redundancy). Groups are emitted in sorted order per pair so the matrix
+    is triangular and deterministic.
+
+    Two broadcast-sized joins of the pair list back to the id→group mapping
+    (pairs ∝ near-dups, never the corpus) and one hash agg.
+
+    Output: (group_a, group_b, n_pairs) with group_a <= group_b.
+    """
+    g = df.select(F.col(id_col).alias("_gid"), F.col(group_col).alias("_grp"))
+    joined = (
+        pairs.join(g.withColumnRenamed("_gid", "id_a").withColumnRenamed("_grp", "grp_a"), "id_a")
+        .join(g.withColumnRenamed("_gid", "id_b").withColumnRenamed("_grp", "grp_b"), "id_b")
+    )
+    return (
+        joined.select(
+            F.least("grp_a", "grp_b").alias("group_a"),
+            F.greatest("grp_a", "grp_b").alias("group_b"),
+        )
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -252,3 +252,36 @@ def redact_pii(df: DataFrame, text_col: str, out_col: str | None = None) -> Data
     for name in ("email", "url", "phone"):
         c = F.regexp_replace(c, PII_PATTERNS[name], f"<{name.upper()}>")
     return df.withColumn(out, c)
+
+
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str,
+    shingle_k: int = 3,
+    top_n: int = 20,
+) -> DataFrame:
+    """The ``top_n`` word k-grams by DOCUMENT frequency — the diagnostic
+    companion to the dedup joins' stop-shingle guard: these are the exact
+    shingles a ``max_shingle_freq`` cut would drop, i.e. the corpus's
+    boilerplate (headers, licenses, templated fragments) that near-dup
+    metrics must not be dominated by.
+
+    Plan: map-side distinct-shingle explode → one hash agg on the shingle →
+    distributed TakeOrdered (``orderBy().limit()``) — no global window, no
+    unbounded collect. Ties break lexicographically for determinism.
+
+    Output: (shingle, doc_freq), ordered by doc_freq desc.
+    """
+    from .dedup import word_shingles
+
+    sh = df.select(
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+        ).alias("shingle")
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(top_n)
+    )

@@ -323,6 +323,63 @@ def cmd_validate_tables(args: argparse.Namespace) -> int:
     return 1 if r.not_found else 0
 
 
+def cmd_dedup(args: argparse.Namespace) -> int:
+    """Corpus dedup run: near-dup pairs + per-doc keep decision to parquet.
+
+    Methods: ``exact`` (content hash), ``minhash`` (LSH, --threshold =
+    min est. Jaccard), ``simhash`` (--threshold = max hamming). minhash /
+    simhash resolve pairs → connected components → one canonical doc per
+    cluster (longest text wins, ties to smallest id — datapipe/graph.py),
+    writing ``pairs/`` and ``decision/`` under --out; ``exact`` writes
+    ``dups/`` (one row per distinct text with survivor + count).
+    """
+    from pyspark.sql import functions as F
+
+    from schema_infer_plugin_spark.datapipe import (
+        canonical_docs,
+        exact_dedup,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash,
+        simhash_candidate_pairs,
+    )
+    from schema_infer_plugin_spark.sources.io import load_table
+
+    spark = _spark()
+    df = load_table(spark, args.input, args.table).select(args.id_col, args.text_col)
+    n_docs = df.count()
+    if args.method == "exact":
+        dups = exact_dedup(df, args.id_col, args.text_col)
+        dups.write.mode("overwrite").parquet(os.path.join(args.out, "dups"))
+        n_distinct = spark.read.parquet(os.path.join(args.out, "dups")).count()
+        print(f"docs={n_docs} distinct_texts={n_distinct} removed={n_docs - n_distinct}")
+        return 0
+    if args.method == "minhash":
+        sig = minhash_signatures(df, args.id_col, args.text_col)
+        pairs = lsh_candidate_pairs(
+            sig, args.id_col, min_est_jaccard=float(args.threshold)
+        ).withColumnRenamed("est_jaccard", "score")
+    else:  # simhash
+        pairs = simhash_candidate_pairs(
+            simhash(df, args.id_col, args.text_col),
+            args.id_col,
+            max_hamming=int(float(args.threshold)),
+        ).withColumn("score", F.col("hamming").cast("double")).drop("hamming")
+    pairs.write.mode("overwrite").parquet(os.path.join(args.out, "pairs"))
+    pairs_w = spark.read.parquet(os.path.join(args.out, "pairs"))
+    docs = df.select(
+        args.id_col, F.length(F.col(args.text_col)).cast("long").alias("_q")
+    )
+    decision = canonical_docs(docs, pairs_w, id_col=args.id_col, quality_col="_q")
+    decision.write.mode("overwrite").parquet(os.path.join(args.out, "decision"))
+    dec_w = spark.read.parquet(os.path.join(args.out, "decision"))
+    kept = dec_w.filter(F.col("keep")).count()
+    print(
+        f"docs={n_docs} pairs={pairs_w.count()} kept={kept} removed={n_docs - kept}"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="schema-infer-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -365,6 +422,24 @@ def main(argv: list[str] | None = None) -> int:
         add_help=False,
     )
     p.set_defaults(fn=None)
+
+    p = sub.add_parser(
+        "dedup",
+        help="corpus dedup: pairs + keep decision to parquet "
+        "(exact | minhash | simhash)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--table", default="documents")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--method", default="minhash", choices=["exact", "minhash", "simhash"])
+    p.add_argument(
+        "--threshold",
+        default="0.5",
+        help="minhash: min est. Jaccard (default 0.5); simhash: max hamming",
+    )
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser("version")
     p.set_defaults(fn=lambda a: (print(f"schema-infer-spark {ENGINE_VERSION}"), 0)[1])

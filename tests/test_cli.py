@@ -150,3 +150,39 @@ def test_auto_infer_rows_csv_kv_raw(spark):
     rows, fmt = _auto_infer_rows(raw, "m", cfg)
     assert fmt == "raw-text"
     assert {r["column"] for r in rows} == {"raw_content", "message_length", "is_binary"}
+
+
+def test_cli_dedup_minhash_keep_decision(spark, tmp_path, capsys):
+    """`dedup --method minhash` writes pairs/ + decision/; planted copies
+    lose to their originals (longer or equal text, smaller id wins ties)."""
+    import schema_infer_plugin_spark.cli as cli
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMOKE
+
+    # corpus with planted exact copies under new ids
+    d = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    copies = d.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    src = str(tmp_path / "corpus")
+    os.makedirs(src)
+    d.unionByName(copies).write.parquet(f"{src}/documents.parquet")
+
+    out = str(tmp_path / "dedup_out")
+    rc = cli.main(
+        ["dedup", "--input", src, "--method", "minhash", "--threshold", "0.9", "--out", out]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "kept=" in printed
+    dec = spark.read.parquet(f"{out}/decision")
+    kept = {r["doc_id"] for r in dec.filter("keep").collect()}
+    dropped = {r["doc_id"] for r in dec.filter("NOT keep").collect()}
+    # every planted copy is dropped (its original — same text, smaller id —
+    # always outranks it; originals may themselves merge into bigger clusters)
+    assert {i + 500000 for i in range(10)} <= dropped
+    comp = {r["doc_id"]: r["component"] for r in dec.collect()}
+    for i in range(10):
+        assert comp[i] == comp[i + 500000]  # copy clusters with its original
+    pairs = spark.read.parquet(f"{out}/pairs")
+    assert pairs.filter("score >= 0.9").count() == pairs.count() > 0

@@ -44,3 +44,31 @@ def test_bucketed_validation_matches_unbucketed(bucketed, spark):
     a = validate_transcripts(bt)
     b = validate_transcripts(t)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_bucketed_sft_examples_zero_exchange(bucketed, spark):
+    """SFT extraction shares validation's conv_id clustering requirement, so
+    over the bucketed table its window also plans ZERO exchanges — and the
+    examples match the unbucketed run exactly."""
+    from schema_infer_plugin_spark.datapipe import sft_examples
+
+    bt, t = bucketed
+    plan = sft_examples(bt)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    a = sft_examples(bt)
+    b = sft_examples(t)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_bucketed_conversation_texts_zero_exchange(bucketed, spark):
+    """conversation_texts groups on conv_id — the bucketed scan satisfies the
+    aggregation's distribution requirement too (conversation-level dedup
+    renders without a shuffle on the production layout)."""
+    from schema_infer_plugin_spark.datapipe import conversation_texts
+
+    bt, t = bucketed
+    plan = conversation_texts(bt)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    a = conversation_texts(bt)
+    b = conversation_texts(t)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -1876,6 +1876,42 @@ FROM b GROUP BY bucket, edges, lo, hi
 )
 
 
+def q_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-volume anomaly check (checks/volume.py): per-day event counts
+    vs their trailing-7-day mean/std (explicit Σx/Σx² so the variance is
+    bit-identical cross-engine); |z| > 3 with ≥3 days history flags a broken
+    producer or replay storm. The table collapses to #days rows in one agg."""
+    from schema_infer_plugin_spark.checks import daily_volume_anomalies
+
+    ev = load_table(spark, sf_dir, "events").select("ts")
+    return daily_volume_anomalies(ev, "ts", trailing_days=7, k=3.0)
+
+
+ORACLE_DAILY_VOLUME = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1),
+w AS (
+  SELECT day, n_rows,
+         count(*)            OVER tw AS cnt,
+         CAST(sum(n_rows)    OVER tw AS DOUBLE) AS s,
+         CAST(sum(n_rows * n_rows) OVER tw AS DOUBLE) AS sq
+  FROM daily
+  WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+st AS (
+  SELECT day, n_rows, cnt, s / cnt AS mean,
+         CASE WHEN cnt > 1 THEN sqrt((sq - s * s / cnt) / (cnt - 1)) END AS std
+  FROM w),
+z AS (SELECT *, CASE WHEN std > 0 THEN (n_rows - mean) / std END AS zz FROM st)
+SELECT day, n_rows,
+       CAST(round(mean, 6) AS DOUBLE) AS base_mean,
+       CAST(round(std, 6) AS DOUBLE) AS base_std,
+       CAST(round(zz, 6) AS DOUBLE) AS z,
+       (cnt >= 3 AND std IS NOT NULL AND std > 0 AND abs(zz) > 3.0) AS is_anomaly
+FROM z
+"""
+
+
 def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outliers on events.value (checks/outliers.py), k=3.
     approx=False is the exact-percentile opt-in so the run is value-checkable
@@ -2756,6 +2792,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_conversations": (q_dedup_conversations, ORACLE_DEDUP_CONVERSATIONS),
     "value_outliers": (q_value_outliers, ORACLE_VALUE_OUTLIERS),
     "value_histogram_equidepth": (q_value_histogram_equidepth, ORACLE_VALUE_HISTOGRAM),
+    "daily_volume_anomalies": (q_daily_volume, ORACLE_DAILY_VOLUME),
     "csv_parse": (q_csv_parse, ORACLE_CSV_PARSE),
     "raw_text_parse": (q_raw_text, ORACLE_RAW_TEXT),
     "transcripts_profile": (q_profile, ORACLE_PROFILE),

@@ -15,6 +15,7 @@ from .domains import domain_violations, infer_domain  # noqa: F401
 from .fd import fd_violations  # noqa: F401
 from .nulls import null_violations  # noqa: F401
 from .outliers import iqr_outliers  # noqa: F401
+from .volume import daily_volume_anomalies  # noqa: F401
 from .temporal import conv_latency_stats, ts_monotonic_violations  # noqa: F401
 from .skew import group_size_stats, hot_key_report  # noqa: F401
 from .drift import histogram, histogram_equidepth, drift_stats  # noqa: F401

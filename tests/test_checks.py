@@ -330,3 +330,27 @@ def test_histogram_equidepth_balanced_buckets(spark):
     # equal-width: the outlier shoves ALL regular rows into bucket 0
     ew = {int(r["bucket"]): r["freq"] for r in histogram(df, "value", n_buckets=8).collect()}
     assert ew[0] > 0.99
+
+
+def test_daily_volume_anomaly_flags_collapse_and_spike(spark):
+    """Stable 100/day baseline; a collapse day (5) and a spike day (400) are
+    flagged; early days with <3 days history never are."""
+    import datetime
+
+    from schema_infer_plugin_spark.checks import daily_volume_anomalies
+
+    rows = []
+    base = datetime.datetime(2026, 3, 1)
+    plan = [100, 101, 99, 100, 102, 5, 100, 98, 400, 101]
+    for d, n in enumerate(plan):
+        for i in range(n):
+            rows.append((base + datetime.timedelta(days=d, seconds=i),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    out = {r["day"].day: r for r in daily_volume_anomalies(df, "ts", k=3.0).collect()}
+    assert len(out) == 10
+    flagged = {d for d, r in out.items() if r["is_anomaly"]}
+    assert flagged == {6, 9}  # March 6th (collapse) and 9th (spike)
+    assert out[6]["z"] < -3 and out[9]["z"] > 3
+    # first two days: no/insufficient history -> never anomalous, z may be NULL
+    assert not out[1]["is_anomaly"] and not out[2]["is_anomaly"]
+    assert out[1]["base_std"] is None

@@ -1734,6 +1734,51 @@ FROM transcripts
     )
 
 
+def q_split_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware split (sources/sampling.split_assign_clustered): the
+    duplicate CLUSTER's md5 bucket decides the split, so a doc and its
+    near-copies can never straddle train/test — closes the contamination
+    path per-doc splitting leaves open."""
+    from schema_infer_plugin_spark.datapipe import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from schema_infer_plugin_spark.sources.sampling import split_assign_clustered
+
+    corpus = _mutated_corpus(spark, sf_dir)
+    sig = minhash_signatures(corpus, "doc_id", "text", num_hashes=16, shingle_k=3)
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=4, min_est_jaccard=0.5)
+    return split_assign_clustered(
+        corpus.select("doc_id"), pairs, "doc_id", _SPLIT_WEIGHTS, width=4
+    )
+
+
+def _oracle_split_clustered() -> str:
+    buckets = 16**4
+    names = sorted(_SPLIT_WEIGHTS)
+    acc, whens = 0.0, []
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name]
+        whens.append((name, format(min(int(acc * buckets), buckets - 1), "04x")))
+    case = " ".join(
+        f"WHEN substr(md5(CAST(component AS STRING)), 1, 4) < '{b}' THEN '{n}'"
+        for n, b in whens
+    )
+    return rf"""
+WITH RECURSIVE {_CORPUS_CTE},
+{_MINHASH_CAND_CTES},
+edges AS (SELECT id_a AS s, id_b AS d FROM cand UNION SELECT id_b, id_a FROM cand),
+reach AS (SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+comp AS (SELECT s AS doc_id, least(s, min(d)) AS component FROM reach GROUP BY s),
+lab AS (SELECT c.doc_id, CAST(coalesce(p.component, c.doc_id) AS BIGINT) AS component
+        FROM corpus c LEFT JOIN comp p ON c.doc_id = p.doc_id)
+SELECT doc_id, component, CASE {case} ELSE '{names[-1]}' END AS split
+FROM lab
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) document fingerprints over the first 200 chars
     of each document (functions/textstats.winnowed_fingerprints), exploded to
@@ -2829,6 +2874,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pii_stats": (q_pii_stats, _oracle_pii()[0]),
     "pii_redact": (q_pii_redact, _oracle_pii()[1]),
     "split_assign": (q_split_assign, _oracle_split()),
+    "split_assign_clustered": (q_split_clustered, _oracle_split_clustered()),
     "contamination_pairs": (q_contamination, ORACLE_CONTAMINATION),
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
     "language_id": (q_lang_id, ORACLE_LANG_ID),

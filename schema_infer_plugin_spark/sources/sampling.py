@@ -164,3 +164,36 @@ def fixed_k_sample(
         df.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def split_assign_clustered(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    width: int = 4,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup-AWARE train/val/test split: the md5 bucket of the duplicate
+    CLUSTER decides the split, so a document and all its near-duplicates
+    always land in the same split — plain per-doc :func:`split_assign` leaks
+    benchmark/test content into train through near-copies (the classic
+    contamination path dedup reports but per-doc splitting ignores).
+
+    ``pairs``: near-dup pairs (id_a, id_b) from any dedup operator; docs in
+    no pair are their own singleton cluster (datapipe/graph.connected_
+    components + left join, rows ∝ |docs| + |pairs|). Stable across re-runs
+    for unchanged clusters; adding a pair can merge clusters — membership
+    moves toward the min-id cluster's split, never splits apart.
+
+    Adds ``component`` and ``split`` columns.
+    """
+    from ..datapipe.graph import connected_components
+
+    comp = connected_components(pairs, max_iter=max_iter)
+    labeled = (
+        df.join(comp, df[id_col] == comp["node"], "left")
+        .drop("node")
+        .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    return split_assign(labeled, ["component"], weights, width=width)

@@ -1011,3 +1011,31 @@ def test_conversation_dedup_finds_cloned_conversations(spark):
     a = {r["conv_id"]: r["text"] for r in conversation_texts(df).collect()}
     b = {r["conv_id"]: r["text"] for r in conversation_texts(df.orderBy(F.rand(9))).collect()}
     assert a == b
+
+
+def test_clustered_split_keeps_near_dups_together(spark, docs):
+    """Planted copies always share their original's split (no train/test
+    leakage through near-dups); per-doc split_assign on the same corpus
+    demonstrably leaks."""
+    from schema_infer_plugin_spark.datapipe import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from schema_infer_plugin_spark.sources.sampling import (
+        split_assign,
+        split_assign_clustered,
+    )
+
+    corpus = _planted(docs.select("doc_id", "text"), spark)
+    sig = minhash_signatures(corpus, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig, "doc_id")
+    weights = {"train": 0.8, "test": 0.2}
+    out = split_assign_clustered(corpus.select("doc_id"), pairs, "doc_id", weights)
+    by_id = {r["doc_id"]: r for r in out.collect()}
+    for i in range(10):  # exact copies: must co-locate with the original
+        assert by_id[i]["split"] == by_id[i + 2000000]["split"]
+        assert by_id[i]["component"] == by_id[i + 2000000]["component"]
+    # control: naive per-doc assignment splits at least one copy from its original
+    naive = {r["doc_id"]: r["split"] for r in
+             split_assign(corpus.select("doc_id"), ["doc_id"], weights).collect()}
+    assert any(naive[i] != naive[i + 2000000] for i in range(10))

@@ -423,6 +423,53 @@ FROM (
 )
 
 
+def q_temporal_self_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-config drift (checks/drift.temporal_self_drift): event_type
+    distribution of the data's earlier vs later half, split at the exact
+    median event time — no baseline run needed. Exact-percentile opt-in for
+    the oracle; production default is the sketch."""
+    from schema_infer_plugin_spark.checks import temporal_self_drift
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    d = temporal_self_drift(ev, "event_type", "ts", approx=False)
+    z = F.lit(0.0)
+    return d.select(
+        "bucket",
+        F.round("freq_base", 6).cast("double").alias("freq_base"),
+        F.round("freq_cur", 6).cast("double").alias("freq_cur"),
+        (F.round("psi_term", 6) + z).cast("double").alias("psi_term"),
+        (F.round("kl_term", 6) + z).cast("double").alias("kl_term"),
+        (F.round("js_term", 6) + z).cast("double").alias("js_term"),
+    )
+
+
+ORACLE_TEMPORAL_DRIFT = """
+WITH med AS (SELECT quantile_cont(epoch_us(ts), 0.5) AS m FROM events),
+b AS (
+  SELECT coalesce(event_type, '<null>') AS bucket,
+         CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS freq
+  FROM events, med WHERE epoch_us(ts) < m GROUP BY 1),
+c AS (
+  SELECT coalesce(event_type, '<null>') AS bucket,
+         CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS freq
+  FROM events, med WHERE epoch_us(ts) >= m GROUP BY 1),
+j AS (
+  SELECT coalesce(b.bucket, c.bucket) AS bucket,
+         coalesce(b.freq, 0.0) AS freq_base, coalesce(c.freq, 0.0) AS freq_cur
+  FROM b FULL OUTER JOIN c ON b.bucket = c.bucket)
+SELECT bucket,
+       CAST(round(freq_base, 6) AS DOUBLE) AS freq_base,
+       CAST(round(freq_cur, 6) AS DOUBLE) AS freq_cur,
+       CAST(round((freq_cur - freq_base) * ln((freq_cur + 1e-6) / (freq_base + 1e-6)), 6) + 0.0 AS DOUBLE) AS psi_term,
+       CAST(round(freq_cur * ln((freq_cur + 1e-6) / (freq_base + 1e-6)), 6) + 0.0 AS DOUBLE) AS kl_term,
+       CAST(round(
+         0.5 * (freq_cur + 1e-6) * ln((freq_cur + 1e-6) / (((freq_cur + 1e-6) + (freq_base + 1e-6)) / 2))
+         + 0.5 * (freq_base + 1e-6) * ln((freq_base + 1e-6) / (((freq_cur + 1e-6) + (freq_base + 1e-6)) / 2)),
+         6) + 0.0 AS DOUBLE) AS js_term
+FROM j
+"""
+
+
 def q_validate_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused single-pass Pass B (plans/validate.py): every check in one scan +
     one exchange. Oracle = UNION ALL of the per-check SQL texts. ts_monotonic
@@ -2844,6 +2891,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "transcripts_profile_by_role": (q_profile_by_role, ORACLE_PROFILE_BY_ROLE),
     "type_ladder_profile": (q_type_profile, ORACLE_TYPE_PROFILE),
     "transcripts_drift_role": (q_drift_role, ORACLE_DRIFT_ROLE),
+    "temporal_self_drift": (q_temporal_self_drift, ORACLE_TEMPORAL_DRIFT),
     "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
     "top_revenue_orders": (q_top_revenue_orders, ORACLE_TOP_REVENUE_ORDERS),
     "nation_revenue": (q_nation_revenue, ORACLE_NATION_REVENUE),

@@ -18,6 +18,6 @@ from .outliers import iqr_outliers  # noqa: F401
 from .volume import daily_volume_anomalies  # noqa: F401
 from .temporal import conv_latency_stats, ts_monotonic_violations  # noqa: F401
 from .skew import group_size_stats, hot_key_report  # noqa: F401
-from .drift import histogram, histogram_equidepth, drift_stats  # noqa: F401
+from .drift import histogram, histogram_equidepth, drift_stats, temporal_self_drift  # noqa: F401
 from .ksdrift import ks_statistic  # noqa: F401
 from .salting import conv_stats, salted_two_phase, with_salt  # noqa: F401

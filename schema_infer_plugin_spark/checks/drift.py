@@ -133,3 +133,35 @@ def histogram_equidepth(
         F.round(hi_edge, round_digits).cast("double").alias("edge_hi"),
         F.col("cnt").cast("long").alias("cnt"),
     )
+
+
+def temporal_self_drift(
+    df: DataFrame,
+    column: str,
+    ts_col: str = "ts",
+    approx: bool = True,
+) -> DataFrame:
+    """ZERO-CONFIG drift: does ``column``'s distribution differ between the
+    data's own earlier and later half (split at the median event time)? No
+    baseline run or reference profile needed — the check a validation engine
+    can run on any fresh table to spot mid-stream schema/behavior shifts
+    (a producer redeploy halfway through the ingest window).
+
+    The median is one aggregation broadcast as a single row; each half's
+    histogram and the PSI/KL/JS terms reuse :func:`histogram` /
+    :func:`drift_stats`. ``approx=True`` (default) uses the
+    percentile_approx sketch; ``approx=False`` is the exact opt-in matching
+    DuckDB ``quantile_cont`` for the oracle.
+
+    Output: drift_stats rows (bucket, freq_base, freq_cur, psi/kl/js terms);
+    total drift = sum over buckets.
+    """
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    med_expr = (
+        F.percentile_approx(ts_us, F.lit(0.5)) if approx else F.percentile(ts_us, F.lit(0.5))
+    )
+    med = df.agg(med_expr.alias("_med"))
+    with_med = df.withColumn("_ts_us", ts_us).crossJoin(broadcast(med))
+    base = histogram(with_med.filter(F.col("_ts_us") < F.col("_med")), column)
+    cur = histogram(with_med.filter(F.col("_ts_us") >= F.col("_med")), column)
+    return drift_stats(cur, base)

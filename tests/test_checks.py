@@ -354,3 +354,32 @@ def test_daily_volume_anomaly_flags_collapse_and_spike(spark):
     # first two days: no/insufficient history -> never anomalous, z may be NULL
     assert not out[1]["is_anomaly"] and not out[2]["is_anomaly"]
     assert out[1]["base_std"] is None
+
+
+def test_temporal_self_drift_detects_mid_stream_shift(spark):
+    """A category that appears only in the later half produces large drift
+    terms; a stationary distribution produces ~zero."""
+    import datetime
+
+    from schema_infer_plugin_spark.checks import temporal_self_drift
+
+    base = datetime.datetime(2026, 4, 1)
+    rows = []
+    for i in range(400):
+        et = "click" if i % 2 == 0 else "view"
+        if i >= 200 and i % 4 == 0:
+            et = "error"  # appears only in the later half
+        rows.append((et, base + datetime.timedelta(minutes=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    d = {r["bucket"]: r for r in temporal_self_drift(df, "event_type", approx=False).collect()}
+    assert d["error"]["freq_base"] == 0.0 and d["error"]["freq_cur"] > 0.2
+    assert d["error"]["psi_term"] > 1.0  # blown-up term for the new category
+    # stationary control
+    flat = spark.createDataFrame(
+        [("a" if i % 2 else "b", base + datetime.timedelta(minutes=i)) for i in range(400)],
+        "event_type string, ts timestamp",
+    )
+    total_psi = sum(
+        r["psi_term"] for r in temporal_self_drift(flat, "event_type", approx=False).collect()
+    )
+    assert abs(total_psi) < 0.01

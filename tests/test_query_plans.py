@@ -29,6 +29,7 @@ BOUNDED_BROADCAST_CROSS = {
     "value_outliers",        # single-row quantile-bounds frame (checks/outliers.py)
     "infer_role_domain",     # single-row non-null-total frame over ≤ max_values rows
     "value_histogram_equidepth",  # single-row quantile-edges frame (checks/drift.py)
+    "temporal_self_drift",   # single-row median-ts frame (checks/drift.py)
 }
 
 ALL_QUERIES = sorted(entrymod.queries().keys())

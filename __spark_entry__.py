@@ -2858,6 +2858,221 @@ FROM lagged GROUP BY conv_id
 )
 
 
+# ---------------------------------------------------------------------------
+# audit + retrieval (round 3): referential integrity, snapshot diff,
+# pattern conformity, BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+
+def q_fk_users_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity (checks/referential.fk_orphans): events whose
+    user_id is missing from a users registry (derived here by dropping every
+    41st user — simulating a dimension that lost rows). Broadcast anti-join;
+    output grouped to orphan keys with row counts."""
+    from schema_infer_plugin_spark.checks.referential import fk_orphans
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.filter(F.col("user_id") % 41 != 0).select("user_id").distinct()
+    return (
+        fk_orphans(ev, users, ["user_id"])
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+
+
+ORACLE_FK_USERS = """
+WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id % 41 <> 0)
+SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_rows
+FROM events e
+WHERE e.user_id IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM users u WHERE u.user_id = e.user_id)
+GROUP BY e.user_id
+"""
+
+
+def q_fk_users_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level FK rollup (checks/referential.fk_verdict): one shuffle via
+    tagged union + hash agg — the both-sides-huge shape (no join, no
+    broadcast); childless parents ride the same aggregate."""
+    from schema_infer_plugin_spark.checks.referential import fk_verdict
+
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.filter(F.col("user_id") % 41 != 0).select("user_id").distinct()
+    return fk_verdict(ev, users, ["user_id"])
+
+
+ORACLE_FK_VERDICT = """
+WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id % 41 <> 0),
+ckeys AS (SELECT user_id, count(*) AS n FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+cov AS (
+  SELECT coalesce(c.user_id, u.user_id) AS user_id,
+         coalesce(c.n, 0) AS n_child_rows,
+         u.user_id IS NOT NULL AS in_parent
+  FROM ckeys c FULL OUTER JOIN users u ON c.user_id = u.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN NOT in_parent THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_keys,
+       CAST(sum(CASE WHEN NOT in_parent THEN n_child_rows ELSE 0 END) AS BIGINT) AS n_orphan_rows,
+       CAST(sum(CASE WHEN n_child_rows = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_childless_parents,
+       sum(CASE WHEN NOT in_parent THEN 1 ELSE 0 END) = 0 AS passed
+FROM cov
+"""
+
+
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (checks/snapshot_diff): orders vs a deterministically
+    mutated next snapshot — every 97th key deleted, every 89th key's
+    o_totalprice bumped, every 83rd key re-inserted under a shifted key.
+    One tagged-union shuffle of (key, hash) rows, never the payload."""
+    from schema_infer_plugin_spark.checks.snapshot_diff import snapshot_diff
+
+    old = load_table(spark, sf_dir, "orders")
+    kept = old.filter(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + F.lit(1.5)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    inserted = old.filter(F.col("o_orderkey") % 83 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(1_000_000_000)
+    )
+    new = kept.unionByName(inserted)
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (SELECT o_orderkey FROM orders),
+changed AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 = 0),
+removed AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
+added AS (SELECT o_orderkey + 1000000000 AS o_orderkey FROM orders WHERE o_orderkey % 83 = 0)
+SELECT o_orderkey, 'changed' AS change, CAST(1 AS BIGINT) AS n_old, CAST(1 AS BIGINT) AS n_new FROM changed
+UNION ALL
+SELECT o_orderkey, 'removed', CAST(1 AS BIGINT), CAST(0 AS BIGINT) FROM removed
+UNION ALL
+SELECT o_orderkey, 'added', CAST(0 AS BIGINT), CAST(1 AS BIGINT) FROM added
+"""
+
+
+def q_pattern_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern-conformity violations (checks/patterns.pattern_violations):
+    event_type constrained to the four expected kinds — the fixture's 'error'
+    rows are the violations. Pure codegen filter, zero shuffle."""
+    from schema_infer_plugin_spark.checks.patterns import pattern_violations
+
+    ev = load_table(spark, sf_dir, "events")
+    return pattern_violations(
+        ev, "event_type", r"^(click|view|signup|purchase)$", keys=["event_id"]
+    )
+
+
+ORACLE_PATTERN_EVENT_TYPE = """
+SELECT event_id, 'event_type' AS col_name, event_type AS observed
+FROM events
+WHERE event_type IS NOT NULL
+  AND NOT regexp_matches(event_type, '^(click|view|signup|purchase)$')
+"""
+
+
+def q_pattern_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column conformity rollup (checks/patterns.pattern_match_rates):
+    every rule rides one wide aggregation over a single scan."""
+    from schema_infer_plugin_spark.checks.patterns import pattern_match_rates
+
+    ev = load_table(spark, sf_dir, "events")
+    return pattern_match_rates(
+        ev,
+        {
+            "event_type": r"^(click|view|signup|purchase)$",
+            "props": r'^\{"k": [0-9]+\}$',
+        },
+    )
+
+
+ORACLE_PATTERN_RATES = r"""
+WITH w AS (
+  SELECT count(*) AS total,
+         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS et_null,
+         sum(CASE WHEN event_type IS NOT NULL
+                   AND NOT regexp_matches(event_type, '^(click|view|signup|purchase)$')
+              THEN 1 ELSE 0 END) AS et_viol,
+         sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS pr_null,
+         sum(CASE WHEN props IS NOT NULL
+                   AND NOT regexp_matches(props, '^\{"k": [0-9]+\}$')
+              THEN 1 ELSE 0 END) AS pr_viol
+  FROM events
+)
+SELECT 'event_type' AS col_name, '^(click|view|signup|purchase)$' AS pattern,
+       CAST(total AS BIGINT) AS n_rows, CAST(et_null AS BIGINT) AS n_null,
+       CAST(et_viol AS BIGINT) AS n_violations,
+       CAST(round(1.0 - CAST(et_viol AS DOUBLE) / nullif(total - et_null, 0), 6) AS DOUBLE) AS match_rate
+FROM w
+UNION ALL
+SELECT 'props', '^\{"k": [0-9]+\}$',
+       CAST(total AS BIGINT), CAST(pr_null AS BIGINT), CAST(pr_viol AS BIGINT),
+       CAST(round(1.0 - CAST(pr_viol AS DOUBLE) / nullif(total - pr_null, 0), 6) AS DOUBLE)
+FROM w
+"""
+
+_BM25_TERMS = ["spark", "shuffle", "window"]
+_BM25_K = 25
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (datapipe/retrieval.bm25_topk): top-k documents
+    for a 3-term query — per-row single-traversal tf fold, one-row corpus
+    stats broadcast back, distributed TakeOrdered for the top-k (no explode,
+    no inverted-index shuffle)."""
+    from schema_infer_plugin_spark.datapipe.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=_BM25_K)
+
+
+def _oracle_bm25(terms: list[str], k: int, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of bm25_topk with identical arithmetic association, so
+    pre-rounding doubles agree bit-for-bit (see retrieval.py docstring)."""
+    tf = ", ".join(f"len(list_filter(tk, x -> x = '{t}'))" for t in terms)
+    dfs = ", ".join(
+        f"sum(CASE WHEN tf[{i + 1}] > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * (CAST(tf[{i + 1}] AS DOUBLE) * {k1 + 1.0!r})"
+        f" / (CAST(tf[{i + 1}] AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl))"
+        for i in range(len(terms))
+    )
+    hits = " + ".join(
+        f"CASE WHEN tf[{i + 1}] > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(list_transform(regexp_split_to_array(trim(text), '\s+'),
+                                    x -> lower(x)),
+                     x -> length(x) > 0) AS tk
+  FROM documents
+),
+per AS (SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl, [{tf}] AS tf FROM toks),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl,
+         {dfs}
+  FROM per
+),
+scored AS (
+  SELECT doc_id,
+         CAST({hits} AS INT) AS n_matched_terms,
+         CAST(round({score}, 6) AS DOUBLE) AS score
+  FROM per CROSS JOIN stats
+)
+SELECT doc_id, n_matched_terms, score
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "transcripts_uniqueness": (q_uniqueness, ORACLE_UNIQUENESS),
     "transcripts_fd_role": (q_fd_role, ORACLE_FD_ROLE),
@@ -2935,6 +3150,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "conv_latency": (q_conv_latency, ORACLE_CONV_LATENCY),
     "profile_compare_runs": (q_profile_compare, _oracle_profile_compare()),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "events_fk_orphans": (q_fk_users_orphans, ORACLE_FK_USERS),
+    "events_fk_verdict": (q_fk_users_verdict, ORACLE_FK_VERDICT),
+    "orders_snapshot_diff": (q_orders_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
+    "pattern_event_type": (q_pattern_event_type, ORACLE_PATTERN_EVENT_TYPE),
+    "pattern_rates": (q_pattern_rates, ORACLE_PATTERN_RATES),
+    "bm25_search": (q_bm25_search, _oracle_bm25(_BM25_TERMS, _BM25_K)),
     "json_inference": (q_json_inference, ORACLE_JSON_INFERENCE),
     "format_detect": (q_format_detect, ORACLE_FORMAT_DETECT),
     "kv_parse": (q_kv_parse, ORACLE_KV_PARSE),

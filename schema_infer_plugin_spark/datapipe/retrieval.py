@@ -1,0 +1,113 @@
+"""Keyword retrieval: BM25 top-k scoring over a document corpus.
+
+Term-based retrieval is the lexical complement to the embedding-ANN path
+(datapipe/ann.py) in a training-data pipeline: finding the documents that
+mention a benchmark's surface strings, pulling topical subsets for curriculum
+mixes, spot-checking dedup clusters. The reference has no retrieval at all;
+the scoring function here is the public Okapi BM25 formula (Robertson &
+Zaragoza 2009) — nothing proprietary.
+
+Plan shape — NO inverted index, NO explode, NO per-token shuffle:
+
+1. one projection computes, per row, the document length and the per-query-
+   term frequencies in a SINGLE traversal of the token array (one
+   ``aggregate`` fold whose accumulator is ``struct(tf array, dl)`` —
+   tokenization stays in argument position, so the engine-wide
+   lambda-capture pathology documented in functions/textstats.py cannot
+   re-tokenize per element);
+2. one tiny aggregation reduces that to the corpus stats BM25 needs
+   (N, Σdl, per-term document frequency) — a one-row frame;
+3. the stats row is broadcast back (crossJoin of a 1-row frame), the score is
+   a pure per-row expression, and top-k is ``orderBy().limit(k)`` — Spark's
+   distributed TakeOrdered, never a global sort or a single-partition window.
+
+Cost at 100 TB: two scans of the text column (stats + scoring), zero wide
+shuffles; per-row work is O(tokens × query_terms) with a handful of terms.
+Scores are rounded to 6 decimals BEFORE the final ordering so rank order is
+reproducible across engines (ln() differs in the last ulp between libm
+implementations; 10⁻⁶ rounding absorbs it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empty strings dropped — identical to the
+    unigram_logprob tokenizer (datapipe/text.py) and its DuckDB mirror."""
+    return F.filter(
+        F.transform(F.split(F.trim(text), r"\s+"), lambda x: F.lower(x)),
+        lambda x: F.length(x) > 0,
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 score for ``query_terms``.
+
+    Output: ``(id_col, n_matched_terms, score)`` — only docs matching at
+    least one term, ordered by (score desc, id) with the score rounded to 6
+    decimals before ranking (cross-engine determinism; see module docstring).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    n_terms = len(terms)
+    terms_arr = F.array(*[F.lit(t) for t in terms])
+
+    # per-row fold: ONE traversal of the token array yields doc length + all
+    # term frequencies. terms_arr inside the lambda body is literals-only
+    # (free to re-evaluate); the token array itself is in argument position.
+    zero = F.struct(
+        F.array_repeat(F.lit(0).cast("long"), n_terms).alias("tf"),
+        F.lit(0).cast("long").alias("dl"),
+    )
+    fold = F.aggregate(
+        _tokens(F.col(text_col)),
+        zero,
+        lambda acc, x: F.struct(
+            F.zip_with(acc.tf, terms_arr, lambda c, t: c + (x == t).cast("long")).alias("tf"),
+            (acc.dl + F.lit(1).cast("long")).alias("dl"),
+        ),
+    )
+    per = docs.select(F.col(id_col), fold.alias("s"))
+
+    stats = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("s.dl")).cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col("s.tf")[i] > 0).cast("long")).cast("long").alias(f"df_{i}")
+            for i in range(n_terms)
+        ],
+    )
+
+    joined = per.crossJoin(F.broadcast(stats))
+    n = F.col("n_docs").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    dl = F.col("s.dl").cast("double")
+    score = None
+    matched = None
+    # explicit left-to-right accumulation: the oracle SQL is generated with
+    # the same association so float results agree bit-for-bit pre-rounding
+    for i in range(n_terms):
+        tf = F.col("s.tf")[i].cast("double")
+        dfi = F.col(f"df_{i}").cast("double")
+        idf = F.log(F.lit(1.0) + (n - dfi + F.lit(0.5)) / (dfi + F.lit(0.5)))
+        term = idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl))
+        hit = (F.col("s.tf")[i] > 0).cast("int")
+        score = term if score is None else score + term
+        matched = hit if matched is None else matched + hit
+    out = joined.select(
+        F.col(id_col),
+        matched.cast("int").alias("n_matched_terms"),
+        F.round(score, 6).cast("double").alias("score"),
+    ).filter(F.col("score") > 0)
+    return out.orderBy(F.desc("score"), F.col(id_col)).limit(k)

@@ -30,6 +30,7 @@ BOUNDED_BROADCAST_CROSS = {
     "infer_role_domain",     # single-row non-null-total frame over ≤ max_values rows
     "value_histogram_equidepth",  # single-row quantile-edges frame (checks/drift.py)
     "temporal_self_drift",   # single-row median-ts frame (checks/drift.py)
+    "bm25_search",           # single-row corpus-stats frame (datapipe/retrieval.py)
 }
 
 ALL_QUERIES = sorted(entrymod.queries().keys())

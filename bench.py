@@ -59,13 +59,16 @@ def run_bench(sf_dir: str, cpus: int, n_convs: int | None = None) -> dict:
     cold: dict[str, float] = {}
 
     def timed(name, fn):
-        # two iterations, report the min: the first pays whole-stage-codegen
+        # three iterations, report the min: the first pays whole-stage-codegen
         # JIT + page-cache warm-up (measured 4-6x on this VM), a fixed cost
         # that amortizes to zero on any long-running cluster — min-of-N is the
         # same protocol the scaling ladder uses (min of 8, first discarded).
-        # Cold times stay visible under "cold_queries".
+        # Three (not two) because the host's 32 vCPUs are shared: a single
+        # noisy-neighbor window has been measured inflating BOTH of two
+        # back-to-back iterations ~10x; a third sample makes one calm reading
+        # far more likely. Cold times stay visible under "cold_queries".
         secs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             fn()
             secs.append(round(time.time() - t0, 3))

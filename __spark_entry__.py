@@ -3073,6 +3073,329 @@ LIMIT {k}
 """
 
 
+# ---------------------------------------------------------------------------
+# liveness + information-theoretic + vector drift (round 3): freshness SLA,
+# calendar coverage, Wasserstein-1 drift, entropy/MI profiles, centroid drift
+# ---------------------------------------------------------------------------
+
+_FRESH_AS_OF = "2024-02-01 00:00:00"
+_FRESH_MAX_LAG_H = 48.0
+
+
+def q_events_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type staleness lag vs a deterministic as-of instant
+    (checks/freshness.freshness): one hash aggregation, epoch-µs lag math —
+    the distributed generalization of the reference's per-topic emptiness
+    probe (/root/reference/schema_infer/plugin/optimistic.py:440-486)."""
+    from schema_infer_plugin_spark.checks.freshness import freshness
+
+    ev = load_table(spark, sf_dir, "events")
+    return freshness(
+        ev,
+        "ts",
+        as_of=_FRESH_AS_OF,
+        max_lag_hours=_FRESH_MAX_LAG_H,
+        group_cols=["event_type"],
+    )
+
+
+ORACLE_FRESHNESS = f"""
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       max(epoch_us(ts)) AS max_ts_us,
+       CAST(epoch_us(TIMESTAMP '{_FRESH_AS_OF}') - max(epoch_us(ts)) AS BIGINT) AS lag_us,
+       coalesce(
+         epoch_us(TIMESTAMP '{_FRESH_AS_OF}') - max(epoch_us(ts))
+           <= {int(_FRESH_MAX_LAG_H * 3_600_000_000)},
+         false
+       ) AS passed
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_events_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour buckets with ZERO signup events between the slice's min and max
+    (checks/freshness.coverage_gaps): one aggregation to the bounded bucket
+    frame, gaps from one lead() window — the input is scanned exactly once.
+    Bucket start emitted as epoch-µs (timestamps compare via unix_micros —
+    CLAUDE.md rendering gotcha)."""
+    from schema_infer_plugin_spark.checks.freshness import coverage_gaps
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
+    return coverage_gaps(ev, "ts", unit="hour").select(
+        F.unix_micros(F.col("bucket_start")).alias("bucket_start_us"),
+        "bucket_idx",
+    )
+
+
+ORACLE_COVERAGE_GAPS = """
+WITH obs AS (
+  SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS b
+  FROM events WHERE event_type = 'signup' AND ts IS NOT NULL
+  GROUP BY 1
+),
+g AS (SELECT b, lead(b) OVER (ORDER BY b NULLS FIRST) AS nxt FROM obs)
+SELECT CAST(bucket_idx * 3600000000 AS BIGINT) AS bucket_start_us,
+       CAST(bucket_idx AS BIGINT) AS bucket_idx
+FROM (SELECT unnest(generate_series(b + 1, nxt - 1)) AS bucket_idx
+      FROM g WHERE nxt - b > 1)
+"""
+
+_W1_BUCKETS = 1000
+
+
+def q_wasserstein_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 distance between click and purchase `value`
+    distributions (checks/ksdrift.wasserstein_statistic): quantized-grid
+    two-sample earth-mover — the integral companion to the KS sup, on the
+    same bounded-CDF machinery."""
+    from schema_infer_plugin_spark.checks.ksdrift import wasserstein_statistic
+
+    ev = load_table(spark, sf_dir, "events")
+    return wasserstein_statistic(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        n_buckets=_W1_BUCKETS,
+    )
+
+
+ORACLE_W1_DRIFT = f"""
+WITH a AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+           WHERE event_type = 'click' AND value IS NOT NULL),
+b AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+      WHERE event_type = 'purchase' AND value IS NOT NULL),
+bounds AS (SELECT min(v) AS lo, max(v) AS hi
+           FROM (SELECT v FROM a UNION ALL SELECT v FROM b)),
+qa AS (SELECT CASE WHEN hi = lo THEN lo
+              ELSE lo + least(floor((v - lo) / ((hi - lo) / {_W1_BUCKETS})), {_W1_BUCKETS - 1}) * (hi - lo) / {_W1_BUCKETS} END AS v
+       FROM a CROSS JOIN bounds),
+qb AS (SELECT CASE WHEN hi = lo THEN lo
+              ELSE lo + least(floor((v - lo) / ((hi - lo) / {_W1_BUCKETS})), {_W1_BUCKETS - 1}) * (hi - lo) / {_W1_BUCKETS} END AS v
+       FROM b CROSS JOIN bounds),
+counts AS (
+  SELECT v, sum(ca) AS ca, sum(cb) AS cb
+  FROM (SELECT v, 1 AS ca, 0 AS cb FROM qa UNION ALL SELECT v, 0 AS ca, 1 AS cb FROM qb)
+  GROUP BY v),
+cdf AS (
+  SELECT v,
+         CAST(sum(ca) OVER (ORDER BY v NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(sum(ca) OVER () AS DOUBLE) AS cdf_a,
+         CAST(sum(cb) OVER (ORDER BY v NULLS FIRST ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST(sum(cb) OVER () AS DOUBLE) AS cdf_b,
+         sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b,
+         lead(v) OVER (ORDER BY v NULLS FIRST) AS nxt
+  FROM counts)
+SELECT CASE WHEN max(n_a) > 0 AND max(n_b) > 0
+            THEN CAST(coalesce(round(sum((nxt - v) * abs(cdf_a - cdf_b)), 6) + 0.0, 0.0) AS DOUBLE)
+       END AS w1,
+       CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b
+FROM cdf
+"""
+
+
+def q_transcripts_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the role and tool columns
+    (checks/entropy.categorical_entropy): one melt-scan, one hash agg —
+    concentration drift the distinct-count can't see."""
+    from schema_infer_plugin_spark.checks.entropy import categorical_entropy
+
+    return categorical_entropy(_transcripts(spark, sf_dir), ["role", "tool"])
+
+
+ORACLE_ENTROPY = oracle_cte(
+    """
+, melted AS (
+  SELECT 'role' AS col_name, role AS value FROM transcripts
+  UNION ALL
+  SELECT 'tool' AS col_name, tool AS value FROM transcripts
+),
+counts AS (
+  SELECT col_name, value, count(*) AS c
+  FROM melted WHERE value IS NOT NULL GROUP BY col_name, value
+)
+SELECT col_name,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(round(ln(CAST(sum(c) AS DOUBLE))
+                  - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE),
+                  6) + 0.0 AS DOUBLE) AS entropy,
+       CASE WHEN count(*) > 1 THEN
+         CAST(round((ln(CAST(sum(c) AS DOUBLE))
+                     - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE))
+                    / ln(CAST(count(*) AS DOUBLE)),
+                    6) + 0.0 AS DOUBLE)
+       ELSE 0.0 END AS norm_entropy
+FROM counts GROUP BY col_name
+"""
+)
+
+
+def q_transcripts_role_tool_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between role and tool
+    (checks/entropy.mutual_information): the soft companion to the hard
+    tool-requires-role rule — one full-table shuffle to the joint counts,
+    marginals re-aggregated from the bounded joint frame."""
+    from schema_infer_plugin_spark.checks.entropy import mutual_information
+
+    return mutual_information(_transcripts(spark, sf_dir), "role", "tool")
+
+
+ORACLE_ROLE_TOOL_MI = oracle_cte(
+    """
+, pairs AS (
+  SELECT role AS a, tool AS b, count(*) AS c_ab
+  FROM transcripts WHERE role IS NOT NULL AND tool IS NOT NULL
+  GROUP BY role, tool
+),
+ma AS (SELECT a, sum(c_ab) AS c_a FROM pairs GROUP BY a),
+mb AS (SELECT b, sum(c_ab) AS c_b FROM pairs GROUP BY b),
+j AS (SELECT pairs.a, pairs.b, pairs.c_ab, ma.c_a, mb.c_b
+      FROM pairs JOIN ma ON pairs.a = ma.a JOIN mb ON pairs.b = mb.b),
+t AS (
+  SELECT c_ab,
+         CAST(c_ab AS DOUBLE)
+           * ln((CAST(c_ab AS DOUBLE) * CAST(sum(c_ab) OVER () AS DOUBLE))
+                / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))) AS t_mi,
+         CAST(c_ab AS DOUBLE) * ln(CAST(c_a AS DOUBLE)) AS t_ha,
+         CAST(c_ab AS DOUBLE) * ln(CAST(c_b AS DOUBLE)) AS t_hb
+  FROM j
+)
+SELECT CAST(sum(c_ab) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(round(sum(t_mi) / CAST(sum(c_ab) AS DOUBLE), 6) + 0.0 AS DOUBLE) AS mi,
+       CASE WHEN round(least(ln(CAST(sum(c_ab) AS DOUBLE)) - sum(t_ha) / CAST(sum(c_ab) AS DOUBLE),
+                             ln(CAST(sum(c_ab) AS DOUBLE)) - sum(t_hb) / CAST(sum(c_ab) AS DOUBLE)),
+                       6) > 0
+            THEN CAST(round((sum(t_mi) / CAST(sum(c_ab) AS DOUBLE))
+                            / least(ln(CAST(sum(c_ab) AS DOUBLE)) - sum(t_ha) / CAST(sum(c_ab) AS DOUBLE),
+                                    ln(CAST(sum(c_ab) AS DOUBLE)) - sum(t_hb) / CAST(sum(c_ab) AS DOUBLE)),
+                            6) + 0.0 AS DOUBLE)
+       ELSE 0.0 END AS nmi
+FROM t
+"""
+)
+
+
+def q_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid cosine/L2 shift between even and odd vec_id halves of the
+    embeddings table (checks/embedding_drift.centroid_drift): one posexplode
+    scan into a dim-keyed aggregation — encoder-version drift the per-scalar
+    histograms can't see."""
+    from schema_infer_plugin_spark.checks.embedding_drift import centroid_drift
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "side", F.col("vec_id") % 2 == 0
+    )
+    return centroid_drift(emb, "embedding", "side")
+
+
+ORACLE_CENTROID_DRIFT = f"""
+WITH ex AS (
+  SELECT (vec_id % 2 = 0) AS grp, g.i AS pos, CAST(embedding[g.i] AS DOUBLE) AS x
+  FROM embeddings
+  CROSS JOIN generate_series(1, {_EMB_DIM}) AS g(i)
+  WHERE g.i <= len(embedding)
+),
+per_dim AS (
+  SELECT pos,
+         avg(CASE WHEN grp THEN x END) AS ma,
+         avg(CASE WHEN NOT grp THEN x END) AS mb,
+         count(CASE WHEN grp THEN 1 END) AS ca,
+         count(CASE WHEN NOT grp THEN 1 END) AS cb
+  FROM ex GROUP BY pos
+)
+SELECT CAST(max(ca) AS BIGINT) AS n_a,
+       CAST(max(cb) AS BIGINT) AS n_b,
+       CAST(count(*) AS INT) AS dim,
+       CAST(round(sum(ma * mb) / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))), 6) + 0.0 AS DOUBLE) AS cosine,
+       CAST(round(sqrt(sum((ma - mb) * (ma - mb))), 6) + 0.0 AS DOUBLE) AS l2_shift
+FROM per_dim
+"""
+
+
+_EVO_OLD_SQL = """
+SELECT CAST(user_id AS STRING) AS s_id,
+       CAST(event_id % 100 AS STRING) || '.5' AS s_amt,
+       event_type AS s_kind,
+       CASE WHEN event_id % 3 = 0 THEN 'true' ELSE 'FALSE' END AS s_flag,
+       'keep' AS s_gone
+FROM events WHERE event_id % 2 = 0
+"""
+_EVO_NEW_SQL = """
+SELECT CAST(user_id AS STRING) || '.5' AS s_id,
+       CAST(event_id % 100 AS STRING) || '.5' AS s_amt,
+       CAST(event_id % 7 AS STRING) AS s_kind,
+       CASE WHEN event_id % 3 = 0 THEN 'true' ELSE 'FALSE' END AS s_flag,
+       'x' AS s_new,
+       CASE WHEN event_id % 3 = 0 THEN NULL ELSE 'y' END AS s_new_opt
+FROM events WHERE event_id % 2 = 1
+"""
+_EVO_OLD_COLS = ["s_id", "s_amt", "s_kind", "s_flag", "s_gone"]
+_EVO_NEW_COLS = ["s_id", "s_amt", "s_kind", "s_flag", "s_new", "s_new_opt"]
+
+
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution verdicts between two event slices with every issue
+    kind planted (checks/evolution.schema_evolution_check): int→float
+    promotion (backward-only), string→int break, a removed required column,
+    a new required column, a new nullable column — the registry's
+    compatibility rules (operators/registry.py:83-131) run as a data check."""
+    from schema_infer_plugin_spark.checks.evolution import schema_evolution_check
+
+    events = load_table(spark, sf_dir, "events")
+    events.createOrReplaceTempView("events")
+    return schema_evolution_check(
+        spark.sql(_EVO_OLD_SQL),
+        spark.sql(_EVO_NEW_SQL),
+        old_columns=_EVO_OLD_COLS,
+        new_columns=_EVO_NEW_COLS,
+    )
+
+
+def _oracle_schema_evolution() -> str:
+    readable = "({o} = {n} OR ({o} = 'int' AND {n} = 'float'))"
+    r_on = readable.format(o="old_type", n="new_type")
+    r_no = readable.format(o="new_type", n="old_type")
+    return f"""
+WITH oldp AS ({_duck_type_profile_sql(_EVO_OLD_SQL, _EVO_OLD_COLS)}),
+newp AS ({_duck_type_profile_sql(_EVO_NEW_SQL, _EVO_NEW_COLS)}),
+j AS (
+  SELECT coalesce(o.col_name, n.col_name) AS col_name,
+         o.inferred_type AS old_type, n.inferred_type AS new_type,
+         o.nullable AS old_nullable, o.required AS old_required,
+         n.nullable AS new_nullable, n.required AS new_required
+  FROM oldp o FULL OUTER JOIN newp n ON o.col_name = n.col_name
+),
+v AS (
+  SELECT col_name, old_type, new_type,
+         CASE WHEN old_type IS NULL THEN 'added'
+              WHEN new_type IS NULL THEN 'removed'
+              ELSE 'kept' END AS status,
+         old_nullable, old_required, new_nullable, new_required
+  FROM j
+),
+w AS (
+  SELECT col_name, status, old_type, new_type,
+         CASE WHEN status = 'added' THEN NOT (new_required AND NOT new_nullable)
+              WHEN status = 'removed' THEN true
+              ELSE {r_on} END AS backward_ok,
+         CASE WHEN status = 'removed' THEN NOT (old_required AND NOT old_nullable)
+              WHEN status = 'added' THEN true
+              ELSE {r_no} END AS forward_ok
+  FROM v
+)
+SELECT col_name, status, old_type, new_type, backward_ok, forward_ok,
+       (backward_ok AND forward_ok) AS compatible_full,
+       CASE WHEN status = 'added' AND NOT backward_ok THEN 'field_added_required'
+            WHEN status = 'removed' AND NOT forward_ok THEN 'field_removed_required'
+            WHEN status = 'kept' AND NOT (backward_ok AND forward_ok) THEN 'type_changed'
+       END AS issue
+FROM w
+"""
+
+
 _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
     "transcripts_uniqueness": (q_uniqueness, ORACLE_UNIQUENESS),
     "transcripts_fd_role": (q_fd_role, ORACLE_FD_ROLE),
@@ -3156,6 +3479,13 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pattern_event_type": (q_pattern_event_type, ORACLE_PATTERN_EVENT_TYPE),
     "pattern_rates": (q_pattern_rates, ORACLE_PATTERN_RATES),
     "bm25_search": (q_bm25_search, _oracle_bm25(_BM25_TERMS, _BM25_K)),
+    "events_freshness": (q_events_freshness, ORACLE_FRESHNESS),
+    "events_coverage_gaps": (q_events_coverage_gaps, ORACLE_COVERAGE_GAPS),
+    "wasserstein_value_drift": (q_wasserstein_value_drift, ORACLE_W1_DRIFT),
+    "transcripts_entropy": (q_transcripts_entropy, ORACLE_ENTROPY),
+    "transcripts_role_tool_mi": (q_transcripts_role_tool_mi, ORACLE_ROLE_TOOL_MI),
+    "embedding_centroid_drift": (q_embedding_centroid_drift, ORACLE_CENTROID_DRIFT),
+    "schema_evolution_verdicts": (q_schema_evolution, _oracle_schema_evolution()),
     "json_inference": (q_json_inference, ORACLE_JSON_INFERENCE),
     "format_detect": (q_format_detect, ORACLE_FORMAT_DETECT),
     "kv_parse": (q_kv_parse, ORACLE_KV_PARSE),

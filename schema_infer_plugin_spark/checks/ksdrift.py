@@ -1,8 +1,11 @@
-"""Two-sample Kolmogorov–Smirnov drift statistic for numeric columns.
+"""Two-sample Kolmogorov–Smirnov and Wasserstein-1 drift statistics for
+numeric columns.
 
 Complements checks/drift.py (PSI/KL/JS over histograms): KS is the classic
 distribution-shift test for *numeric* columns — the supremum of the absolute
-difference between the two empirical CDFs. The engine computes it as plain
+difference between the two empirical CDFs; Wasserstein-1 integrates the same
+gap (``∫|CDF_a − CDF_b| dv``), catching small-but-everywhere shifts the sup
+saturates on. The engine computes it as plain
 DataFrame math (no UDF), in the same two modes the rest of the repo uses:
 
 * default ``n_buckets=1000``: values are equal-width-quantized first, so the
@@ -27,21 +30,14 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
 
 
-def ks_statistic(
+def _two_sample_counts(
     a: DataFrame,
     b: DataFrame,
     column: str,
-    n_buckets: int | None = 1000,
+    n_buckets: int | None,
 ) -> DataFrame:
-    """KS statistic between ``column`` of two frames.
-
-    Returns one row: (ks_stat double, ks_at double, n_a long, n_b long) —
-    ``ks_at`` is the smallest value/bucket-edge where the supremum is attained
-    (deterministic tie-break). NULLs are excluded on both sides (KS is a
-    statement about values, not missingness — pair with the profile's
-    null_rate for that). Empty sides yield ks_stat NULL rather than a
-    misleading 0.
-    """
+    """Shared front half of the two-sample statistics: per-value (or
+    per-quantized-bucket-edge) counts ``(v, ca, cb)`` of both sides."""
     va = a.select(F.col(column).cast("double").alias("v")).filter(F.col("v").isNotNull())
     vb = b.select(F.col(column).cast("double").alias("v")).filter(F.col("v").isNotNull())
 
@@ -70,13 +66,78 @@ def ks_statistic(
 
         va, vb = quantize(va), quantize(vb)
 
-    counts = (
+    return (
         va.select("v", F.lit(1).alias("ca"), F.lit(0).alias("cb"))
         .unionAll(vb.select("v", F.lit(0).alias("ca"), F.lit(1).alias("cb")))
         .groupBy("v")
         .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
     )
-    return _ks_over_counts(counts)
+
+
+def ks_statistic(
+    a: DataFrame,
+    b: DataFrame,
+    column: str,
+    n_buckets: int | None = 1000,
+) -> DataFrame:
+    """KS statistic between ``column`` of two frames.
+
+    Returns one row: (ks_stat double, ks_at double, n_a long, n_b long) —
+    ``ks_at`` is the smallest value/bucket-edge where the supremum is attained
+    (deterministic tie-break). NULLs are excluded on both sides (KS is a
+    statement about values, not missingness — pair with the profile's
+    null_rate for that). Empty sides yield ks_stat NULL rather than a
+    misleading 0.
+    """
+    return _ks_over_counts(_two_sample_counts(a, b, column, n_buckets))
+
+
+def wasserstein_statistic(
+    a: DataFrame,
+    b: DataFrame,
+    column: str,
+    n_buckets: int | None = 1000,
+) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between ``column`` of two frames.
+
+    Complements :func:`ks_statistic`: KS is the *sup* of the CDF gap — blind
+    to how WIDE the gap is; W1 integrates it (``∫ |CDF_a − CDF_b| dv``), so a
+    small-but-everywhere shift (e.g. a unit conversion bug nudging every
+    value 2%) scores proportionally to the shift magnitude where KS
+    saturates. Same quantized-grid machinery and boundedness argument as KS;
+    the discretized W1 is exact for the quantized distributions.
+
+    Returns one row: (w1 double, n_a long, n_b long) — ``w1`` in the
+    column's own units. Empty sides yield NULL.
+    """
+    counts = _two_sample_counts(a, b, column, n_buckets)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy()
+    o = Window.orderBy("v")
+    cdf = counts.select(
+        "v",
+        F.try_divide(F.sum("ca").over(w), F.sum("ca").over(tot)).alias("cdf_a"),
+        F.try_divide(F.sum("cb").over(w), F.sum("cb").over(tot)).alias("cdf_b"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+        F.lead("v", 1).over(o).alias("nxt"),
+    )
+    # last grid point has no right neighbor — its term is the open tail where
+    # both CDFs are 1, contributing 0 by construction
+    term = (F.col("nxt") - F.col("v")) * F.abs(F.col("cdf_a") - F.col("cdf_b"))
+    # coalesce: a single-point grid (hi == lo, or n_buckets=None over a
+    # constant column) has no terms — identical point masses are distance 0,
+    # not NULL; the when() keeps genuinely-empty sides NULL per the contract
+    return cdf.agg(
+        F.when(
+            (F.max("n_a") > 0) & (F.max("n_b") > 0),
+            F.coalesce(F.round(F.sum(term), 6) + F.lit(0.0), F.lit(0.0)),
+        )
+        .cast("double")
+        .alias("w1"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+    )
 
 
 def _ks_over_counts(counts: DataFrame) -> DataFrame:
@@ -153,11 +214,8 @@ def grid_counts(
     )
 
 
-def ks_from_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
-    """KS between two ``grid_counts`` frames sharing the same grid — e.g. a
-    persisted baseline vs the current run quantized onto the baseline's grid.
-    Same output row as :func:`ks_statistic`."""
-    counts = (
+def _merge_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
+    return (
         a_counts.select("v", F.col("cnt").alias("ca"), F.lit(0).cast("long").alias("cb"))
         .unionAll(
             b_counts.select("v", F.lit(0).cast("long").alias("ca"), F.col("cnt").alias("cb"))
@@ -165,4 +223,49 @@ def ks_from_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
         .groupBy("v")
         .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
     )
-    return _ks_over_counts(counts)
+
+
+def ks_from_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
+    """KS between two ``grid_counts`` frames sharing the same grid — e.g. a
+    persisted baseline vs the current run quantized onto the baseline's grid.
+    Same output row as :func:`ks_statistic`."""
+    return _ks_over_counts(_merge_counts(a_counts, b_counts))
+
+
+def ks_w1_from_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
+    """KS *and* Wasserstein-1 between two same-grid ``grid_counts`` frames in
+    ONE plan — the runner's drift pass uses this so the current run's counts
+    (a full table scan) feed both statistics from a single job instead of
+    scanning once per metric.
+
+    Output, one row: (ks_stat, ks_at, w1, n_a, n_b) — KS fields as
+    :func:`ks_statistic`, ``w1`` as :func:`wasserstein_statistic`.
+    """
+    counts = _merge_counts(a_counts, b_counts)
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy()
+    o = Window.orderBy("v")
+    cdf = counts.select(
+        "v",
+        F.try_divide(F.sum("ca").over(w), F.sum("ca").over(tot)).alias("cdf_a"),
+        F.try_divide(F.sum("cb").over(w), F.sum("cb").over(tot)).alias("cdf_b"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+        F.lead("v", 1).over(o).alias("nxt"),
+    ).withColumn("d", F.abs(F.col("cdf_a") - F.col("cdf_b")))
+    tagged = cdf.withColumn("dmx", F.max("d").over(tot))
+    term = (F.col("nxt") - F.col("v")) * F.col("d")
+    return tagged.agg(
+        F.round(F.max("d"), 6).cast("double").alias("ks_stat"),
+        F.min(F.when(F.col("d") == F.col("dmx"), F.col("v")))
+        .cast("double")
+        .alias("ks_at"),
+        F.when(
+            (F.max("n_a") > 0) & (F.max("n_b") > 0),
+            F.coalesce(F.round(F.sum(term), 6) + F.lit(0.0), F.lit(0.0)),
+        )
+        .cast("double")
+        .alias("w1"),
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+    )

@@ -311,13 +311,15 @@ def run_drift(
     categorical columns get ``drift_<col>`` (pass iff total PSI <= threshold;
     metrics carry psi/kl/js), numeric columns get ``ks_<col>`` (two-sample KS
     on the baseline's fixed grid; pass iff ks_stat <= ks_threshold, metrics
-    carry ks/ks_at). Columns with no persisted numeric baseline are skipped.
+    carry ks/ks_at/w1 — Wasserstein-1 rides the same single-job plan, see
+    checks/ksdrift.ks_w1_from_counts). Columns with no persisted numeric
+    baseline are skipped.
 
     Thresholds follow the conventional readings: PSI <0.1 stable, 0.1-0.2
     moderate, >0.2 drifted (default 0.2); KS two-sample flags at ~0.1 for
     large same-source samples (default 0.1)."""
     from schema_infer_plugin_spark.checks.drift import drift_stats, histogram
-    from schema_infer_plugin_spark.checks.ksdrift import grid_counts, ks_from_counts
+    from schema_infer_plugin_spark.checks.ksdrift import grid_counts, ks_w1_from_counts
 
     done = completed_keys(spark, out_dir, run_id, PASS_DRIFT)
     verd_dir = os.path.join(out_dir, "drift_verdicts")
@@ -355,13 +357,19 @@ def run_drift(
         cur = grid_counts(
             transcripts, c, float(meta["lo"]), float(meta["hi"]), int(meta["n_buckets"])
         )
-        ks = ks_from_counts(base.select("v", "cnt"), cur).collect()[0]
+        # KS + Wasserstein-1 from the SAME single-job plan (ks_w1_from_counts)
+        # — the current run's grid_counts scan feeds both statistics at once
+        ks = ks_w1_from_counts(base.select("v", "cnt"), cur).collect()[0]
         stat = float(ks["ks_stat"]) if ks["ks_stat"] is not None else 1.0
         rows.append(
             (
                 f"ks_{c}",
                 stat <= ks_threshold,
-                {"ks": stat, "ks_at": float(ks["ks_at"]) if ks["ks_at"] is not None else 0.0},
+                {
+                    "ks": stat,
+                    "ks_at": float(ks["ks_at"]) if ks["ks_at"] is not None else 0.0,
+                    "w1": float(ks["w1"]) if ks["w1"] is not None else 0.0,
+                },
             )
         )
     verd = spark.createDataFrame(

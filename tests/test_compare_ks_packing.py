@@ -222,3 +222,26 @@ def test_pack_text_col_and_arg_validation(spark):
     assert row.n_tokens == 3
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", budget=8)
+
+
+def test_ks_w1_from_counts_matches_separate_stats(spark):
+    """ks_w1_from_counts (the runner's fused drift statistic) must agree with
+    ks_from_counts and wasserstein_statistic computed separately."""
+    from schema_infer_plugin_spark.checks.ksdrift import (
+        grid_counts,
+        ks_from_counts,
+        ks_w1_from_counts,
+        wasserstein_statistic,
+    )
+
+    a = spark.createDataFrame([(float(v),) for v in range(20)], "v double")
+    b = spark.createDataFrame([(float(v) + 5.0,) for v in range(20)], "v double")
+    ca = grid_counts(a, "v", 0.0, 24.0, n_buckets=100)
+    cb = grid_counts(b, "v", 0.0, 24.0, n_buckets=100)
+    fused = ks_w1_from_counts(ca, cb).collect()[0]
+    ks = ks_from_counts(ca, cb).collect()[0]
+    assert fused["ks_stat"] == ks["ks_stat"] and fused["ks_at"] == ks["ks_at"]
+    assert fused["n_a"] == ks["n_a"] == 20 and fused["n_b"] == ks["n_b"] == 20
+    # W1 of a +5 shift inside the grid = 5 (quantized onto the same grid)
+    assert abs(fused["w1"] - 5.0) < 0.25
+    assert fused["ks_stat"] == 0.25  # 5/20 of mass strictly separated

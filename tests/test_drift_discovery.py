@@ -59,6 +59,7 @@ def test_numeric_ks_drift_pass(spark, tmp_path):
         rows = {r["check_name"]: r for r in v.collect()}
         assert rows["ks_turn_idx"]["pass"]
         assert rows["ks_turn_idx"]["metrics"]["ks"] < 1e-9
+        assert rows["ks_turn_idx"]["metrics"]["w1"] < 1e-9
 
         # keep only early turns (turn_idx < 3) + clamp probe: +1000 outliers
         shifted = t.filter(F.col("turn_idx") < 3).union(
@@ -72,6 +73,7 @@ def test_numeric_ks_drift_pass(spark, tmp_path):
         rows2 = {r["check_name"]: r for r in v2.collect()}
         assert not rows2["ks_turn_idx"]["pass"]
         assert rows2["ks_turn_idx"]["metrics"]["ks"] > 0.1
+        assert rows2["ks_turn_idx"]["metrics"]["w1"] > 0.0
     finally:
         t.unpersist()
 

@@ -31,6 +31,7 @@ BOUNDED_BROADCAST_CROSS = {
     "value_histogram_equidepth",  # single-row quantile-edges frame (checks/drift.py)
     "temporal_self_drift",   # single-row median-ts frame (checks/drift.py)
     "bm25_search",           # single-row corpus-stats frame (datapipe/retrieval.py)
+    "wasserstein_value_drift",  # single-row (lo, hi) bounds frame (checks/ksdrift.py)
 }
 
 ALL_QUERIES = sorted(entrymod.queries().keys())

@@ -19,5 +19,12 @@ from .volume import daily_volume_anomalies  # noqa: F401
 from .temporal import conv_latency_stats, ts_monotonic_violations  # noqa: F401
 from .skew import group_size_stats, hot_key_report  # noqa: F401
 from .drift import histogram, histogram_equidepth, drift_stats, temporal_self_drift  # noqa: F401
-from .ksdrift import ks_statistic  # noqa: F401
+from .ksdrift import ks_statistic, wasserstein_statistic  # noqa: F401
 from .salting import conv_stats, salted_two_phase, with_salt  # noqa: F401
+from .referential import fk_orphans, fk_verdict  # noqa: F401
+from .snapshot_diff import snapshot_diff  # noqa: F401
+from .patterns import pattern_match_rates, pattern_violations  # noqa: F401
+from .freshness import coverage_gaps, freshness  # noqa: F401
+from .entropy import categorical_entropy, mutual_information  # noqa: F401
+from .embedding_drift import centroid_drift  # noqa: F401
+from .evolution import evolution_verdicts, schema_evolution_check  # noqa: F401

@@ -380,6 +380,47 @@ def cmd_dedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_audit(args: argparse.Namespace) -> int:
+    """Table-liveness + distribution audit: freshness lag per group, empty
+    time buckets, and categorical entropy — the checks a scheduler runs
+    BEFORE a full validation pass is worth its scan (a stale or hole-ridden
+    table fails here in seconds). Writes ``freshness/``, ``coverage_gaps/``
+    and (with --entropy-cols) ``entropy/`` under --out; exits 1 when any
+    freshness group misses its SLA or any coverage gap exists."""
+    from pyspark.sql import functions as F
+
+    from schema_infer_plugin_spark.checks.entropy import categorical_entropy
+    from schema_infer_plugin_spark.checks.freshness import coverage_gaps, freshness
+    from schema_infer_plugin_spark.sources.io import load_table
+
+    spark = _spark()
+    df = load_table(spark, args.input, args.table)
+    fresh = freshness(
+        df,
+        args.ts_col,
+        as_of=args.as_of,
+        max_lag_hours=float(args.max_lag_hours),
+        group_cols=[args.group_col] if args.group_col else None,
+    )
+    fresh.coalesce(1).write.mode("overwrite").parquet(os.path.join(args.out, "freshness"))
+    fresh_w = spark.read.parquet(os.path.join(args.out, "freshness"))
+    n_groups = fresh_w.count()
+    n_stale = fresh_w.filter(~F.col("passed")).count()
+
+    gaps = coverage_gaps(df, args.ts_col, unit=args.unit)
+    gaps.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(args.out, "coverage_gaps")
+    )
+    n_gaps = spark.read.parquet(os.path.join(args.out, "coverage_gaps")).count()
+
+    if args.entropy_cols:
+        ent = categorical_entropy(df, args.entropy_cols.split(","))
+        ent.coalesce(1).write.mode("overwrite").parquet(os.path.join(args.out, "entropy"))
+
+    print(f"groups={n_groups} stale={n_stale} coverage_gaps={n_gaps}")
+    return 1 if (n_stale or n_gaps) else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="schema-infer-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -440,6 +481,22 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser(
+        "audit",
+        help="liveness audit: freshness lag, empty time buckets, entropy "
+        "(exit 1 on stale groups or coverage gaps)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--table", default="events")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--as-of", required=True, help="deterministic 'now' (UTC)")
+    p.add_argument("--max-lag-hours", default="24")
+    p.add_argument("--group-col", default=None)
+    p.add_argument("--unit", default="hour", choices=["hour", "day"])
+    p.add_argument("--entropy-cols", default=None, help="comma-separated")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_audit)
 
     p = sub.add_parser("version")
     p.set_defaults(fn=lambda a: (print(f"schema-infer-spark {ENGINE_VERSION}"), 0)[1])

@@ -186,3 +186,29 @@ def test_cli_dedup_minhash_keep_decision(spark, tmp_path, capsys):
         assert comp[i] == comp[i + 500000]  # copy clusters with its original
     pairs = spark.read.parquet(f"{out}/pairs")
     assert pairs.filter("score >= 0.9").count() == pairs.count() > 0
+
+
+def test_audit_stale_and_gaps(spark, tmp_path, capsys):
+    out = str(tmp_path / "audit")
+    # as-of far in the future -> every group stale -> exit 1
+    rc = main(
+        ["audit", "--input", SF, "--table", "events", "--as-of", "2025-01-01 00:00:00",
+         "--max-lag-hours", "24", "--group-col", "event_type",
+         "--entropy-cols", "event_type", "--out", out]
+    )
+    assert rc == 1
+    printed = capsys.readouterr().out
+    assert "stale=" in printed and "coverage_gaps=" in printed
+    assert os.path.exists(os.path.join(out, "freshness"))
+    assert os.path.exists(os.path.join(out, "entropy"))
+
+
+def test_audit_passes_with_generous_sla(spark, tmp_path, capsys):
+    out = str(tmp_path / "audit_ok")
+    # generous lag + day granularity over the fully-covered January span
+    rc = main(
+        ["audit", "--input", SF, "--table", "events", "--as-of", "2024-01-31 00:00:00",
+         "--max-lag-hours", "8760", "--unit", "day", "--out", out]
+    )
+    assert rc == 0
+    assert "stale=0" in capsys.readouterr().out

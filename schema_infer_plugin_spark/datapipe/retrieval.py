@@ -111,3 +111,115 @@ def bm25_topk(
         F.round(score, 6).cast("double").alias("score"),
     ).filter(F.col("score") > 0)
     return out.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# feature-hashed vectors + hybrid (lexical ∪ vector) retrieval
+# ---------------------------------------------------------------------------
+
+
+def hashed_bucket(token: Column, dim: int) -> Column:
+    """md5-derived feature-hashing bucket of a token (first 8 hex digits mod
+    ``dim``) — the same reproducible-hash recipe as MinHash
+    (datapipe/dedup.py) so both engines agree on every bucket."""
+    return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long") % dim
+
+
+def hashed_tf_vector(text: Column, dim: int = 64) -> Column:
+    """Feature-hashed term-frequency vector (``dim`` buckets) of a text —
+    the classic hashing-trick vectorizer: no vocabulary, no fit pass, so it
+    is a PURE PROJECTION at any corpus size.
+
+    Plan: tokens → buckets in one pre-transform (md5 once per token, kept in
+    argument position — the lambda-capture pathology documented in
+    functions/textstats.py), then a single fold incrementing the bucket's
+    slot; O(dim) adds per token, zero exchanges. Output array<double> (ready
+    for functions/vectors cosine math).
+    """
+    buckets = F.transform(_tokens(text), lambda x: hashed_bucket(x, dim))
+    return F.aggregate(
+        buckets,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, b: F.transform(
+            acc, lambda v, i: v + (b == i.cast("long")).cast("double")
+        ),
+    )
+
+
+def hashed_tf_query_vector(query_text: str, dim: int = 64) -> list[float]:
+    """Driver-side constant: the :func:`hashed_tf_vector` of a query string,
+    computed in plain Python (``hashlib.md5`` — identical arithmetic) so the
+    plan carries ``dim`` literals instead of a per-row literal fold."""
+    import hashlib
+
+    vec = [0.0] * dim
+    for tok in query_text.strip().lower().split():
+        if tok:
+            vec[int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim] += 1.0
+    return vec
+
+
+def hashed_cosine_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_text: str,
+    dim: int = 64,
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents by cosine similarity between feature-hashed TF
+    vectors — the zero-training vector leg of hybrid retrieval. Brute-force
+    scoring against ONE broadcast-free literal query vector (pure per-row
+    expression); top-k via distributed TakeOrdered. For corpus-vs-corpus
+    similarity at scale use the LSH/IVF paths (datapipe/ann.py) instead.
+
+    Output: ``(id_col, score)`` — score rounded to 6 decimals BEFORE ranking
+    (same cross-engine determinism argument as BM25), zero-score docs
+    dropped.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    qv = F.array(*[F.lit(x) for x in hashed_tf_query_vector(query_text, dim)])
+    scored = docs.select(
+        F.col(id_col),
+        F.round(cosine_similarity(qv, hashed_tf_vector(F.col(text_col), dim)), 6)
+        .cast("double")
+        .alias("score"),
+    ).filter(F.col("score") > 0)
+    return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str,
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of ranked
+    lists: ``score(d) = Σ_lists 1/(k + rank_d)`` — the standard score-free
+    way to combine lexical (BM25) and vector rankings in hybrid search.
+
+    Each input needs ``(id_col, rank)`` with rank 1-based; inputs are
+    bounded top-k frames, so everything here operates on ≤ Σ|lists| rows.
+    Output: ``(id_col, rrf_score, n_lists, rank)`` — top ``topk`` by
+    (score desc, id), score rounded to 6 decimals before ranking.
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    tagged = rankings[0].select(F.col(id_col), F.col("rank").cast("long").alias("rank"))
+    for r in rankings[1:]:
+        tagged = tagged.unionByName(
+            r.select(F.col(id_col), F.col("rank").cast("long").alias("rank"))
+        )
+    fused = tagged.groupBy(id_col).agg(
+        F.round(F.sum(F.lit(1.0) / (F.lit(k) + F.col("rank"))), 6)
+        .cast("double")
+        .alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    top = fused.orderBy(F.desc("rrf_score"), F.col(id_col)).limit(topk)
+    # rank annotation over the bounded ≤ topk result frame
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("rrf_score"), F.col(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

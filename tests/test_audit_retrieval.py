@@ -174,3 +174,52 @@ def test_bm25_single_tokenization_per_row(spark):
     sdf = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     plan = bm25_topk(sdf, "doc_id", "text", ["a", "b", "c", "d"], k=5)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("split(trim(") <= 2, plan  # one per scan (stats + scoring)
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: feature hashing + RRF
+# ---------------------------------------------------------------------------
+
+
+def test_hashed_tf_vector_matches_python_constant(spark):
+    """The Spark-side hashed_tf_vector and the Python-side
+    hashed_tf_query_vector must produce identical vectors for the same text
+    (same md5 bucket arithmetic)."""
+    from schema_infer_plugin_spark.datapipe.retrieval import (
+        hashed_tf_query_vector,
+        hashed_tf_vector,
+    )
+
+    text = "Spark shuffle WINDOW spark  "
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(hashed_tf_vector(F.col("text"), 16).alias("v"))
+        .collect()[0]
+    )
+    assert row["v"] == hashed_tf_query_vector(text, 16)
+    assert sum(row["v"]) == 4.0  # four tokens
+
+
+def test_hashed_cosine_topk_self_retrieval(spark):
+    from schema_infer_plugin_spark.datapipe.retrieval import hashed_cosine_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "alpha beta unrelated")],
+        "doc_id long, text string",
+    )
+    top = hashed_cosine_topk(docs, "doc_id", "text", "alpha beta gamma", dim=32, k=3).collect()
+    assert top[0]["doc_id"] == 1 and top[0]["score"] == 1.0
+    assert [r["doc_id"] for r in top[:2]] == [1, 3]
+
+
+def test_rrf_fuse_known_scores(spark):
+    from schema_infer_plugin_spark.datapipe.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank int")
+    out = {r["doc_id"]: r.asDict() for r in rrf_fuse([a, b], "doc_id", k=60, topk=3).collect()}
+    assert out[20]["rrf_score"] == round(1 / 61 + 1 / 62, 6) and out[20]["n_lists"] == 2
+    assert out[10]["rrf_score"] == round(1 / 61, 6) and out[10]["n_lists"] == 1
+    assert out[20]["rank"] == 1
+    # tie between 10 (rank 1 in a) and 30 (rank 2 in b)? no: 1/61 > 1/62
+    assert out[10]["rank"] == 2 and out[30]["rank"] == 3

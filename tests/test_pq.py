@@ -1,0 +1,80 @@
+"""Product-quantization ANN (datapipe/ann.py): codebook shape, exact
+reconstruction when vectors coincide with codewords, and rerank equivalence
+to the exact baseline when the shortlist covers the corpus."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from schema_infer_plugin_spark.datapipe.ann import (
+    ann_bruteforce_topk,
+    ann_pq_topk,
+    pq_codebook,
+    pq_encode,
+    pq_reconstruct,
+)
+
+DIM, M, CODES = 8, 4, 4
+
+
+def _corpus(spark, n=12):
+    # deterministic distinct vectors; the first CODES by md5(id) become the
+    # codebook, so those reconstruct exactly
+    rows = [
+        (i, [float((3 * i + 7 * d) % 11) for d in range(DIM)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_codebook_shape_and_dim_guard(spark):
+    emb = _corpus(spark)
+    cb = pq_codebook(emb, "vec_id", "embedding", m=M, n_codes=CODES)
+    assert len(cb) == M and all(len(b) == CODES for b in cb)
+    assert all(len(w) == DIM // M for b in cb for w in b)
+    import pytest
+
+    with pytest.raises(ValueError):
+        pq_codebook(emb, "vec_id", "embedding", m=3, n_codes=CODES)
+
+
+def test_sampled_vectors_reconstruct_exactly(spark):
+    emb = _corpus(spark)
+    cb = pq_codebook(emb, "vec_id", "embedding", m=M, n_codes=CODES)
+    sampled_ids = {
+        r["vec_id"]
+        for r in emb.withColumn("r", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("r", "vec_id")
+        .limit(CODES)
+        .collect()
+    }
+    recon = emb.select(
+        "vec_id",
+        "embedding",
+        pq_reconstruct(pq_encode(F.col("embedding"), cb), cb).alias("rv"),
+    ).collect()
+    for r in recon:
+        if r["vec_id"] in sampled_ids:
+            assert r["rv"] == r["embedding"], r["vec_id"]
+
+
+def test_rerank_covering_corpus_equals_bruteforce(spark):
+    emb = _corpus(spark)
+    qs = emb.filter(F.col("vec_id") % 4 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in ann_bruteforce_topk(emb, qs, k=3).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"], r["cosine"], r["rank"])
+        for r in ann_pq_topk(
+            emb, qs, k=3, m=M, n_codes=CODES, rerank=100
+        ).collect()
+    }
+    assert pq == exact
+
+
+def test_rerank_none_ranks_on_reconstructed(spark):
+    emb = _corpus(spark)
+    qs = emb.filter(F.col("vec_id") == 0)
+    out = ann_pq_topk(emb, qs, k=3, m=M, n_codes=CODES, rerank=None).collect()
+    assert len(out) == 3 and [r["rank"] for r in out] == [1, 2, 3]

@@ -13,7 +13,16 @@ from tests.conftest import SF_SMOKE
 #: queries whose WHOLE PURPOSE is the exact all-pairs baseline (verifiers for
 #: the LSH/IVF scale paths) — the broadcast nested-loop join is the documented
 #: opt-in there, never the production path
-EXACT_BASELINES = {"dedup_embedding_cosine", "ann_bruteforce_topk", "ann_quantized_topk"}
+EXACT_BASELINES = {
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_quantized_topk",
+    # PQ's compressed pass scores every (query, corpus) pair BY DESIGN — the
+    # win is that the pass runs in the compressed domain and only the
+    # shortlist joins back full vectors; the broadcast-queries nested loop is
+    # the same documented shape as the exact baselines above
+    "ann_pq_topk",
+}
 
 #: queries where a BroadcastNestedLoopJoin is a BOUNDED broadcast cross —
 #: one side is driver-derived metadata that never grows with the table
@@ -32,6 +41,7 @@ BOUNDED_BROADCAST_CROSS = {
     "temporal_self_drift",   # single-row median-ts frame (checks/drift.py)
     "bm25_search",           # single-row corpus-stats frame (datapipe/retrieval.py)
     "wasserstein_value_drift",  # single-row (lo, hi) bounds frame (checks/ksdrift.py)
+    "hybrid_search_rrf",     # BM25 leg's single-row corpus-stats frame (retrieval.py)
 }
 
 ALL_QUERIES = sorted(entrymod.queries().keys())

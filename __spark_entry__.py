@@ -3315,6 +3315,47 @@ FROM per_dim
 """
 
 
+_CHUNK_MAX = 40
+_CHUNK_OVERLAP = 8
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (datapipe/text.chunk_documents): each document
+    split into 40-token windows overlapping by 8 — a pure projection with a
+    fan-out proportional to the OUTPUT, the pre-tokenization splitter of a
+    context-bounded training pipeline."""
+    from schema_infer_plugin_spark.datapipe.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP
+    )
+
+
+def _oracle_chunks() -> str:
+    stride = _CHUNK_MAX - _CHUNK_OVERLAP
+    a = f"chunk_idx * {stride} + 1"
+    b = f"chunk_idx * {stride} + {_CHUNK_MAX}"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS tk
+  FROM documents),
+meta AS (
+  SELECT doc_id, tk,
+         1 + greatest(CAST(floor((len(tk) - {_CHUNK_MAX} + {stride} - 1) / {stride}) AS BIGINT), 0) AS n_chunks
+  FROM toks),
+ch AS (SELECT doc_id, tk, n_chunks,
+              unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+       FROM meta)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, CAST(n_chunks AS INT) AS n_chunks,
+       array_to_string(tk[{a}:{b}], ' ') AS chunk_text,
+       CAST(len(tk[{a}:{b}]) AS BIGINT) AS n_tokens
+FROM ch
+"""
+
+
 _PQ_M = 16
 _PQ_CODES = 8
 _PQ_RERANK = 100
@@ -3635,6 +3676,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "schema_evolution_verdicts": (q_schema_evolution, _oracle_schema_evolution()),
     "hybrid_search_rrf": (q_hybrid_search, _oracle_hybrid()),
     "ann_pq_topk": (q_ann_pq, _oracle_ann_pq()),
+    "chunk_documents": (q_chunk_documents, _oracle_chunks()),
     "json_inference": (q_json_inference, ORACLE_JSON_INFERENCE),
     "format_detect": (q_format_detect, ORACLE_FORMAT_DETECT),
     "kv_parse": (q_kv_parse, ORACLE_KV_PARSE),

@@ -285,3 +285,53 @@ def boilerplate_ngrams(
         .orderBy(F.desc("doc_freq"), F.asc("shingle"))
         .limit(top_n)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Sliding-window token chunks of each document — the pre-tokenization
+    splitter every context-bounded training pipeline needs (a document longer
+    than the model context becomes ``ceil((n − max)/stride) + 1`` chunks of
+    ``max_tokens`` whitespace tokens overlapping by ``overlap``).
+
+    Plan shape: a PURE PROJECTION plus a fan-out proportional to the OUTPUT
+    size. The token array is materialized once per input row and carried
+    through the explode (an aliased column crosses a Generate as a value, not
+    an expression — the split is never recomputed per chunk), and each
+    chunk's ``slice`` is O(max_tokens). Zero exchanges; every document is
+    represented (an empty/short text yields exactly one chunk).
+
+    Output: (id_col, chunk_idx int, n_chunks int, chunk_text string,
+    n_tokens long).
+    """
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"chunk_documents: overlap ({overlap}) must be < max_tokens ({max_tokens})"
+        )
+    stride = max_tokens - overlap
+    from ..functions.textstats import _tokens
+
+    base = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_tk"))
+    n = F.size("_tk").cast("long")
+    n_chunks = F.lit(1) + F.greatest(
+        F.floor((n - max_tokens + stride - 1) / stride).cast("long"), F.lit(0)
+    )
+    fanned = base.select(
+        F.col(id_col),
+        "_tk",
+        n_chunks.cast("int").alias("n_chunks"),
+        F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias("chunk_idx"),
+    )
+    chunk = F.slice(F.col("_tk"), F.col("chunk_idx") * stride + 1, max_tokens)
+    return fanned.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "n_chunks",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )

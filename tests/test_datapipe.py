@@ -1039,3 +1039,27 @@ def test_clustered_split_keeps_near_dups_together(spark, docs):
     naive = {r["doc_id"]: r["split"] for r in
              split_assign(corpus.select("doc_id"), ["doc_id"], weights).collect()}
     assert any(naive[i] != naive[i + 2000000] for i in range(10))
+
+
+def test_chunk_documents_windows(spark):
+    from schema_infer_plugin_spark.datapipe.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "x y"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=1)
+    rows = {(r["doc_id"], r["chunk_idx"]): r.asDict() for r in out.collect()}
+    # doc 1: 10 tokens, stride 3 -> ceil((10-4)/3)+1 = 3 chunks
+    assert rows[(1, 0)]["chunk_text"] == "a b c d" and rows[(1, 0)]["n_chunks"] == 3
+    assert rows[(1, 1)]["chunk_text"] == "d e f g"
+    assert rows[(1, 2)]["chunk_text"] == "g h i j" and rows[(1, 2)]["n_tokens"] == 4
+    # short doc: one whole chunk; whitespace-only doc: one empty chunk
+    assert rows[(2, 0)]["chunk_text"] == "x y" and rows[(2, 0)]["n_chunks"] == 1
+    assert rows[(3, 0)]["chunk_text"] == "" and rows[(3, 0)]["n_tokens"] == 0
+    assert len(rows) == 5
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=4)

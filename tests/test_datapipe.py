@@ -1063,3 +1063,34 @@ def test_chunk_documents_windows(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=4)
+
+
+def test_chunk_documents_reconstruction_property(spark):
+    """Property over varied lengths: dropping each chunk's leading overlap
+    (except chunk 0) and concatenating reconstructs the original token
+    sequence exactly — no token lost or duplicated by the windowing."""
+    from schema_infer_plugin_spark.datapipe.text import chunk_documents
+
+    max_tokens, overlap = 5, 2
+    stride = max_tokens - overlap
+    docs = [(n, " ".join(f"t{i}" for i in range(n))) for n in range(1, 24)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", max_tokens=max_tokens, overlap=overlap)
+    by_doc: dict[int, list] = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for n, _ in docs:
+        chunks = sorted(by_doc[n], key=lambda r: r["chunk_idx"])
+        assert chunks[0]["n_chunks"] == len(chunks)
+        rebuilt: list[str] = []
+        for r in chunks:
+            toks = r["chunk_text"].split()
+            rebuilt.extend(toks if r["chunk_idx"] == 0 else toks[overlap:])
+            assert len(toks) <= max_tokens
+            if r["chunk_idx"] < len(chunks) - 1:
+                assert len(toks) == max_tokens  # only the last chunk may be short
+            if r["chunk_idx"] > 0:
+                # overlap region repeats the previous chunk's tail
+                prev = chunks[r["chunk_idx"] - 1]["chunk_text"].split()
+                assert toks[:overlap] == prev[stride : stride + overlap]
+        assert rebuilt == [f"t{i}" for i in range(n)], n

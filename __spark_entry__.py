@@ -582,6 +582,29 @@ WHERE rnk <= 5
 
 
 
+def q_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row-per-check health rollup + __all__ grand total
+    (operators/violations.violations_scorecard): the first artifact a human
+    reads after a run — aggregates the fused validation's OUTPUT (rows ∝
+    errors, never ∝ input)."""
+    from schema_infer_plugin_spark.operators.violations import violations_scorecard
+    from schema_infer_plugin_spark.plans.validate import validate_transcripts
+
+    viol = validate_transcripts(_transcripts(spark, sf_dir)).filter(
+        F.col("check_name") != "ts_monotonic"
+    )
+    return violations_scorecard(viol)
+
+
+ORACLE_QUALITY_SCORECARD = f"""
+WITH v AS ({ORACLE_VALIDATE_FUSED})
+SELECT coalesce(check_name, '__all__') AS check_name,
+       CAST(count(*) AS BIGINT) AS n_violations,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM v GROUP BY ROLLUP(check_name)
+"""
+
+
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
@@ -3677,6 +3700,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hybrid_search_rrf": (q_hybrid_search, _oracle_hybrid()),
     "ann_pq_topk": (q_ann_pq, _oracle_ann_pq()),
     "chunk_documents": (q_chunk_documents, _oracle_chunks()),
+    "quality_scorecard": (q_quality_scorecard, ORACLE_QUALITY_SCORECARD),
     "json_inference": (q_json_inference, ORACLE_JSON_INFERENCE),
     "format_detect": (q_format_detect, ORACLE_FORMAT_DETECT),
     "kv_parse": (q_kv_parse, ORACLE_KV_PARSE),

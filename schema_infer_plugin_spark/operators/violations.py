@@ -84,3 +84,41 @@ def violations_sample(
     from ..sources.sampling import fixed_k_sample
 
     return fixed_k_sample(violations, "check_name", list(key_cols), k)
+
+
+def violations_scorecard(violations: DataFrame) -> DataFrame:
+    """One-row-per-check health summary of a violations frame, plus an
+    ``__all__`` grand-total row — the first thing a human reads after a run:
+    which rules fired, how many rows, how many conversations touched.
+
+    NOT ``rollup()``: Spark's rollup yields ZERO rows on empty input while
+    DuckDB's (and the SQL-standard grouping-sets ``()``) yields the
+    grand-total row — a clean table would silently diverge from the oracle
+    and produce no "all clean" row at all. Instead each violation feeds both
+    its check group and ``__all__`` via one explode (single shuffle,
+    2× |violations| rows — still ∝ errors, never ∝ input), and a literal
+    zero seed guarantees the ``__all__`` row on a clean run; the final merge
+    runs over the bounded per-check frame.
+
+    Output: (check_name, n_violations long, n_convs long).
+    """
+    spark = violations.sparkSession
+    exploded = violations.select(
+        F.explode(F.array(F.col("check_name"), F.lit("__all__"))).alias("check_name"),
+        "conv_id",
+    )
+    per = exploded.groupBy("check_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_violations"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+    )
+    seed = spark.createDataFrame(
+        [("__all__", 0, 0)], "check_name string, n_violations long, n_convs long"
+    )
+    return (
+        per.unionByName(seed)
+        .groupBy("check_name")
+        .agg(
+            F.max("n_violations").cast("long").alias("n_violations"),
+            F.max("n_convs").cast("long").alias("n_convs"),
+        )
+    )

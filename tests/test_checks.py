@@ -383,3 +383,21 @@ def test_temporal_self_drift_detects_mid_stream_shift(spark):
         r["psi_term"] for r in temporal_self_drift(flat, "event_type", approx=False).collect()
     )
     assert abs(total_psi) < 0.01
+
+
+def test_violations_scorecard_rollup(spark):
+    from schema_infer_plugin_spark.operators.violations import violations_scorecard
+
+    v = spark.createDataFrame(
+        [("uniq", "A", 1), ("uniq", "A", 2), ("uniq", "B", 0), ("nulls", "A", 3)],
+        "check_name string, conv_id string, turn_idx int",
+    )
+    out = {r["check_name"]: r.asDict() for r in violations_scorecard(v).collect()}
+    assert out["uniq"]["n_violations"] == 3 and out["uniq"]["n_convs"] == 2
+    assert out["nulls"]["n_violations"] == 1 and out["nulls"]["n_convs"] == 1
+    assert out["__all__"]["n_violations"] == 4 and out["__all__"]["n_convs"] == 2
+
+    empty = v.filter("1 = 0")
+    rows = violations_scorecard(empty).collect()
+    assert len(rows) == 1 and rows[0]["check_name"] == "__all__"
+    assert rows[0]["n_violations"] == 0 and rows[0]["n_convs"] == 0

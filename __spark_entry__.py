@@ -3607,76 +3607,14 @@ FROM w
 """
 
 
-_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
-    "transcripts_uniqueness": (q_uniqueness, ORACLE_UNIQUENESS),
-    "transcripts_fd_role": (q_fd_role, ORACLE_FD_ROLE),
-    "infer_role_domain": (q_infer_role_domain, ORACLE_INFER_DOMAIN),
-    "transcripts_contiguity": (q_contiguity, ORACLE_CONTIGUITY),
-    "transcripts_role_domain": (q_role_domain, ORACLE_ROLE_DOMAIN),
-    "transcripts_tool_domain": (q_tool_domain, ORACLE_TOOL_DOMAIN),
-    "transcripts_tool_without_role": (q_tool_without_role, ORACLE_TOOL_WITHOUT_ROLE),
-    "transcripts_null_text": (q_null_text, ORACLE_NULL_TEXT),
-    "transcripts_role_alternation": (q_role_alternation, ORACLE_ROLE_ALTERNATION),
-    "transcripts_validate_fused": (q_validate_fused, ORACLE_VALIDATE_FUSED),
-    "violations_triage": (q_violations_triage, ORACLE_VIOLATIONS_TRIAGE),
-    "transcripts_ts_monotonic": (q_ts_monotonic, ORACLE_TS_MONOTONIC),
-    "transcripts_text_ordered": (q_text_ordered, ORACLE_TEXT_ORDERED),
-    "transcripts_verdicts": (q_verdicts, ORACLE_VERDICTS),
-    "hash_sample_stratified": (q_hash_sample, ORACLE_HASH_SAMPLE),
-    "mixture_sample_roles": (q_mixture_sample, _oracle_mixture()),
-    "fixed_k_sample_lang": (q_fixed_k_sample, ORACLE_FIXED_K),
-    "clean_corpus": (q_clean_corpus, ORACLE_CLEAN_CORPUS),
-    "conv_stats_salted": (q_conv_stats_salted, ORACLE_CONV_STATS),
-    "conversation_features": (q_conversation_features, ORACLE_CONVERSATION_FEATURES),
-    "sessionize_events": (q_sessionize_events, ORACLE_SESSIONIZE),
-    "sft_examples": (q_sft_examples, ORACLE_SFT_EXAMPLES),
-    "dedup_conversations": (q_dedup_conversations, ORACLE_DEDUP_CONVERSATIONS),
-    "value_outliers": (q_value_outliers, ORACLE_VALUE_OUTLIERS),
-    "value_histogram_equidepth": (q_value_histogram_equidepth, ORACLE_VALUE_HISTOGRAM),
-    "daily_volume_anomalies": (q_daily_volume, ORACLE_DAILY_VOLUME),
-    "csv_parse": (q_csv_parse, ORACLE_CSV_PARSE),
-    "raw_text_parse": (q_raw_text, ORACLE_RAW_TEXT),
-    "transcripts_profile": (q_profile, ORACLE_PROFILE),
-    "transcripts_profile_by_role": (q_profile_by_role, ORACLE_PROFILE_BY_ROLE),
-    "type_ladder_profile": (q_type_profile, ORACLE_TYPE_PROFILE),
-    "transcripts_drift_role": (q_drift_role, ORACLE_DRIFT_ROLE),
-    "temporal_self_drift": (q_temporal_self_drift, ORACLE_TEMPORAL_DRIFT),
-    "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
-    "top_revenue_orders": (q_top_revenue_orders, ORACLE_TOP_REVENUE_ORDERS),
-    "nation_revenue": (q_nation_revenue, ORACLE_NATION_REVENUE),
-    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
-    "dedup_exact_turns": (q_dedup_exact_turns, ORACLE_DEDUP_EXACT_TURNS),
-    "dedup_minhash_lsh": (q_minhash_lsh, ORACLE_MINHASH_LSH),
-    "dedup_components": (q_dedup_components, ORACLE_DEDUP_COMPONENTS),
-    "dedup_canonical": (q_dedup_canonical, ORACLE_DEDUP_CANONICAL),
-    "dedup_incremental_lsh": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
-    "boilerplate_ngrams": (q_boilerplate_ngrams, ORACLE_BOILERPLATE),
-    "contamination_matrix": (q_contamination_matrix, ORACLE_CONTAMINATION_MATRIX),
-    "ngram_containment": (q_ngram_containment, ORACLE_NGRAM_CONTAINMENT),
-    "simhash_documents": (q_simhash, ORACLE_SIMHASH),
-    "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
-    "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
-    "dedup_ngram_jaccard_guarded": (q_ngram_jaccard_guarded, ORACLE_NGRAM_JACCARD_GUARDED),
-    "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {    # Dict order is the driver contract: CORRECTNESS_r*.json checks the FIRST 50
+    # entries only. Rounds r1-r3 left 31 queries without a current driver row, so
+    # r4 front-loads them (27 never-checked + 4 r1-stale), padded to 50 with
+    # rotating canaries (fused validation, profile, one per dedup/ANN family).
+    # --- priority window: never/stale driver-checked before r4 ---
     "ann_quantized_topk": (q_ann_quantized, ORACLE_ANN_QUANTIZED),
-    "dedup_embedding_cosine": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
-    "dedup_embedding_lsh": (q_embedding_neardup_lsh, _oracle_embedding_lsh()),
-    "ann_lsh_topk": (q_ann_lsh, _oracle_ann_lsh()),
-    "ann_lsh_multitable": (q_ann_lsh_multitable, _oracle_ann_lsh_multitable()),
-    "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
     "dedup_semantic": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
-    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
-    "unigram_logprob": (q_unigram_logprob, ORACLE_UNIGRAM_LOGPROB),
-    "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
-    "pii_stats": (q_pii_stats, _oracle_pii()[0]),
-    "pii_redact": (q_pii_redact, _oracle_pii()[1]),
-    "split_assign": (q_split_assign, _oracle_split()),
     "split_assign_clustered": (q_split_clustered, _oracle_split_clustered()),
-    "contamination_pairs": (q_contamination, ORACLE_CONTAMINATION),
-    "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
-    "language_id": (q_lang_id, ORACLE_LANG_ID),
-    "multimodal_features": (q_multimodal, ORACLE_MULTIMODAL),
-    "multimodal_resize": (q_multimodal_resize, ORACLE_MULTIMODAL_RESIZE),
     "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "ks_drift_turn_idx": (q_ks_drift, ORACLE_KS_DRIFT),
     "conv_hot_keys": (q_conv_hot_keys, ORACLE_CONV_HOT_KEYS),
@@ -3705,6 +3643,74 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "format_detect": (q_format_detect, ORACLE_FORMAT_DETECT),
     "kv_parse": (q_kv_parse, ORACLE_KV_PARSE),
     "delimiter_scores": (q_delimiter_scores, ORACLE_DELIMITER_SCORES),
+    # --- canaries: keep core families continuously driver-verified ---
+    "transcripts_validate_fused": (q_validate_fused, ORACLE_VALIDATE_FUSED),
+    "transcripts_profile": (q_profile, ORACLE_PROFILE),
+    "transcripts_uniqueness": (q_uniqueness, ORACLE_UNIQUENESS),
+    "transcripts_contiguity": (q_contiguity, ORACLE_CONTIGUITY),
+    "dedup_exact": (q_dedup_exact, ORACLE_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_minhash_lsh, ORACLE_MINHASH_LSH),
+    "dedup_simhash_pairs": (q_simhash_pairs, ORACLE_SIMHASH_PAIRS),
+    "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
+    "dedup_embedding_lsh": (q_embedding_neardup_lsh, _oracle_embedding_lsh()),
+    "dedup_incremental_lsh": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
+    "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
+    "ann_lsh_topk": (q_ann_lsh, _oracle_ann_lsh()),
+    "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
+    "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
+    "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
+    "contamination_pairs": (q_contamination, ORACLE_CONTAMINATION),
+    "sessionize_events": (q_sessionize_events, ORACLE_SESSIONIZE),
+    "sft_examples": (q_sft_examples, ORACLE_SFT_EXAMPLES),
+    "multimodal_features": (q_multimodal, ORACLE_MULTIMODAL),
+    # --- beyond the driver window (all driver-green in r1-r3) ---
+    "transcripts_fd_role": (q_fd_role, ORACLE_FD_ROLE),
+    "infer_role_domain": (q_infer_role_domain, ORACLE_INFER_DOMAIN),
+    "transcripts_role_domain": (q_role_domain, ORACLE_ROLE_DOMAIN),
+    "transcripts_tool_domain": (q_tool_domain, ORACLE_TOOL_DOMAIN),
+    "transcripts_tool_without_role": (q_tool_without_role, ORACLE_TOOL_WITHOUT_ROLE),
+    "transcripts_null_text": (q_null_text, ORACLE_NULL_TEXT),
+    "transcripts_role_alternation": (q_role_alternation, ORACLE_ROLE_ALTERNATION),
+    "violations_triage": (q_violations_triage, ORACLE_VIOLATIONS_TRIAGE),
+    "transcripts_ts_monotonic": (q_ts_monotonic, ORACLE_TS_MONOTONIC),
+    "transcripts_text_ordered": (q_text_ordered, ORACLE_TEXT_ORDERED),
+    "transcripts_verdicts": (q_verdicts, ORACLE_VERDICTS),
+    "hash_sample_stratified": (q_hash_sample, ORACLE_HASH_SAMPLE),
+    "mixture_sample_roles": (q_mixture_sample, _oracle_mixture()),
+    "fixed_k_sample_lang": (q_fixed_k_sample, ORACLE_FIXED_K),
+    "clean_corpus": (q_clean_corpus, ORACLE_CLEAN_CORPUS),
+    "conv_stats_salted": (q_conv_stats_salted, ORACLE_CONV_STATS),
+    "conversation_features": (q_conversation_features, ORACLE_CONVERSATION_FEATURES),
+    "dedup_conversations": (q_dedup_conversations, ORACLE_DEDUP_CONVERSATIONS),
+    "value_outliers": (q_value_outliers, ORACLE_VALUE_OUTLIERS),
+    "value_histogram_equidepth": (q_value_histogram_equidepth, ORACLE_VALUE_HISTOGRAM),
+    "daily_volume_anomalies": (q_daily_volume, ORACLE_DAILY_VOLUME),
+    "csv_parse": (q_csv_parse, ORACLE_CSV_PARSE),
+    "raw_text_parse": (q_raw_text, ORACLE_RAW_TEXT),
+    "transcripts_profile_by_role": (q_profile_by_role, ORACLE_PROFILE_BY_ROLE),
+    "type_ladder_profile": (q_type_profile, ORACLE_TYPE_PROFILE),
+    "transcripts_drift_role": (q_drift_role, ORACLE_DRIFT_ROLE),
+    "temporal_self_drift": (q_temporal_self_drift, ORACLE_TEMPORAL_DRIFT),
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
+    "top_revenue_orders": (q_top_revenue_orders, ORACLE_TOP_REVENUE_ORDERS),
+    "nation_revenue": (q_nation_revenue, ORACLE_NATION_REVENUE),
+    "dedup_exact_turns": (q_dedup_exact_turns, ORACLE_DEDUP_EXACT_TURNS),
+    "dedup_components": (q_dedup_components, ORACLE_DEDUP_COMPONENTS),
+    "dedup_canonical": (q_dedup_canonical, ORACLE_DEDUP_CANONICAL),
+    "boilerplate_ngrams": (q_boilerplate_ngrams, ORACLE_BOILERPLATE),
+    "contamination_matrix": (q_contamination_matrix, ORACLE_CONTAMINATION_MATRIX),
+    "ngram_containment": (q_ngram_containment, ORACLE_NGRAM_CONTAINMENT),
+    "simhash_documents": (q_simhash, ORACLE_SIMHASH),
+    "dedup_ngram_jaccard_guarded": (q_ngram_jaccard_guarded, ORACLE_NGRAM_JACCARD_GUARDED),
+    "dedup_embedding_cosine": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
+    "ann_lsh_multitable": (q_ann_lsh_multitable, _oracle_ann_lsh_multitable()),
+    "unigram_logprob": (q_unigram_logprob, ORACLE_UNIGRAM_LOGPROB),
+    "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
+    "pii_stats": (q_pii_stats, _oracle_pii()[0]),
+    "pii_redact": (q_pii_redact, _oracle_pii()[1]),
+    "split_assign": (q_split_assign, _oracle_split()),
+    "language_id": (q_lang_id, ORACLE_LANG_ID),
+    "multimodal_resize": (q_multimodal_resize, ORACLE_MULTIMODAL_RESIZE),
 }
 
 

@@ -3146,12 +3146,15 @@ def q_events_coverage_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_infer_plugin_spark.checks.freshness import coverage_gaps
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "signup")
-    return coverage_gaps(ev, "ts", unit="hour").select(
+    return coverage_gaps(ev, "ts", unit="hour", max_gap_buckets=100_000).select(
         F.unix_micros(F.col("bucket_start")).alias("bucket_start_us"),
         "bucket_idx",
+        "truncated",
     )
 
 
+# The oracle mirrors the default max_gap_buckets=100000 sentinel-timestamp
+# guard exactly: gap end = least(nxt-1, b+100000), truncated flag per row.
 ORACLE_COVERAGE_GAPS = """
 WITH obs AS (
   SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS b
@@ -3160,8 +3163,10 @@ WITH obs AS (
 ),
 g AS (SELECT b, lead(b) OVER (ORDER BY b NULLS FIRST) AS nxt FROM obs)
 SELECT CAST(bucket_idx * 3600000000 AS BIGINT) AS bucket_start_us,
-       CAST(bucket_idx AS BIGINT) AS bucket_idx
-FROM (SELECT unnest(generate_series(b + 1, nxt - 1)) AS bucket_idx
+       CAST(bucket_idx AS BIGINT) AS bucket_idx,
+       truncated
+FROM (SELECT unnest(generate_series(b + 1, least(nxt - 1, b + 100000))) AS bucket_idx,
+             (nxt - b - 1 > 100000) AS truncated
       FROM g WHERE nxt - b > 1)
 """
 

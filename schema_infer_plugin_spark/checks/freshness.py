@@ -74,6 +74,7 @@ def coverage_gaps(
     df: DataFrame,
     ts_col: str = "ts",
     unit: str = "hour",
+    max_gap_buckets: int | None = 100_000,
 ) -> DataFrame:
     """Time buckets between the table's min and max that contain ZERO rows.
 
@@ -81,15 +82,27 @@ def coverage_gaps(
     (``floor(epoch / unit_seconds)``) so the bucketing is pure integer math —
     identical in every engine and timezone-free (the session is UTC).
 
-    Output: (bucket_start timestamp, bucket_idx long) per empty bucket,
-    empty when the timeline is fully covered. A gap between two consecutive
-    OBSERVED buckets ``(i, j)`` with ``j − i > 1`` expands to the missing
-    buckets ``i+1 .. j−1`` via ``sequence`` — per-gap work proportional to
-    the gap's length; a 10^12-row table spanning two years is ~17k hourly
-    buckets total, so the post-aggregation frame is always tiny.
+    Output: (bucket_start timestamp, bucket_idx long, truncated boolean) per
+    empty bucket, empty when the timeline is fully covered. A gap between two
+    consecutive OBSERVED buckets ``(i, j)`` with ``j − i > 1`` expands to the
+    missing buckets ``i+1 .. j−1`` via ``sequence`` — per-gap work
+    proportional to the gap's length; a 10^12-row table spanning two years is
+    ~17k hourly buckets total, so the post-aggregation frame is always tiny.
+
+    ``max_gap_buckets`` bounds that expansion (guarded BY DEFAULT, like the
+    dedup skew guards): one corrupted sentinel timestamp — an epoch-0 default
+    or a year-9999 placeholder amid 2024 data — would otherwise make a single
+    gap materialize an array of millions of elements (hundreds of MB before
+    the explode) and risk an executor OOM on exactly the dirty tables a
+    validation engine is pointed at. A gap longer than the cap emits its first
+    ``max_gap_buckets`` missing buckets with ``truncated = true`` so the
+    verdict stays visible without the unbounded fan-out. Pass ``None`` as the
+    explicit opt-out to expand every gap in full (all ``truncated = false``).
     """
     if unit not in _UNIT_SECONDS:
         raise ValueError(f"coverage_gaps: unit must be one of {sorted(_UNIT_SECONDS)}")
+    if max_gap_buckets is not None and max_gap_buckets < 1:
+        raise ValueError("coverage_gaps: max_gap_buckets must be >= 1 or None")
     from pyspark.sql import Window
 
     step = _UNIT_SECONDS[unit]
@@ -103,18 +116,26 @@ def coverage_gaps(
     # one ordered window over the bounded bucket frame (same boundedness
     # argument as checks/ksdrift.py's CDF window)
     nxt = F.lead("bucket_idx", 1).over(Window.orderBy("bucket_idx"))
+    gap_end = F.col("nxt") - 1
+    if max_gap_buckets is not None:
+        gap_end = F.least(gap_end, F.col("bucket_idx") + max_gap_buckets)
+    truncated = (
+        (F.col("nxt") - F.col("bucket_idx") - 1 > F.lit(max_gap_buckets))
+        if max_gap_buckets is not None
+        else F.lit(False)
+    )
     return (
         observed.select("bucket_idx", nxt.alias("nxt"))
         .filter(F.col("nxt") - F.col("bucket_idx") > 1)
         .select(
-            F.explode(
-                F.sequence(F.col("bucket_idx") + 1, F.col("nxt") - 1)
-            ).alias("bucket_idx")
+            truncated.alias("truncated"),
+            F.explode(F.sequence(F.col("bucket_idx") + 1, gap_end)).alias("bucket_idx"),
         )
         .select(
             F.timestamp_micros(F.col("bucket_idx") * step * 1_000_000).alias(
                 "bucket_start"
             ),
             F.col("bucket_idx").cast("long").alias("bucket_idx"),
+            "truncated",
         )
     )

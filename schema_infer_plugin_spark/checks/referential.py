@@ -84,8 +84,13 @@ def fk_coverage(
         F.lit(1).alias("__child"),
         F.lit(0).alias("__parent"),
     )
-    p = parent.select(
-        *[F.col(p).alias(k) for k, p in mapping.items()],
+    # NULL parent keys are not referenceable (SQL FK semantics): filter them
+    # like the child side, or a NULL-key parent row would surface as a bogus
+    # childless-parent group and inflate fk_verdict's n_keys.
+    p = _non_null(
+        parent.select(*[F.col(p).alias(k) for k, p in mapping.items()]), child_keys
+    ).select(
+        *[F.col(k) for k in child_keys],
         F.lit(0).alias("__child"),
         F.lit(1).alias("__parent"),
     )

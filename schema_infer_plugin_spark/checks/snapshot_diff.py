@@ -18,9 +18,11 @@ Output is ∝ changes (unchanged keys are filtered unless asked for).
 
 Duplicate keys within a side are legal input (the uniqueness check owns that
 complaint): the aggregate folds them order-insensitively — per-side count plus
-a per-side content checksum (sum of a 52-bit hash prefix, exact in BIGINT up
-to ~2^11 copies per key) — so a key going 2→1 copies, or swapping one of two
-copies' bytes, reports as ``changed`` even when ``max(hash)`` would collide.
+TWO independent per-side content checksums (sums of disjoint 52-bit md5
+prefixes, each exact in BIGINT up to ~2^11 copies per key) — so a key going
+2→1 copies, or swapping one of two copies' bytes, reports as ``changed`` even
+when ``max(hash)`` would collide. A false ``unchanged`` needs BOTH 52-bit sums
+to collide simultaneously (~2^-104 per changed key, vs ~2^-52 for one).
 
 NULL-safe hashing: every compare column is coalesced to a sentinel before
 concatenation, so NULL ≠ '' ≠ 'null' and a NULL→value flip is a change.
@@ -62,16 +64,24 @@ def snapshot_diff(
 
     def side(df: DataFrame, tag_old: int) -> DataFrame:
         h = row_hash(df, compare_cols)
-        # 52-bit prefix of the md5 as an exact BIGINT term: sums stay exact
-        # (no float) and order-insensitive; 13 hex chars keeps the per-key sum
-        # far from 2^63 even with thousands of duplicate copies.
+        # two disjoint 52-bit prefixes of the md5 (hex chars 1-13 and 14-26)
+        # as exact BIGINT terms: sums stay exact (no float) and
+        # order-insensitive; 13 hex chars keeps each per-key sum far from
+        # 2^63 even with thousands of duplicate copies, and the independent
+        # second sum collapses the collision odds to ~2^-104.
         return df.select(
             *[F.col(k) for k in keys],
             F.lit(tag_old).alias("__old"),
             F.conv(F.substring(h, 1, 13), 16, 10).cast("long").alias("__hsum"),
+            F.conv(F.substring(h, 14, 13), 16, 10).cast("long").alias("__hsum2"),
         )
 
     old_row = F.col("__old") == 1
+
+    def side_sum(col: str, want_old: bool) -> F.Column:
+        cond = old_row if want_old else ~old_row
+        return F.sum(F.when(cond, F.col(col)).otherwise(F.lit(0))).cast("long")
+
     agg = (
         side(old, 1)
         .unionByName(side(new, 0))
@@ -79,19 +89,19 @@ def snapshot_diff(
         .agg(
             F.sum("__old").cast("long").alias("n_old"),
             F.sum(F.lit(1) - F.col("__old")).cast("long").alias("n_new"),
-            F.sum(F.when(old_row, F.col("__hsum")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("__old_sum"),
-            F.sum(F.when(~old_row, F.col("__hsum")).otherwise(F.lit(0)))
-            .cast("long")
-            .alias("__new_sum"),
+            side_sum("__hsum", True).alias("__old_sum"),
+            side_sum("__hsum", False).alias("__new_sum"),
+            side_sum("__hsum2", True).alias("__old_sum2"),
+            side_sum("__hsum2", False).alias("__new_sum2"),
         )
     )
     change = (
         F.when(F.col("n_old") == 0, F.lit("added"))
         .when(F.col("n_new") == 0, F.lit("removed"))
         .when(
-            (F.col("__old_sum") == F.col("__new_sum")) & (F.col("n_old") == F.col("n_new")),
+            (F.col("__old_sum") == F.col("__new_sum"))
+            & (F.col("__old_sum2") == F.col("__new_sum2"))
+            & (F.col("n_old") == F.col("n_new")),
             F.lit("unchanged"),
         )
         .otherwise(F.lit("changed"))

@@ -379,6 +379,10 @@ def pq_codebook(
     driver collect of ``n_codes`` vectors (index construction, not a probe —
     same bound/justification as :func:`ivf_centroids`, which it reuses)."""
     sampled = ivf_centroids(corpus, id_col, vec_col, n_codes)
+    if not sampled:
+        raise ValueError(
+            "pq_codebook: corpus has no vectors to sample codewords from"
+        )
     dim = len(sampled[0])
     if dim % m != 0:
         raise ValueError(f"pq_codebook: dim {dim} not divisible by m={m}")
@@ -456,7 +460,15 @@ def ann_pq_topk(
     id tie-break at every stage). Output: (query_id, neighbor_id, cosine,
     rank) — cosine is exact when reranking, reconstructed otherwise.
     """
-    cb = codebook or pq_codebook(corpus, id_col, vec_col, m=m, n_codes=n_codes)
+    # `is None`, not truthiness: a malformed empty codebook argument must be
+    # rejected by pq_encode below, not silently shadowed by a recompute.
+    cb = (
+        codebook
+        if codebook is not None
+        else pq_codebook(corpus, id_col, vec_col, m=m, n_codes=n_codes)
+    )
+    if not cb or not cb[0]:
+        raise ValueError("ann_pq_topk: codebook must have >=1 block with >=1 codeword")
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -309,6 +309,10 @@ def chunk_documents(
     Output: (id_col, chunk_idx int, n_chunks int, chunk_text string,
     n_tokens long).
     """
+    if max_tokens <= 0:
+        raise ValueError(f"chunk_documents: max_tokens ({max_tokens}) must be > 0")
+    if overlap < 0:
+        raise ValueError(f"chunk_documents: overlap ({overlap}) must be >= 0")
     if overlap >= max_tokens:
         raise ValueError(
             f"chunk_documents: overlap ({overlap}) must be < max_tokens ({max_tokens})"

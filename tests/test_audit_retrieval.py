@@ -23,7 +23,9 @@ def _fk_frames(spark):
         [(1, "a"), (1, "b"), (2, "c"), (3, "d"), (None, "e")],
         "uid int, payload string",
     )
-    parent = spark.createDataFrame([(1,), (2,), (4,)], "user_id int")
+    # the NULL parent key is deliberate: not referenceable under SQL FK
+    # semantics, it must not surface as a childless-parent group
+    parent = spark.createDataFrame([(1,), (2,), (4,), (None,)], "user_id int")
     return child, parent
 
 

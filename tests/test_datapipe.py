@@ -1058,6 +1058,12 @@ def test_chunk_documents_windows(spark):
     assert rows[(2, 0)]["chunk_text"] == "x y" and rows[(2, 0)]["n_chunks"] == 1
     assert rows[(3, 0)]["chunk_text"] == "" and rows[(3, 0)]["n_tokens"] == 0
     assert len(rows) == 5
+    import pytest
+
+    for bad in ({"max_tokens": 0}, {"max_tokens": -1}, {"overlap": -1},
+                {"max_tokens": 4, "overlap": 4}):
+        with pytest.raises(ValueError):
+            chunk_documents(df, "doc_id", "text", **{"max_tokens": 8, "overlap": 2, **bad})
 
     import pytest
 

@@ -85,6 +85,32 @@ def test_coverage_gaps_full_timeline_is_empty(spark):
     assert coverage_gaps(_hours_df(spark, [3, 4, 5]), "ts", unit="hour").count() == 0
 
 
+def test_coverage_gaps_sentinel_timestamp_is_truncated(spark):
+    # an epoch-0 sentinel amid 2024 data spans ~473k hourly buckets; the
+    # default guard must cap the expansion instead of materializing it
+    df = spark.createDataFrame(
+        [("1970-01-01 00:30:00",), ("2024-01-01 05:30:00",), ("2024-01-01 07:30:00",)],
+        "ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = coverage_gaps(df, "ts", unit="hour", max_gap_buckets=10).collect()
+    # sentinel gap capped at 10 buckets (all flagged), real 1-hour gap intact
+    assert len(rows) == 11
+    sentinel = [r for r in rows if r["truncated"]]
+    assert len(sentinel) == 10 and [r["bucket_idx"] for r in sentinel] == list(
+        range(1, 11)
+    )
+    real = [r for r in rows if not r["truncated"]]
+    assert len(real) == 1 and str(real[0]["bucket_start"]) == "2024-01-01 06:00:00"
+    with pytest.raises(ValueError):
+        coverage_gaps(df, "ts", max_gap_buckets=0)
+
+
+def test_coverage_gaps_unguarded_opt_out_expands_in_full(spark):
+    df = _hours_df(spark, [0, 23])
+    rows = coverage_gaps(df, "ts", unit="hour", max_gap_buckets=None).collect()
+    assert len(rows) == 22 and not any(r["truncated"] for r in rows)
+
+
 def test_coverage_gaps_day_unit_and_bad_unit(spark):
     df = spark.createDataFrame(
         [("2024-01-01 10:00:00",), ("2024-01-04 09:00:00",)], "ts string"

@@ -37,6 +37,18 @@ def test_codebook_shape_and_dim_guard(spark):
         pq_codebook(emb, "vec_id", "embedding", m=3, n_codes=CODES)
 
 
+def test_empty_corpus_and_malformed_codebook_rejected(spark):
+    import pytest
+
+    emb = _corpus(spark)
+    empty = emb.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="no vectors"):
+        pq_codebook(empty, "vec_id", "embedding", m=M, n_codes=CODES)
+    # codebook=[] is a malformed argument, not a recompute request
+    with pytest.raises(ValueError, match="codebook"):
+        ann_pq_topk(emb.limit(1), emb, "vec_id", "embedding", k=1, codebook=[])
+
+
 def test_sampled_vectors_reconstruct_exactly(spark):
     emb = _corpus(spark)
     cb = pq_codebook(emb, "vec_id", "embedding", m=M, n_codes=CODES)

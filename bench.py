@@ -144,6 +144,107 @@ def run_bench(
     return result
 
 
+def run_skew_stress(cpus: int, n_convs: int = 200_000, hot_frac: float = 0.01) -> dict:
+    """VERDICT r3 #4 — adversarial-skew evidence at bench scale: the fused
+    validation timed on (a) the standard synthetic corpus and (b) the same
+    corpus plus ONE conversation holding ``hot_frac`` of all turns (default
+    1%, the verdict's scenario). The windows key on conv_id, so the hot
+    conversation is irreducible single-key skew (plans/validate.py docstring);
+    the claim under test is that it costs one straggler task, not a cascade —
+    overhead_ratio ≈ 1 + its share of one partition's work. Writes
+    ``BENCH/SKEW.md``; same min-of-5-calm protocol as the headline bench."""
+    from pyspark.sql import functions as F
+
+    from schema_infer_plugin_spark.plans.validate import validate_transcripts
+    from schema_infer_plugin_spark.schema import TRANSCRIPTS_SCHEMA
+    from schema_infer_plugin_spark.session import get_spark
+    from schema_infer_plugin_spark.sources.synth import synth_transcripts
+
+    spark = get_spark(
+        app_name=f"skew-bench-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus * 2, 16),
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    cols = [f.name for f in TRANSCRIPTS_SCHEMA.fields]
+    base = synth_transcripts(spark, n_convs).select(cols).persist()
+    n_base = base.count()
+    n_hot = int(n_base * hot_frac / (1 - hot_frac))
+    hot = spark.range(n_hot).select(
+        F.lit("hot_conv").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.concat(F.lit("turn "), F.col("id")).alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+    )
+    skewed = base.unionByName(hot).persist()
+    n_skewed = skewed.count()
+
+    load_guard = max(8.0, 1.5 * cpus / 4)
+
+    def timed(fn):
+        secs, calm = [], 0
+        while calm < 5 and len(secs) < 8:
+            la = os.getloadavg()[0]
+            t0 = time.time()
+            fn()
+            secs.append(round(time.time() - t0, 3))
+            if la <= load_guard:
+                calm += 1
+        return min(secs), secs
+
+    base_sec, base_iters = timed(lambda: validate_transcripts(base).count())
+    skew_sec, skew_iters = timed(lambda: validate_transcripts(skewed).count())
+    result = {
+        "metric": "skew_stress_overhead_ratio",
+        # normalize per turn: the skewed corpus has hot_frac more rows
+        "value": round((skew_sec / n_skewed) / (base_sec / n_base), 3),
+        "unit": "ratio",
+        "base_sec": base_sec,
+        "skewed_sec": skew_sec,
+        "base_iters": base_iters,
+        "skewed_iters": skew_iters,
+        "n_base_turns": n_base,
+        "n_hot_turns": n_hot,
+        "hot_frac": round(n_hot / n_skewed, 4),
+        "cpus": cpus,
+    }
+    base.unpersist()
+    skewed.unpersist()
+    spark.stop()
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as f:
+        f.write(
+            f"""# BENCH — adversarial conversation skew (sf0.1-skewed)
+
+One conversation holding {result["hot_frac"]:.1%} of all turns
+({n_hot:,} of {n_skewed:,}) — irreducible single-key skew for the
+conv_id-keyed validation windows (no salting without breaking window
+exactness; fallback documented in plans/validate.py). Fused validation,
+local[{cpus}], min-of-5 calm iterations:
+
+| corpus | turns | best sec |
+|---|---|---|
+| uniform | {n_base:,} | {base_sec} |
+| skewed (+1% hot conv) | {n_skewed:,} | {skew_sec} |
+
+**Per-turn overhead ratio: {result["value"]}** (≈1 means the hot key costs
+its own rows' work in one straggler task, no cascade). Structural assertions
+(hot conv whole in one partition, residual partition balance < 3x mean,
+fused == modular rows) live in tests/test_bucketed.py.
+
+```json
+{json.dumps(result, indent=2)}
+```
+"""
+        )
+    return result
+
+
 #: Scaling protocol: taskset-pinned core sets. Pinning matters — an unpinned
 #: local[N] JVM still spreads GC/shuffle/IO threads over every machine core,
 #: flattering the small-N baseline. Two independent N→4N pairs (2→8, 4→16)
@@ -284,6 +385,12 @@ def main() -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument(
+        "--skew-stress",
+        action="store_true",
+        help="adversarial-skew evidence (VERDICT r3 #4): fused validation on "
+        "uniform vs one-conv-holds-1%% corpora; writes BENCH/SKEW.md",
+    )
     ap.add_argument("--n-convs", type=int, default=None)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR))
     ap.add_argument(
@@ -297,6 +404,9 @@ def main() -> None:
     if args.scaling:
         n = args.n_convs or 1_000_000
         print(json.dumps(run_scaling(args.sf_dir, n)))
+    elif args.skew_stress:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(run_skew_stress(cpus, args.n_convs or 200_000)))
     else:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
         only = set(args.queries.split(",")) if args.queries else None

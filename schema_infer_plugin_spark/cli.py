@@ -304,23 +304,53 @@ def cmd_validate_tables(args: argparse.Namespace) -> int:
     Emptiness is reported from parquet footer metadata — no scan is scheduled
     for it (reference empty-topic skip, plugin/optimistic.py:387-510)."""
     from schema_infer_plugin_spark.sources.discovery import discover_tables
-    from schema_infer_plugin_spark.sources.io import TABLES, register_views
+    from schema_infer_plugin_spark.sources.io import TABLES, load_table
     from schema_infer_plugin_spark.sources.metadata import table_row_count
 
     spark = _spark()
-    register_views(spark, args.input, tuple(TABLES))
+    # Lenient registration (reference validate-topics keeps going past an
+    # unreadable topic and reports it, core/discovery.py:349-371): a table
+    # whose file EXISTS but fails the schema fetch is INACCESSIBLE — distinct
+    # from MISSING (no file) — and both fail the run.
+    load_errors: dict[str, Exception] = {}
+    if not args.input.startswith("iceberg:"):
+        for t in TABLES:
+            if not os.path.exists(os.path.join(args.input, f"{t}.parquet")):
+                continue  # discover_tables reports it MISSING
+            try:
+                load_table(spark, args.input, t).createOrReplaceTempView(t)
+            except Exception as e:  # noqa: BLE001 — any fetch failure is the signal
+                load_errors[t] = e
+    else:
+        from schema_infer_plugin_spark.sources.io import register_views
+
+        register_views(spark, args.input, tuple(TABLES))
     r = discover_tables(spark, names=args.tables.split(","))
+    inaccessible = 0
     for t in r.found:
         if args.input.startswith("iceberg:"):
             # manifest counts need a catalog (sources/metadata.iceberg_partition_counts)
             print(f"OK    {t}")
             continue
-        n = table_row_count(os.path.join(args.input, f"{t}.parquet"))
+        # accessibility probe (reference validate-topics checks existence AND
+        # that metadata FETCHES, core/discovery.py:349-371): a listed table
+        # whose footer read fails (corrupt file, permission) is INACCESSIBLE,
+        # distinct from MISSING — and fails the run the same way
+        try:
+            n = table_row_count(os.path.join(args.input, f"{t}.parquet"))
+        except Exception as e:  # noqa: BLE001 — any footer failure is the signal
+            inaccessible += 1
+            print(f"INACCESSIBLE {t} ({type(e).__name__}: {e})")
+            continue
         status = "OK   " if n > 0 else "EMPTY"
         print(f"{status} {t} rows={n}")
     for t in r.not_found:
-        print(f"MISSING {t}")
-    return 1 if r.not_found else 0
+        if t in load_errors:
+            inaccessible += 1
+            print(f"INACCESSIBLE {t} ({type(load_errors[t]).__name__})")
+        else:
+            print(f"MISSING {t}")
+    return 1 if (r.not_found or inaccessible) else 0
 
 
 def cmd_dedup(args: argparse.Namespace) -> int:
@@ -421,6 +451,33 @@ def cmd_audit(args: argparse.Namespace) -> int:
     return 1 if (n_stale or n_gaps) else 0
 
 
+def cmd_index(args: argparse.Namespace) -> int:
+    """Build + persist a search-index artifact (round-3 VERDICT #3): ``ivf``
+    centroids / ``pq`` codebook over an embedding column, or the ``minhash``
+    band index over a text column — the train-once artifacts that
+    ``ann_ivf_topk`` / ``ann_pq_topk`` / ``semantic_dedup_pairs`` /
+    ``lsh_pairs_vs_index`` then reuse without re-deriving from the corpus."""
+    from schema_infer_plugin_spark.datapipe.index_store import build_vector_index
+    from schema_infer_plugin_spark.sources.io import load_table
+
+    spark = _spark()
+    df = load_table(spark, args.input, args.table)
+    manifest = build_vector_index(
+        df,
+        args.id_col,
+        args.vec_col,
+        kind=args.kind,
+        out=args.out,
+        n_cells=int(args.n_cells),
+        m=int(args.m),
+        n_codes=int(args.n_codes),
+        num_hashes=int(args.num_hashes),
+        bands=int(args.bands),
+    )
+    print(f"kind={manifest['kind']} rows={manifest['rows']} path={manifest['path']}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="schema-infer-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -497,6 +554,25 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--entropy-cols", default=None, help="comma-separated")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_audit)
+
+    p = sub.add_parser(
+        "index",
+        help="build + persist a search index artifact "
+        "(ivf centroids | pq codebook | minhash band index)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--table", default="embeddings")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding",
+                   help="embedding column (ivf/pq) or text column (minhash)")
+    p.add_argument("--kind", required=True, choices=["ivf", "pq", "minhash"])
+    p.add_argument("--n-cells", default="8", help="ivf: number of centroids")
+    p.add_argument("--m", default="8", help="pq: blocks per vector")
+    p.add_argument("--n-codes", default="8", help="pq: codewords per block")
+    p.add_argument("--num-hashes", default="16", help="minhash: signature length")
+    p.add_argument("--bands", default="4", help="minhash: LSH bands")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_index)
 
     p = sub.add_parser("version")
     p.set_defaults(fn=lambda a: (print(f"schema-infer-spark {ENGINE_VERSION}"), 0)[1])

@@ -24,6 +24,13 @@ from .dedup import (  # noqa: F401
 from .ann import ann_bruteforce_topk, ann_ivf_topk, ann_lsh_topk, ivf_centroids  # noqa: F401
 from .ann import ann_pq_topk, pq_codebook, pq_encode, pq_reconstruct  # noqa: F401
 from .retrieval import bm25_topk, hashed_cosine_topk, hashed_tf_vector, rrf_fuse  # noqa: F401
+from .index_store import (  # noqa: F401
+    build_vector_index,
+    load_ivf_centroids,
+    load_pq_codebook,
+    save_ivf_centroids,
+    save_pq_codebook,
+)
 from .convstats import conversation_features, conversation_texts  # noqa: F401
 from .examples import sft_examples  # noqa: F401
 from .graph import canonical_docs, connected_components  # noqa: F401

@@ -1,0 +1,179 @@
+"""Persisted ANN index artifacts: IVF centroids and PQ codebooks as parquet.
+
+The MinHash band index (:func:`datapipe.dedup.banded_signatures` +
+:func:`datapipe.dedup.lsh_pairs_vs_index`) already shows the production
+pattern this engine wants for every "trained" search structure: build ONCE
+per corpus snapshot, persist as a first-class parquet artifact, and have
+every later query/increment read the artifact instead of re-deriving it.
+Before round 4 the vector-ANN artifacts (``ivf_centroids``,
+``pq_codebook``) were re-derived on every invocation — bounded driver
+collects, but wasted scans at 10^12-vector scale and an implicit
+assumption that the corpus snapshot never moves between the train and the
+probe. This module closes that gap (round-3 VERDICT item #3).
+
+On-disk layout (tiny tables — ``n_cells`` or ``m × n_codes`` rows):
+
+* centroids: ``(cell:int, vector:array<double>)``
+* codebook:  ``(block:int, code:int, subvector:array<double>)``
+
+Loads return the exact list-of-lists shapes that :func:`datapipe.ann
+.ann_ivf_topk`, :func:`datapipe.ann.ann_pq_topk` and
+:func:`datapipe.dedup.semantic_dedup_pairs` accept via their
+``centroids=`` / ``codebook=`` parameters, so round-trip parity is plain
+list equality (parquet doubles are exact — no precision loss). Each load
+is a bounded driver collect: the artifact's row count is fixed at build
+time by ``n_cells`` / ``m × n_codes``, never by corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+_CENTROID_SCHEMA = StructType(
+    [
+        StructField("cell", IntegerType(), False),
+        StructField("vector", ArrayType(DoubleType(), False), False),
+    ]
+)
+
+_CODEBOOK_SCHEMA = StructType(
+    [
+        StructField("block", IntegerType(), False),
+        StructField("code", IntegerType(), False),
+        StructField("subvector", ArrayType(DoubleType(), False), False),
+    ]
+)
+
+
+def centroids_to_df(
+    spark: SparkSession, centroids: list[list[float]]
+) -> DataFrame:
+    """IVF centroids (``ivf_centroids`` output) as a (cell, vector) frame."""
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(centroids)]
+    return spark.createDataFrame(rows, _CENTROID_SCHEMA)
+
+
+def save_ivf_centroids(
+    spark: SparkSession, centroids: list[list[float]], path: str
+) -> None:
+    """Persist an IVF centroid set as parquet (one file — n_cells rows)."""
+    centroids_to_df(spark, centroids).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_centroids(spark: SparkSession, path: str) -> list[list[float]]:
+    """Read a persisted centroid set back into the ``centroids=`` list shape.
+
+    Bounded driver collect: row count was fixed at ``n_cells`` when the
+    artifact was built (save_ivf_centroids), independent of corpus size.
+    """
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    if not rows:
+        raise ValueError(f"load_ivf_centroids: no centroid rows at {path!r}")
+    if [r["cell"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"load_ivf_centroids: cell ids at {path!r} are not 0..n-1 —"
+            " not a centroid artifact written by save_ivf_centroids"
+        )
+    return [[float(x) for x in r["vector"]] for r in rows]
+
+
+def codebook_to_df(
+    spark: SparkSession, codebook: list[list[list[float]]]
+) -> DataFrame:
+    """PQ codebook (``pq_codebook`` output) as a (block, code, subvector) frame."""
+    rows = [
+        (j, c, [float(x) for x in w])
+        for j, words in enumerate(codebook)
+        for c, w in enumerate(words)
+    ]
+    return spark.createDataFrame(rows, _CODEBOOK_SCHEMA)
+
+
+def save_pq_codebook(
+    spark: SparkSession, codebook: list[list[list[float]]], path: str
+) -> None:
+    """Persist a PQ codebook as parquet (one file — m × n_codes rows)."""
+    codebook_to_df(spark, codebook).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebook(spark: SparkSession, path: str) -> list[list[list[float]]]:
+    """Read a persisted codebook back into the ``codebook=`` nested-list shape.
+
+    Bounded driver collect: row count was fixed at ``m × n_codes`` when the
+    artifact was built, independent of corpus size.
+    """
+    rows = spark.read.parquet(path).orderBy("block", "code").collect()
+    if not rows:
+        raise ValueError(f"load_pq_codebook: no codebook rows at {path!r}")
+    n_blocks = rows[-1]["block"] + 1
+    per_block = len(rows) // n_blocks
+    if (
+        len(rows) != n_blocks * per_block
+        or [(r["block"], r["code"]) for r in rows]
+        != [(j, c) for j in range(n_blocks) for c in range(per_block)]
+    ):
+        raise ValueError(
+            f"load_pq_codebook: (block, code) grid at {path!r} is ragged —"
+            " not a codebook artifact written by save_pq_codebook"
+        )
+    return [
+        [[float(x) for x in r["subvector"]] for r in rows[j * per_block : (j + 1) * per_block]]
+        for j in range(n_blocks)
+    ]
+
+
+def build_vector_index(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    kind: str,
+    out: str,
+    n_cells: int = 8,
+    m: int = 8,
+    n_codes: int = 8,
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+    bands: int = 4,
+) -> dict:
+    """Build one search-index artifact and persist it under ``out``.
+
+    ``kind``:
+    * ``ivf``     — md5-sampled centroids → ``out`` (cell, vector) parquet
+    * ``pq``      — per-block codewords   → ``out`` (block, code, subvector)
+    * ``minhash`` — band index over ``vec_col`` TEXT (the dedup artifact) →
+      ``out`` (_id, sig, band_idx, band_hash) parquet, the exact frame
+      :func:`datapipe.dedup.lsh_pairs_vs_index` joins against.
+
+    Returns a small manifest dict (kind, rows, path) for logging/CLI output.
+    """
+    spark = df.sparkSession
+    if kind == "ivf":
+        from .ann import ivf_centroids
+
+        cents = ivf_centroids(df, id_col, vec_col, n_cells)
+        save_ivf_centroids(spark, cents, out)
+        return {"kind": kind, "rows": len(cents), "path": out}
+    if kind == "pq":
+        from .ann import pq_codebook
+
+        cb = pq_codebook(df, id_col, vec_col, m=m, n_codes=n_codes)
+        save_pq_codebook(spark, cb, out)
+        return {"kind": kind, "rows": len(cb) * len(cb[0]), "path": out}
+    if kind == "minhash":
+        from .dedup import banded_signatures, minhash_signatures
+
+        sig = minhash_signatures(
+            df, id_col, vec_col, num_hashes=num_hashes, shingle_k=shingle_k
+        )
+        banded = banded_signatures(sig, id_col, bands=bands)
+        banded.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        return {"kind": kind, "rows": n, "path": out}
+    raise ValueError(f"build_vector_index: unknown kind {kind!r} (ivf|pq|minhash)")

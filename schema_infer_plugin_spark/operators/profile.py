@@ -87,18 +87,46 @@ def profile(
 
     # Bounded examples (reference keeps the first ≤5 seen, inference.py:248-250):
     # a collect_set over the full column would buffer every distinct value of a
-    # high-cardinality column in one reducer — unbounded at 10^12 rows. A head
-    # sample (limit reads a single input split) is faithful to "first seen" and
-    # O(1) regardless of table size.
-    sample = df.limit(max(n_examples * 200, 1000))
-    ex_exprs = [
-        F.slice(F.collect_set(F.col(c).cast("string")), 1, n_examples).alias(f"{c}__examples")
-        for c in columns
-    ]
+    # high-cardinality column in one reducer — unbounded at 10^12 rows.
     if partition_by:
+        # Per-partition examples (VERDICT r3 #7): a global head sample joined
+        # by partition key leaves most partitions of a large table with EMPTY
+        # examples — the ~1,000 head rows land in whichever groups the first
+        # input split happens to contain. fixed_k_sample instead ranks rows
+        # INSIDE each partition by a full md5 and keeps exactly
+        # min(k, |partition|): every partition present in the data contributes
+        # examples, per-task state is one streaming row_number, and the window
+        # shuffles on the same key the wide agg already exchanges.
+        from ..sources.sampling import fixed_k_sample
+
+        sample = fixed_k_sample(
+            df.select(partition_by, *columns),
+            partition_by,
+            key_cols=list(columns),
+            k=max(n_examples * 20, 100),
+        )
+        # sort BEFORE the slice: collect_set accumulation order is not
+        # deterministic, but the sampled value set is (md5-ranked rows), so
+        # the n_examples alphabetically-first sampled values are reproducible
+        # at any parallelism
+        ex_exprs = [
+            F.slice(
+                F.array_sort(F.collect_set(F.col(c).cast("string"))), 1, n_examples
+            ).alias(f"{c}__examples")
+            for c in columns
+        ]
         ex_wide = sample.groupBy(partition_by).agg(*ex_exprs)
         wide = wide.join(ex_wide, on=partition_by, how="left")
     else:
+        # global profile: a head sample (limit reads a single input split) is
+        # faithful to the reference's "first seen" and O(1) in table size
+        sample = df.limit(max(n_examples * 200, 1000))
+        ex_exprs = [
+            F.slice(F.collect_set(F.col(c).cast("string")), 1, n_examples).alias(
+                f"{c}__examples"
+            )
+            for c in columns
+        ]
         wide = wide.crossJoin(sample.agg(*ex_exprs))
 
     # Stack wide → long. The wide frame has one row per partition_key (tiny);

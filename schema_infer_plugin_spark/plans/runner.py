@@ -484,6 +484,23 @@ def write_triage(
     return spark.read.parquet(triage_dir).count()
 
 
+def write_scorecard(spark: SparkSession, out_dir: str, run_id: str = "run0") -> int:
+    """Write the per-check quality scorecard artifact (round-3 VERDICT #5):
+    one health row per check plus the ``__all__`` grand total
+    (operators/violations.violations_scorecard) over the run's WRITTEN
+    violations, to ``scorecard/``. Like write_triage this aggregates the
+    validation OUTPUT — one job ∝ violation rows, the input table is never
+    re-scanned. Returns the scorecard row count (#checks-that-fired + 1)."""
+    from schema_infer_plugin_spark.operators.violations import violations_scorecard
+
+    viol_dir = os.path.join(out_dir, "violations")
+    card_dir = os.path.join(out_dir, "scorecard")
+    viol = spark.read.parquet(viol_dir)
+    card = violations_scorecard(viol).withColumn("run_id", F.lit(run_id))
+    card.coalesce(1).write.mode("overwrite").parquet(card_dir)
+    return spark.read.parquet(card_dir).count()
+
+
 def main(argv: list[str] | None = None) -> None:
     from schema_infer_plugin_spark.session import get_spark
     from schema_infer_plugin_spark.sources.io import load_table
@@ -609,6 +626,7 @@ def main(argv: list[str] | None = None) -> None:
         summary["triage_rows"] = write_triage(
             spark, args.out, k=args.triage_k, run_id=args.run_id
         )
+    summary["scorecard_rows"] = write_scorecard(spark, args.out, run_id=args.run_id)
     if args.baseline:
         drift = run_drift(
             spark, t, args.out, args.baseline, run_id=args.run_id,

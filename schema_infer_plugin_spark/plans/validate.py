@@ -31,6 +31,22 @@ Skew: the only partition-heavy key is ``conv_id``; conversations are bounded
 balanced at any scale — salting is unnecessary *for this plan* (the composite
 uniqueness key spreads hot conversations by construction; see
 ``checks/salting.py`` for per-conversation aggregations, which do need it).
+
+Adversarial skew (one conversation holding a visible FRACTION of the table —
+tests/test_bucketed.py stresses 1/3 of all turns in one conv_id): the windows
+key on conv_id, so that conversation is *irreducible* single-key skew — AQE's
+skew-join splitting does not apply to windows, and salting would break window
+exactness. What the plan guarantees instead: (a) the hot key costs exactly ONE
+straggler task — the hash exchange keeps every other partition's residual load
+balanced; (b) memory is safe at any conversation length because WindowExec
+sorts spillably and both window functions (lag / count over the frame) stream.
+If per-task wall-time of the one straggler ever dominates a run, the fallback
+is range-partitioning by ``(conv_id, turn_idx)`` and running per-chunk
+contiguity with boundary stitching (compare each chunk's first index against
+the previous chunk's max — an equi-join on chunk edges); that variant trades
+one exchange for bounded task time and is deliberately NOT the default: it
+costs a second shuffle on every healthy run to protect against a shape
+(multi-billion-turn single conversations) the transcripts contract excludes.
 """
 
 from __future__ import annotations

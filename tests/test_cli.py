@@ -212,3 +212,21 @@ def test_audit_passes_with_generous_sla(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "stale=0" in capsys.readouterr().out
+
+
+def test_validate_tables_accessibility_probe(spark, tmp_path, capsys):
+    """Reference validate-topics parity: existence AND accessibility. A table
+    whose file exists but whose metadata fetch fails is INACCESSIBLE (exit 1),
+    distinct from MISSING — and the probe keeps going past it."""
+    import shutil
+
+    inp = tmp_path / "cat"
+    inp.mkdir()
+    shutil.copy(f"{SF}/orders.parquet", inp / "orders.parquet")
+    (inp / "events.parquet").write_bytes(b"not a parquet file at all")
+    rc = main(["validate-tables", "--input", str(inp), "--tables", "orders,events,nope"])
+    out = capsys.readouterr().out
+    assert rc == 1
+    assert "OK    orders" in out
+    assert "INACCESSIBLE events" in out
+    assert "MISSING nope" in out

@@ -71,3 +71,22 @@ def test_type_histogram_on_string_cols(spark):
     assert rows["c1"]["type_histogram"]["string"] == 1
     assert rows["c1"]["inferred_type"] == "union"  # 2/3 < 0.8, two types
     assert rows["c2"]["nullable"] is True
+
+
+def test_partitioned_examples_cover_every_partition(spark):
+    """VERDICT r3 #7: per-partition profiles must carry examples for EVERY
+    partition, not just the ones the global head sample happens to hit. The
+    adversarial layout: one partition occupies the entire head of the table,
+    the other is a single trailing row — a head-sample join would leave the
+    rare partition's examples empty."""
+    rows = [("common", f"v{i}") for i in range(5_000)] + [("rare", "needle")]
+    df = spark.createDataFrame(rows, "grp string, val string").coalesce(1)
+    p = profile(df, columns=["val"], partition_by="grp", approx_distinct=False)
+    by_part = {r["partition_key"]: r for r in p.collect()}
+    assert set(by_part) == {"common", "rare"}
+    assert by_part["rare"]["examples"] == ["needle"]
+    assert len(by_part["common"]["examples"]) == 5  # n_examples default
+    # deterministic: the md5-ranked sample yields identical examples on rerun
+    p2 = profile(df, columns=["val"], partition_by="grp", approx_distinct=False)
+    again = {r["partition_key"]: r["examples"] for r in p2.collect()}
+    assert again == {k: r["examples"] for k, r in by_part.items()}

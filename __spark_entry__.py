@@ -2242,6 +2242,142 @@ FROM s GROUP BY user_id, session_start_us
 """
 
 
+def q_windowed_rates_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed violation rates driver-green (streaming/
+    incremental.windowed_violation_rates): the stateless Pass-B subset
+    aggregated into 1-minute tumbling windows under a watermark, replayed
+    through Structured Streaming with the same sentinel-flush mechanics as
+    q_session_stats_stream (the year-2100 row advances the GLOBAL watermark
+    so append mode finalizes every real window; its own window is filtered).
+    Rows with NULL ts are dropped by the event-time aggregation — the oracle
+    mirrors with WHERE ts IS NOT NULL; the validation path itself never
+    watermarks violations away (incremental.py module docstring)."""
+    import os
+    import tempfile
+
+    from schema_infer_plugin_spark.streaming.incremental import (
+        windowed_violation_rates,
+    )
+
+    t = _transcripts(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    work = tempfile.mkdtemp(prefix="wrates_stream_")
+    in_dir, out_dir, ckpt = (os.path.join(work, d) for d in ("in", "out", "ckpt"))
+    # one staged file: a multi-file source could split into micro-batches
+    # whose watermark drops earlier-ts rows as late — single-batch replay
+    # keeps the aggregation exact (late-data semantics are pytest-covered)
+    t.coalesce(1).write.parquet(in_dir)
+    sentinel = (
+        t.limit(1)
+        .withColumn("conv_id", F.lit("__flush__"))
+        .withColumn("turn_idx", F.lit(0).cast(t.schema["turn_idx"].dataType))
+        .withColumn("role", F.lit("user"))
+        .withColumn("text", F.lit(None).cast("string"))  # its own violation
+        .withColumn("tool", F.lit(None).cast("string"))
+        .withColumn("ts", F.to_timestamp(F.lit("2100-01-01 00:00:00")))
+    )
+    sentinel.write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(t.schema).parquet(in_dir)
+    rates = windowed_violation_rates(
+        stream, window_duration="1 minute", watermark_delay="1 second"
+    )
+    q = (
+        rates.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("window_start") < F.to_timestamp(F.lit("2099-01-01 00:00:00")))
+        .select(
+            F.unix_micros("window_start").alias("window_start_us"),
+            F.unix_micros("window_end").alias("window_end_us"),
+            "check_name",
+            F.col("violations").cast("long").alias("violations"),
+        )
+    )
+
+
+#: tumbling windows align to the 1970 epoch — floor via exact integer
+#: modulus, never float division (epoch_us ~1.7e15 eats double mantissa).
+ORACLE_WINDOWED_RATES_STREAM = oracle_cte(
+    f"""
+SELECT window_start_us, window_start_us + 60000000 AS window_end_us, check_name,
+       CAST(count(*) AS BIGINT) AS violations
+FROM (
+  SELECT epoch_us(ts) - epoch_us(ts) % 60000000 AS window_start_us, check_name FROM (
+    SELECT ts, 'domain_role' AS check_name FROM transcripts
+    WHERE role IS NOT NULL AND role NOT IN ({",".join(repr(r) for r in ROLE_DOMAIN)})
+    UNION ALL
+    SELECT ts, 'domain_tool' FROM transcripts
+    WHERE tool IS NOT NULL AND tool NOT IN ({",".join(repr(x) for x in TOOL_DOMAIN)})
+    UNION ALL
+    SELECT ts, 'tool_without_role' FROM transcripts
+    WHERE tool IS NOT NULL AND coalesce(role, '') != 'tool'
+    UNION ALL
+    SELECT ts, 'not_null_text' FROM transcripts WHERE text IS NULL
+  ) WHERE ts IS NOT NULL)
+GROUP BY window_start_us, check_name
+"""
+)
+
+
+def q_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming exact dedup driver-green
+    (streaming/incremental.dedup_stream): documents plus a deterministic 10%
+    re-post slice (same text, new doc_id, later ts) replayed as a stream;
+    ``dropDuplicatesWithinWatermark`` on md5(text) keeps ONE row per content
+    key, so the emitted set is exactly the distinct texts — which is what
+    makes the output deterministic (the winning doc_id depends on processing
+    order, so only the content columns are returned). The generous delay
+    keeps the single-batch replay exact; watermark state EVICTION semantics
+    are pytest-covered (tests/test_streaming.py)."""
+    import os
+    import tempfile
+
+    from schema_infer_plugin_spark.streaming.incremental import dedup_stream
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.pmod(F.xxhash64("doc_id"), F.lit(86400))
+        ).alias("ts"),
+    )
+    reposts = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(10)) == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        (F.col("ts") + F.expr("INTERVAL 1000 SECONDS")).alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="dedup_stream_")
+    in_dir, out_dir, ckpt = (os.path.join(work, d) for d in ("in", "out", "ckpt"))
+    docs.unionByName(reposts).coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    kept = dedup_stream(
+        stream, id_cols=[], ts_col="ts", delay="3650 days", content_col="text"
+    )
+    q = (
+        kept.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select("text_hash", "text")
+
+
+#: the re-posted slice adds no new content, so distinct texts of the base
+#: table IS the kept set — and the stream provably dropped the copies.
+ORACLE_DEDUP_STREAM = """
+SELECT DISTINCT md5(text) AS text_hash, text FROM documents
+"""
+
+
 def q_conversation_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation training-sample features + the 'trainable' keep-filter
     (datapipe/convstats.py) — the conversation-level analog of text_quality."""
@@ -3724,6 +3860,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "kv_parse": (q_kv_parse, ORACLE_KV_PARSE),
     "delimiter_scores": (q_delimiter_scores, ORACLE_DELIMITER_SCORES),
     "session_stats_stream": (q_session_stats_stream, ORACLE_SESSION_STREAM),
+    "windowed_rates_stream": (q_windowed_rates_stream, ORACLE_WINDOWED_RATES_STREAM),
+    "dedup_stream_content": (q_dedup_stream, ORACLE_DEDUP_STREAM),
     # --- canaries: keep core families continuously driver-verified ---
     "transcripts_validate_fused": (q_validate_fused, ORACLE_VALIDATE_FUSED),
     "transcripts_profile": (q_profile, ORACLE_PROFILE),
@@ -3741,9 +3879,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
     "contamination_pairs": (q_contamination, ORACLE_CONTAMINATION),
+    # --- beyond the driver window (all driver-green in r1-r3) ---
     "sessionize_events": (q_sessionize_events, ORACLE_SESSIONIZE),
     "sft_examples": (q_sft_examples, ORACLE_SFT_EXAMPLES),
-    # --- beyond the driver window (all driver-green in r1-r3) ---
     "multimodal_features": (q_multimodal, ORACLE_MULTIMODAL),
     "transcripts_fd_role": (q_fd_role, ORACLE_FD_ROLE),
     "infer_role_domain": (q_infer_role_domain, ORACLE_INFER_DOMAIN),

@@ -3658,6 +3658,86 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE
 """
 
 
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN (datapipe/ann.ann_ivfpq_topk): IVF cells bound the
+    candidate COUNT (n_probe/n_cells of the corpus per query), PQ bounds the
+    candidate BYTES (reconstructed-vector scoring; full vectors move only for
+    the rerank-100 shortlist) — the FAISS-style serving shape, sharing the
+    exact centroid/codebook artifacts of the standalone IVF and PQ paths."""
+    from schema_infer_plugin_spark.datapipe.ann import ann_ivfpq_topk
+
+    emb = _fan(spark, load_table(spark, sf_dir, "embeddings"))
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_ivfpq_topk(
+        emb, qs, k=3, n_cells=8, n_probe=2, m=_PQ_M, n_codes=_PQ_CODES,
+        rerank=_PQ_RERANK,
+    )
+
+
+def _oracle_ann_ivfpq() -> str:
+    """Composes ORACLE_ANN_IVF's cell routing with _oracle_ann_pq's
+    encode/reconstruct — n_cells == n_codes == 8 means ONE md5-sampled CTE
+    serves as both the coarse quantizer and the codeword source, exactly as
+    the Spark side's shared ivf_centroids sample does."""
+    sub = _EMB_DIM // _PQ_M
+    esub = "\nUNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, embedding[{j * sub + 1}:{(j + 1) * sub}]::DOUBLE[] AS vs FROM embeddings"
+        for j in range(_PQ_M)
+    )
+    cwu = "\nUNION ALL ".join(
+        f"SELECT {j} AS j, cidx, cv[{j * sub + 1}:{(j + 1) * sub}]::DOUBLE[] AS w FROM cent"
+        for j in range(_PQ_M)
+    )
+    return f"""
+WITH cent AS (
+  SELECT cv, row_number() OVER (ORDER BY r, vid) - 1 AS cidx
+  FROM (SELECT embedding AS cv, md5(CAST(vec_id AS VARCHAR)) AS r, vec_id AS vid
+        FROM embeddings ORDER BY r, vid LIMIT {_PQ_CODES})),
+cscore AS (
+  SELECT e.vec_id, e.embedding, c.cidx,
+         {_DUCK_COS.format(a="e.embedding", b="c.cv")} AS s
+  FROM embeddings e CROSS JOIN cent c),
+assign AS (
+  SELECT vec_id, cidx AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+    FROM cscore) WHERE rn = 1),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qv, cidx AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cidx ASC) AS rn
+    FROM cscore WHERE vec_id % 50 = 0) WHERE rn <= 2),
+esub AS ({esub}),
+cwu AS ({cwu}),
+enc AS (
+  SELECT s.vec_id, s.j, c.w,
+         row_number() OVER (
+           PARTITION BY s.vec_id, s.j
+           ORDER BY (list_dot_product(c.w, c.w) - 2.0 * list_dot_product(s.vs, c.w)) ASC,
+                    c.cidx ASC) AS rn
+  FROM esub s JOIN cwu c ON s.j = c.j),
+recon AS (SELECT vec_id, flatten(list(w ORDER BY j)) AS rv
+          FROM enc WHERE rn = 1 GROUP BY vec_id),
+pqscored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         CAST(round({_DUCK_COS.format(a="p.qv", b="r.rv")}, 6) AS DOUBLE) AS cosine
+  FROM probes p
+  JOIN assign a ON a.cell = p.cell AND a.vec_id != p.query_id
+  JOIN recon r ON r.vec_id = a.vec_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS srn
+    FROM pqscored) WHERE srn <= {_PQ_RERANK}),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT s.query_id, s.neighbor_id,
+         CAST(round({_DUCK_COS.format(a="q.qv", b="e2.embedding")}, 6) AS DOUBLE) AS cosine
+  FROM short s JOIN q ON q.query_id = s.query_id
+  JOIN embeddings e2 ON e2.vec_id = s.neighbor_id),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+           FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE rnk <= 3
+"""
+
+
 _HYBRID_QUERY_TEXT = "spark shuffle window"
 _HYBRID_DIM = 64
 _HYBRID_LEG_K = 25
@@ -3862,6 +3942,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "session_stats_stream": (q_session_stats_stream, ORACLE_SESSION_STREAM),
     "windowed_rates_stream": (q_windowed_rates_stream, ORACLE_WINDOWED_RATES_STREAM),
     "dedup_stream_content": (q_dedup_stream, ORACLE_DEDUP_STREAM),
+    "ann_ivfpq_topk": (q_ann_ivfpq, _oracle_ann_ivfpq()),
     # --- canaries: keep core families continuously driver-verified ---
     "transcripts_validate_fused": (q_validate_fused, ORACLE_VALIDATE_FUSED),
     "transcripts_profile": (q_profile, ORACLE_PROFILE),
@@ -3878,8 +3959,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
-    "contamination_pairs": (q_contamination, ORACLE_CONTAMINATION),
     # --- beyond the driver window (all driver-green in r1-r3) ---
+    "contamination_pairs": (q_contamination, ORACLE_CONTAMINATION),
     "sessionize_events": (q_sessionize_events, ORACLE_SESSIONIZE),
     "sft_examples": (q_sft_examples, ORACLE_SFT_EXAMPLES),
     "multimodal_features": (q_multimodal, ORACLE_MULTIMODAL),

@@ -275,11 +275,23 @@ bt = spark.table("transcripts_bucketed")
 n_turns = bt.count()
 v = validate_transcripts(bt)
 plan = v._jdf.queryExecution().executedPlan().toString()
-secs = []
-for i in range(8):
+# Same calm-iteration guard as the headline bench (r4: an unguarded ladder
+# level that lands in a noisy-neighbor window depresses ONE rung and fakes a
+# failed pair — min-of-N within the window can't see load that spans it).
+# Our own pinned run contributes ~cpus to the 1-min loadavg, so the guard is
+# cpus + slack; iterations that START loaded still count into the min (load
+# only inflates) but not toward the 8 calm samples, cap 12.
+guard = cpus + 6.0
+secs, loads, calm = [], [], 0
+while calm < 8 and len(secs) < 12:
+    la = os.getloadavg()[0]
     t0 = time.time(); n_viol = v.count(); secs.append(round(time.time() - t0, 3))
+    loads.append(round(la, 1))
+    if la <= guard:
+        calm += 1
 print(json.dumps({"cpus": cpus, "n_turns": n_turns, "violations": n_viol,
                   "exchanges": plan.count("Exchange"), "iters_sec": secs,
+                  "loadavg": loads, "loadavg_guard": guard,
                   "best_sec": min(secs[1:]), "turns_per_sec": int(n_turns / min(secs[1:]))}))
 spark.stop()
 shutil.rmtree(wh, ignore_errors=True)

@@ -431,6 +431,106 @@ def pq_reconstruct(codes: Column, codebook: list[list[list[float]]]) -> Column:
     return F.concat(*parts)
 
 
+def ann_ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    m: int = 16,
+    n_codes: int = 8,
+    rerank: int | None = 100,
+    centroids: list[list[float]] | None = None,
+    codebook: list[list[list[float]]] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the composition both bounds apply to — IVF cells bound the
+    CANDIDATE COUNT (each query scores ~n_probe/n_cells of the corpus), PQ
+    bounds the candidate BYTES (candidates are scored against reconstructed
+    vectors, so the full-precision corpus moves only for the rerank
+    shortlist). This is the classic serving architecture (Jegou et al. 2011
+    §V pairs the inverted file with PQ; FAISS "IVFxx,PQyy"), here as plain
+    ADC without residual encoding so the two persisted artifacts
+    (index_store: `centroids=`, `codebook=`) are exactly the ones the
+    standalone `ann_ivf_topk` / `ann_pq_topk` paths train and store —
+    one index build serves all three operators, and the DuckDB oracle
+    reproduces it bit-for-bit (md5-sampled centroids/codewords, fold-ordered
+    dot products).
+
+    Plan: cell assignment and PQ encode/reconstruct are pure literal
+    projections on the corpus side; the candidate join is one equi-join on
+    cell id against the broadcast exploded query probes; rerank is the same
+    bounded full-vector join as :func:`ann_pq_topk`. A (query, neighbor)
+    pair can match in at most one cell (a vector lives in exactly one), so
+    no distinct is needed. Output: (query_id, neighbor_id, cosine, rank).
+    """
+    if centroids is None:
+        centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    if codebook is None:
+        codebook = pq_codebook(corpus, id_col, vec_col, m=m, n_codes=n_codes)
+    if not centroids:
+        raise ValueError("ann_ivfpq_topk: centroids must be non-empty")
+    if not codebook or not codebook[0]:
+        raise ValueError(
+            "ann_ivfpq_topk: codebook must have >=1 block with >=1 codeword"
+        )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).select(
+        "neighbor_id",
+        nearest_cell(F.col("cv"), centroids).alias("cell"),
+        pq_reconstruct(pq_encode(F.col("cv"), codebook), codebook).alias("rv"),
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(scored_cells(F.col("qv"), centroids), 1, n_probe),
+                    lambda s: (-s["ni"]).cast("int"),
+                )
+            ),
+        )
+    )
+    scored = (
+        c.join(broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("rv")), round_digits)
+            .cast("double")
+            .alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    if rerank is not None:
+        short = (
+            scored.withColumn("srn", F.row_number().over(w))
+            .filter(F.col("srn") <= rerank)
+            .select("query_id", "neighbor_id")
+        )
+        full = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+        qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        scored = short.join(full, "neighbor_id").join(broadcast(qv), "query_id").select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), round_digits)
+            .cast("double")
+            .alias("cosine"),
+        )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -484,6 +484,89 @@ def write_triage(
     return spark.read.parquet(triage_dir).count()
 
 
+PASS_VIOL_DIFF = "violations_diff"
+
+#: a violation's identity across runs — expected is derived from the check
+#: config (same rule → same expected), so it rides along rather than keying.
+_VIOL_IDENTITY = ["check_name", "conv_id", "turn_idx", "column", "observed"]
+
+
+def run_violations_diff(
+    spark: SparkSession,
+    out_dir: str,
+    baseline_dir: str,
+    run_id: str = "run0",
+    k: int = 100,
+) -> DataFrame:
+    """Violation regression gate: which violations are NEW versus the
+    baseline run, and which were RESOLVED — the first operational question
+    after a producer or pipeline change. Complements run_profile_compare
+    (distribution-level diff): this is ROW-level, over the two runs' WRITTEN
+    violations, so the work is ∝ errors, never ∝ input.
+
+    Plan: tag-union the two violation sets (+cur / +base markers), ONE hash
+    aggregation on the violation identity, then a bounded per-check rollup —
+    the same one-shuffle tagged-union shape as checks/referential.fk_coverage.
+    Writes ``violations_diff_verdicts/`` (one row per check: n_current,
+    n_baseline, n_new, n_resolved; pass iff n_new == 0) and
+    ``violations_new/`` (md5-ranked ≤ k-per-check sample of the new rows —
+    operators/violations.violations_sample reuse). Ledger-resumable.
+    """
+    from schema_infer_plugin_spark.operators.violations import violations_sample
+
+    done = completed_keys(spark, out_dir, run_id, PASS_VIOL_DIFF)
+    verd_dir = os.path.join(out_dir, "violations_diff_verdicts")
+    if "__all__" in done:
+        return spark.read.parquet(verd_dir)
+    t0 = time.time()
+
+    def _load(d):
+        return (
+            spark.read.parquet(os.path.join(d, "violations"))
+            .select(*_VIOL_IDENTITY, "expected")
+        )
+
+    cur, base = _load(out_dir), _load(baseline_dir)
+    tagged = cur.withColumn("in_cur", F.lit(1)).withColumn("in_base", F.lit(0)).unionByName(
+        base.withColumn("in_cur", F.lit(0)).withColumn("in_base", F.lit(1))
+    )
+    per_identity = tagged.groupBy(*_VIOL_IDENTITY).agg(
+        F.max("in_cur").alias("in_cur"),
+        F.max("in_base").alias("in_base"),
+        F.max("expected").alias("expected"),
+    )
+    verdict = (
+        per_identity.groupBy("check_name")
+        .agg(
+            F.sum("in_cur").cast("long").alias("n_current"),
+            F.sum("in_base").cast("long").alias("n_baseline"),
+            F.sum(((F.col("in_cur") == 1) & (F.col("in_base") == 0)).cast("long"))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(((F.col("in_cur") == 0) & (F.col("in_base") == 1)).cast("long"))
+            .cast("long")
+            .alias("n_resolved"),
+        )
+        .withColumn("pass", F.col("n_new") == 0)
+        .withColumn("run_id", F.lit(run_id))
+    )
+    verdict.coalesce(1).write.mode("overwrite").parquet(verd_dir)
+    # bounded sample of the regressions only — the rows a human triages
+    new_rows = per_identity.filter(
+        (F.col("in_cur") == 1) & (F.col("in_base") == 0)
+    ).select(*_VIOL_IDENTITY, "expected")
+    violations_sample(new_rows, k=k).withColumn("run_id", F.lit(run_id)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "violations_new"))
+    written = spark.read.parquet(verd_dir)
+    n_new = written.agg(F.sum("n_new")).collect()[0][0] or 0
+    append_ledger(
+        spark, out_dir, run_id, PASS_VIOL_DIFF,
+        [("__all__", written.count(), int(n_new), time.time() - t0)],
+    )
+    return written
+
+
 def write_scorecard(spark: SparkSession, out_dir: str, run_id: str = "run0") -> int:
     """Write the per-check quality scorecard artifact (round-3 VERDICT #5):
     one health row per check plus the ``__all__`` grand total
@@ -642,6 +725,11 @@ def main(argv: list[str] | None = None) -> None:
         pdiff = run_profile_compare(spark, args.out, args.baseline, run_id=args.run_id)
         summary["profile_diff"] = {
             r["col_name"]: r["verdict"] for r in pdiff.collect()
+        }
+        vdiff = run_violations_diff(spark, args.out, args.baseline, run_id=args.run_id)
+        summary["violations_diff"] = {
+            r["check_name"]: (r["pass"], int(r["n_new"]), int(r["n_resolved"]))
+            for r in vdiff.collect()
         }
     print(summary)
 

@@ -90,3 +90,50 @@ def test_rerank_none_ranks_on_reconstructed(spark):
     qs = emb.filter(F.col("vec_id") == 0)
     out = ann_pq_topk(emb, qs, k=3, m=M, n_codes=CODES, rerank=None).collect()
     assert len(out) == 3 and [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_ivfpq_probe_all_with_full_rerank_equals_bruteforce(spark):
+    """With every cell probed and a corpus-sized rerank shortlist, IVF-PQ
+    degrades to exact search — the composition loses candidates ONLY through
+    cell routing and shortlist truncation, never through scoring."""
+    from schema_infer_plugin_spark.datapipe.ann import ann_ivfpq_topk
+
+    emb = _corpus(spark, n=16)
+    qs = emb.filter(F.col("vec_id") < 3)
+    exact = ann_bruteforce_topk(emb, qs, k=2)
+    composed = ann_ivfpq_topk(
+        emb, qs, k=2, n_cells=4, n_probe=4, m=M, n_codes=CODES, rerank=100
+    )
+    a = sorted(map(tuple, exact.collect()))
+    b = sorted(map(tuple, composed.collect()))
+    assert a == b
+
+
+def test_ivfpq_reuses_persisted_artifacts(spark, tmp_path):
+    """One index build serves IVF, PQ, and the IVF-PQ composition: results
+    from loaded artifacts are identical to a fresh derivation."""
+    from schema_infer_plugin_spark.datapipe.ann import (
+        ann_ivfpq_topk,
+        ivf_centroids,
+        pq_codebook,
+    )
+    from schema_infer_plugin_spark.datapipe.index_store import (
+        load_ivf_centroids,
+        load_pq_codebook,
+        save_ivf_centroids,
+        save_pq_codebook,
+    )
+
+    emb = _corpus(spark, n=16)
+    qs = emb.filter(F.col("vec_id") < 2)
+    cents = ivf_centroids(emb, "vec_id", "embedding", n_cells=4)
+    cb = pq_codebook(emb, "vec_id", "embedding", m=M, n_codes=CODES)
+    save_ivf_centroids(spark, cents, str(tmp_path / "c"))
+    save_pq_codebook(spark, cb, str(tmp_path / "b"))
+    fresh = ann_ivfpq_topk(emb, qs, k=2, n_cells=4, n_probe=2, m=M, n_codes=CODES)
+    reused = ann_ivfpq_topk(
+        emb, qs, k=2, n_probe=2,
+        centroids=load_ivf_centroids(spark, str(tmp_path / "c")),
+        codebook=load_pq_codebook(spark, str(tmp_path / "b")),
+    )
+    assert sorted(map(tuple, fresh.collect())) == sorted(map(tuple, reused.collect()))

@@ -216,3 +216,39 @@ def test_write_scorecard_artifact_matches_modular_scorecard(spark, tmp_path):
         assert any(r[0] == "__all__" for r in got)
     finally:
         t.unpersist()
+
+
+def test_violations_diff_new_and_resolved(spark, tmp_path):
+    """Row-level violation regression gate (run_violations_diff): NEW =
+    identity in the current run only, RESOLVED = baseline only; pass iff no
+    new rows. Built by running validation over two corpora whose injected
+    violations differ by a known conversation slice."""
+    from schema_infer_plugin_spark.plans.runner import run_violations_diff
+
+    full = synth_transcripts(spark, 2_000).persist()
+    try:
+        # baseline: only the first half of conversations; current: all of them
+        # -> every violation in the second half is NEW, none are RESOLVED
+        half = full.filter(F.col("conv_id").substr(6, 8).cast("long") % 2 == 0)
+        base_out, cur_out = str(tmp_path / "base"), str(tmp_path / "cur")
+        run_validation(spark, half, base_out, n_buckets=4, batch_buckets=4)
+        run_validation(spark, full, cur_out, n_buckets=4, batch_buckets=4)
+        verd = run_violations_diff(spark, cur_out, base_out, run_id="r")
+        rows = {r["check_name"]: r for r in verd.collect()}
+        assert rows  # the synth corpus injects violations
+        total_new = sum(r["n_new"] for r in rows.values())
+        total_resolved = sum(r["n_resolved"] for r in rows.values())
+        assert total_new > 0 and total_resolved == 0
+        assert all((r["n_new"] == 0) == r["pass"] for r in rows.values())
+        # every baseline violation still exists in current (superset corpus)
+        assert all(
+            r["n_current"] == r["n_baseline"] + r["n_new"] for r in rows.values()
+        )
+        # the regression sample artifact is bounded and non-empty
+        new_sample = spark.read.parquet(str(tmp_path / "cur" / "violations_new"))
+        assert 0 < new_sample.count() <= 100 * len(rows)
+        # resumable: second call reads the verdict back without recompute
+        again = run_violations_diff(spark, cur_out, base_out, run_id="r")
+        assert sorted(map(tuple, again.collect())) == sorted(map(tuple, verd.collect()))
+    finally:
+        full.unpersist()

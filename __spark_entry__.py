@@ -3738,6 +3738,109 @@ SELECT query_id, neighbor_id, cosine, CAST(rnk AS INT) AS rank FROM ranked WHERE
 """
 
 
+_MIX_BUDGETS = {"src0": 800, "src1": 500, "src5": 10**9}
+_MIX_SHARDS = 64
+
+
+def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing (datapipe/mixing.mix_token_budget): greedy
+    deterministic per-source document selection to hit a token-budget
+    mixture — partial prefixes for src0/src1, whole-source for src5 (budget
+    exceeds the source's total). Two-level md5-shard prefix sum: the
+    corpus-sized window is partitioned (source, shard); only the
+    n_sources x n_shards offset roll-up is a single-partition window."""
+    from schema_infer_plugin_spark.datapipe.mixing import mix_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_token_budget(
+        docs, _MIX_BUDGETS, text_col="text", n_shards=_MIX_SHARDS
+    )
+
+
+def _oracle_mix() -> str:
+    """One running sum per source ordered by (md5-shard, doc_id) — the
+    single-window statement of the Spark side's two-level prefix sum."""
+    case = " ".join(f"WHEN source = '{s}' THEN {b}" for s, b in _MIX_BUDGETS.items())
+    srcs = ", ".join(f"'{s}'" for s in _MIX_BUDGETS)
+    return rf"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(CAST(concat('0x', substr(md5(concat('0:', doc_id)), 1, 15)) AS BIGINT) % {_MIX_SHARDS} AS INT) AS shard,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE source IN ({srcs})),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY shard, doc_id NULLS FIRST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM base)
+SELECT doc_id, source, n_tokens, cum_tokens FROM cum
+WHERE cum_tokens - n_tokens < (CASE {case} END)
+"""
+
+
+_PPM_COLS = ["doc_id", "lang", "n_chars"]
+
+
+def q_profile_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable partial profiles (operators/profile_partial): the documents
+    table profiled as TWO independent partial runs (doc_id parity split)
+    whose persisted-shape state rows are merged WITHOUT rescanning input —
+    the incremental-profiling path (profile 90 daily partitions once, merge
+    90 artifact rows). Exact mergeable state only in the driver output
+    (counts / native-typed min+max / ladder histogram); the HLL distinct
+    sketch rides the same artifact but is estimate-valued, so it stays
+    pytest-verified (tests/test_mixing_partial.py)."""
+    from schema_infer_plugin_spark.operators.profile_partial import (
+        profile_merge,
+        profile_partial,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    parts = [
+        profile_partial(docs.filter(F.col("doc_id") % 2 == i), _PPM_COLS, run_id=f"half{i}")
+        for i in (0, 1)
+    ]
+    merged = profile_merge(parts[0].unionByName(parts[1]))
+    return merged.select(
+        F.col("column").alias("col_name"),
+        "inferred_type",
+        "total_count",
+        "null_count",
+        F.round("null_rate", 6).cast("double").alias("null_rate"),
+        F.round("confidence", 6).cast("double").alias("confidence"),
+        "nullable",
+        "required",
+        "min_val",
+        "max_val",
+    )
+
+
+def _oracle_ppm() -> str:
+    """Direct full-table aggregates: merging the two partials must be
+    indistinguishable from never having split. documents.lang values are
+    2-letter codes — the type ladder classifies every non-null as string,
+    so inferred_type/confidence collapse to literals given the fixture."""
+
+    def one(c: str, typ: str) -> str:
+        return f"""
+SELECT '{c}' AS col_name, '{typ}' AS inferred_type,
+       CAST(count(*) AS BIGINT) AS total_count,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+       CAST(round(CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS DOUBLE) AS null_rate,
+       CAST(1.0 AS DOUBLE) AS confidence,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) > 0 AS nullable,
+       (sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) = 0
+        OR CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) < 0.1) AS required,
+       CAST(min({c}) AS STRING) AS min_val, CAST(max({c}) AS STRING) AS max_val
+FROM documents"""
+
+    return " UNION ALL ".join(
+        [one("doc_id", "bigint"), one("lang", "string"), one("n_chars", "bigint")]
+    )
+
+
 _HYBRID_QUERY_TEXT = "spark shuffle window"
 _HYBRID_DIM = 64
 _HYBRID_LEG_K = 25
@@ -3943,6 +4046,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "windowed_rates_stream": (q_windowed_rates_stream, ORACLE_WINDOWED_RATES_STREAM),
     "dedup_stream_content": (q_dedup_stream, ORACLE_DEDUP_STREAM),
     "ann_ivfpq_topk": (q_ann_ivfpq, _oracle_ann_ivfpq()),
+    "mix_token_budget": (q_mix_token_budget, _oracle_mix()),
+    "profile_partial_merge": (q_profile_partial_merge, _oracle_ppm()),
     # --- canaries: keep core families continuously driver-verified ---
     "transcripts_validate_fused": (q_validate_fused, ORACLE_VALIDATE_FUSED),
     "transcripts_profile": (q_profile, ORACLE_PROFILE),
@@ -3954,12 +4059,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "dedup_embedding_lsh": (q_embedding_neardup_lsh, _oracle_embedding_lsh()),
     "dedup_incremental_lsh": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
-    "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
     "ann_lsh_topk": (q_ann_lsh, _oracle_ann_lsh()),
-    "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
     # --- beyond the driver window (all driver-green in r1-r3) ---
+    "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
+    "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
     "contamination_pairs": (q_contamination, ORACLE_CONTAMINATION),
     "sessionize_events": (q_sessionize_events, ORACLE_SESSIONIZE),
     "sft_examples": (q_sft_examples, ORACLE_SFT_EXAMPLES),

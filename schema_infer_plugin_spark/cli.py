@@ -478,6 +478,45 @@ def cmd_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_profile_partial(args: argparse.Namespace) -> int:
+    """Scan ONE table/partition and persist its mergeable profile state
+    (operators/profile_partial): the incremental-profiling producer — run it
+    per ingest batch, answer period-level profiles later via
+    ``profile-merge`` without rescanning a byte."""
+    from schema_infer_plugin_spark.operators.profile_partial import profile_partial
+    from schema_infer_plugin_spark.sources.io import load_table
+
+    spark = _spark()
+    df = load_table(spark, args.input, args.table)
+    cols = args.columns.split(",") if args.columns else None
+    part = profile_partial(df, cols, run_id=args.run_id)
+    part.write.mode("overwrite").parquet(args.out)
+    print(f"run_id={args.run_id} columns={len(cols or df.columns)} path={args.out}")
+    return 0
+
+
+def cmd_profile_merge(args: argparse.Namespace) -> int:
+    """Merge persisted partial-profile artifacts into one long-format
+    profile — work ∝ (#artifacts × #columns), never ∝ input."""
+    from functools import reduce
+
+    from schema_infer_plugin_spark.operators.profile_partial import profile_merge
+
+    spark = _spark()
+    parts = reduce(
+        lambda a, b: a.unionByName(b),
+        (spark.read.parquet(p) for p in args.partials),
+    )
+    merged = profile_merge(parts, run_id=args.run_id)
+    merged.write.mode("overwrite").parquet(args.out)
+    for r in merged.orderBy("column").collect():
+        print(
+            f"{r['column']}: {r['inferred_type']} total={r['total_count']} "
+            f"nulls={r['null_count']} distinct~{r['distinct_approx']}"
+        )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="schema-infer-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -573,6 +612,26 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bands", default="4", help="minhash: LSH bands")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser(
+        "profile-partial",
+        help="scan one table and persist mergeable profile state (parquet)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--table", required=True)
+    p.add_argument("--columns", default=None, help="comma-separated subset (default all)")
+    p.add_argument("--run-id", default="run0")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_profile_partial)
+
+    p = sub.add_parser(
+        "profile-merge",
+        help="merge partial-profile artifacts into one profile without rescanning",
+    )
+    p.add_argument("partials", nargs="+", help="partial artifact paths")
+    p.add_argument("--run-id", default="merged")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_profile_merge)
 
     p = sub.add_parser("version")
     p.set_defaults(fn=lambda a: (print(f"schema-infer-spark {ENGINE_VERSION}"), 0)[1])

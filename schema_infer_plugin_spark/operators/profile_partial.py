@@ -1,0 +1,190 @@
+"""Mergeable partial profiles — incremental profiling without rescans.
+
+The reference profiles a table by folding every record into one in-memory
+accumulator (/root/reference/schema_infer/schemas/inference.py:199-264:
+per-field Counters + null/total counts). That accumulator design is
+secretly the important property: every statistic it keeps is MERGEABLE
+(counts add, mins/maxes combine, type histograms add). At 100 TB the
+payoff of mergeability is not parallelism (``profile()`` already gets that
+from map-side combine) but INCREMENTALITY across runs: profile each day's
+partition once, persist a tiny partial artifact, and answer "profile of
+the last 90 days" by merging 90 artifact rows — never rescanning a byte of
+input.
+
+``profile_partial`` computes one wide row of mergeable state per run:
+
+* ``{col}__total`` / ``{col}__nulls`` — exact longs (add under merge);
+* ``{col}__min`` / ``{col}__max`` — NATIVE-typed (merging string-rendered
+  mins would corrupt numerics: ``"10" < "9"`` lexicographically);
+* ``{col}__hll`` — a Datasketches HLL sketch (``hll_sketch_agg``), the
+  mergeable form of distinct counting; ``hll_union_agg`` over partials is
+  the union sketch, register-exact at equal lgK;
+* ``{col}__cnt_{type}`` — the reference's type-ladder histogram for string
+  columns (adds under merge, so the merged inferred type / confidence is
+  EXACTLY what a full-table profile would resolve).
+
+Quantiles and examples are deliberately absent: percentile_approx exposes
+no mergeable state in the DataFrame API, and examples are a bounded-sample
+concern, not an accumulator — both stay on the full ``profile()`` path.
+
+``profile_merge`` unions any number of partial rows (parquet round-trips
+preserve the sketch binary) and re-resolves the long-format profile. Merge
+work is ∝ (#partials × #columns) — driver-scale forever.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import BinaryType, IntegerType, LongType, StringType
+
+#: types Datasketches HLL ingests natively; anything else is sketched over
+#: its string rendering (injective for dates/timestamps/decimals — the
+#: distinct count is over VALUES either way)
+_HLL_NATIVE = (IntegerType, LongType, StringType, BinaryType)
+
+from ..functions.typeladder import (
+    TYPE_NAMES,
+    resolve_profile,
+    type_code_proj,
+    type_profile_exprs,
+)
+
+#: suffixes of the mergeable state columns (besides the string-only cnt_*)
+_STATE_SUFFIXES = ("__total", "__nulls", "__min", "__max", "__hll")
+
+
+def profile_partial(
+    df: DataFrame,
+    columns: list[str] | None = None,
+    run_id: str = "run0",
+    lg_k: int = 12,
+) -> DataFrame:
+    """One wide row of mergeable profile state for ``columns`` (default all).
+
+    The row is the artifact: write it with ``.write.parquet(...)`` and feed
+    any union of such rows (same column set, same ``lg_k``) to
+    :func:`profile_merge`. One scan, map-side combined — the shuffle is a
+    handful of bytes per column per partition.
+    """
+    columns = columns or list(df.columns)
+    agg_exprs: list = []
+    for c in columns:
+        col = F.col(c)
+        sketch_input = (
+            col if isinstance(df.schema[c].dataType, _HLL_NATIVE) else col.cast("string")
+        )
+        agg_exprs.extend(
+            [
+                F.count(F.lit(1)).alias(f"{c}__total"),
+                F.sum(col.isNull().cast("long")).cast("long").alias(f"{c}__nulls"),
+                F.min(col).alias(f"{c}__min"),
+                F.max(col).alias(f"{c}__max"),
+                F.hll_sketch_agg(sketch_input, lg_k).alias(f"{c}__hll"),
+            ]
+        )
+        if isinstance(df.schema[c].dataType, StringType):
+            agg_exprs.extend(type_profile_exprs(c, from_code=True)[: len(TYPE_NAMES)])
+    code_cols = [
+        type_code_proj(c)
+        for c in columns
+        if isinstance(df.schema[c].dataType, StringType)
+    ]
+    prep = df.select("*", *code_cols) if code_cols else df
+    return prep.agg(*agg_exprs).select(F.lit(run_id).alias("run_id"), "*")
+
+
+def _partial_columns(parts: DataFrame) -> list[str]:
+    """Recover the profiled column list from a partial frame's schema."""
+    return [c[: -len("__total")] for c in parts.columns if c.endswith("__total")]
+
+
+def profile_merge(parts: DataFrame, run_id: str = "merged") -> DataFrame:
+    """Merge partial-profile rows into one long-format profile.
+
+    Accepts any union of :func:`profile_partial` outputs over the SAME
+    column set (mismatched partials raise — merging profiles of different
+    tables is a caller bug, not a coercion opportunity). Output: one row
+    per column with (run_id, partition_key, column, inferred_type,
+    type_histogram, total_count, null_count, null_rate, required, nullable,
+    confidence, distinct_approx, min_val, max_val) — the
+    :func:`~.profile.profile` surface minus quantiles/examples.
+    """
+    columns = _partial_columns(parts)
+    if not columns:
+        raise ValueError("profile_merge: input has no __total state columns")
+    missing = [
+        f"{c}{s}" for c in columns for s in _STATE_SUFFIXES if f"{c}{s}" not in parts.columns
+    ]
+    if missing:
+        raise ValueError(f"profile_merge: partial state columns missing: {missing}")
+
+    agg_exprs: list = []
+    string_cols = set()
+    for c in columns:
+        agg_exprs.extend(
+            [
+                F.sum(f"{c}__total").cast("long").alias(f"{c}__total"),
+                F.sum(f"{c}__nulls").cast("long").alias(f"{c}__nulls"),
+                F.min(f"{c}__min").alias(f"{c}__min"),
+                F.max(f"{c}__max").alias(f"{c}__max"),
+                F.hll_union_agg(f"{c}__hll", True).alias(f"{c}__hll"),
+            ]
+        )
+        if f"{c}__cnt_{TYPE_NAMES[0]}" in parts.columns:
+            string_cols.add(c)
+            agg_exprs.extend(
+                F.sum(f"{c}__cnt_{t}").cast("long").alias(f"{c}__cnt_{t}")
+                for t in TYPE_NAMES
+            )
+    wide = parts.agg(*agg_exprs)
+
+    structs = []
+    for c in columns:
+        total, nulls = F.col(f"{c}__total"), F.col(f"{c}__nulls")
+        if c in string_cols:
+            cnts = {t: F.col(f"{c}__cnt_{t}") for t in TYPE_NAMES}
+            resolved = resolve_profile(
+                cnts["boolean"], cnts["int"], cnts["float"], cnts["string"], total, nulls
+            )
+            hist = F.map_from_arrays(
+                F.array(*[F.lit(t) for t in TYPE_NAMES]),
+                F.array(*[cnts[t] for t in TYPE_NAMES]),
+            )
+        else:
+            # the native dtype rode along on the min state column
+            spark_type = dict(parts.dtypes)[f"{c}__min"]
+            resolved = {
+                "inferred_type": F.lit(spark_type),
+                "confidence": F.lit(1.0),
+                "nullable": nulls > 0,
+                "required": (nulls == 0) | ((nulls / total) < 0.1),
+            }
+            hist = F.map_from_arrays(
+                F.array(F.lit(spark_type), F.lit("null")),
+                F.array((total - nulls).cast("long"), nulls.cast("long")),
+            )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                resolved["inferred_type"].alias("inferred_type"),
+                hist.alias("type_histogram"),
+                total.alias("total_count"),
+                nulls.alias("null_count"),
+                (nulls / total).alias("null_rate"),
+                resolved["required"].alias("required"),
+                resolved["nullable"].alias("nullable"),
+                resolved["confidence"].cast("double").alias("confidence"),
+                F.hll_sketch_estimate(F.col(f"{c}__hll")).cast("long").alias(
+                    "distinct_approx"
+                ),
+                F.col(f"{c}__min").cast("string").alias("min_val"),
+                F.col(f"{c}__max").cast("string").alias("max_val"),
+            )
+        )
+    return (
+        wide.select(
+            F.lit(run_id).alias("run_id"),
+            F.lit("_global_").alias("partition_key"),
+            F.explode(F.array(*structs)).alias("p"),
+        ).select("run_id", "partition_key", "p.*")
+    )

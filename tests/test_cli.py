@@ -230,3 +230,23 @@ def test_validate_tables_accessibility_probe(spark, tmp_path, capsys):
     assert "OK    orders" in out
     assert "INACCESSIBLE events" in out
     assert "MISSING nope" in out
+
+
+def test_profile_partial_merge_cli(spark, tmp_path, capsys):
+    """profile-partial twice (two 'ingest batches' of the same table),
+    profile-merge across the artifacts: counts ADD (2n), min/max combine,
+    and the merge never rescans the input."""
+    a, b, merged = (str(tmp_path / d) for d in ("pa", "pb", "merged"))
+    for run, out in (("a", a), ("b", b)):
+        rc = main([
+            "profile-partial", "--input", SF, "--table", "documents",
+            "--columns", "doc_id,lang,n_chars", "--run-id", run, "--out", out,
+        ])
+        assert rc == 0
+    rc = main(["profile-merge", a, b, "--out", merged])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "doc_id: bigint" in printed and "lang: string" in printed
+    got = {r["column"]: r for r in spark.read.parquet(merged).collect()}
+    n = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert got["doc_id"]["total_count"] == 2 * n and got["doc_id"]["null_count"] == 0

@@ -1,0 +1,170 @@
+"""Token-budget mixing (datapipe/mixing.py) and mergeable partial profiles
+(operators/profile_partial.py): DuckDB value parity, merge==direct identity,
+determinism under repartitioning, and artifact round-trips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from schema_infer_plugin_spark.datapipe.mixing import mix_token_budget
+from schema_infer_plugin_spark.operators.profile_partial import (
+    profile_merge,
+    profile_partial,
+)
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+BUDGETS = {"src0": 700, "src1": 400, "src2": 1_000_000}
+
+
+def _mix_sql(budgets, n_shards=64):
+    case = " ".join(f"WHEN source = '{s}' THEN {b}" for s, b in budgets.items())
+    return f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(CAST(concat('0x', substr(md5(concat('0:', doc_id)), 1, 15)) AS BIGINT) % {n_shards} AS INT) AS shard,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE source IN ({", ".join(f"'{s}'" for s in budgets)})),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY shard, doc_id NULLS FIRST
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM base)
+SELECT doc_id, source, n_tokens, cum_tokens FROM cum
+WHERE cum_tokens - n_tokens < (CASE {case} END)
+"""
+
+
+def test_mix_matches_duckdb_running_sum(spark, duck):
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    got = sorted(
+        map(tuple, mix_token_budget(docs, BUDGETS, text_col="text").collect())
+    )
+    exp = sorted(map(tuple, duck.execute(_mix_sql(BUDGETS)).fetchall()))
+    assert got == exp and len(got) > 0
+
+
+def test_mix_budget_semantics(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    from schema_infer_plugin_spark.functions.textstats import ws_token_count
+
+    total_src0 = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.sum(ws_token_count(F.col("text"))))
+        .collect()[0][0]
+    )
+    # budget >= source total selects the whole source, exactly once each
+    all_src0 = mix_token_budget(docs, {"src0": 10**12}, text_col="text")
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    rows = all_src0.collect()
+    assert len(rows) == n_src0 == len({r["doc_id"] for r in rows})
+    assert max(r["cum_tokens"] for r in rows) == total_src0
+    # a tiny budget still selects >= 1 doc, and only the straddler overshoots
+    one = mix_token_budget(docs, {"src0": 1}, text_col="text").collect()
+    assert len(one) == 1 and one[0]["cum_tokens"] == one[0]["n_tokens"]
+    # selected token mass stays within budget + one straddling document
+    sel = mix_token_budget(docs, {"src0": 5_000}, text_col="text").collect()
+    overshoot = max(r["cum_tokens"] for r in sel) - 5_000
+    assert 0 <= len(sel) and overshoot < max(r["n_tokens"] for r in sel)
+
+
+def test_mix_partition_invariant(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = sorted(map(tuple, mix_token_budget(docs, BUDGETS, text_col="text").collect()))
+    b = sorted(
+        map(
+            tuple,
+            mix_token_budget(docs.repartition(17), BUDGETS, text_col="text").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_mix_input_guards(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    with pytest.raises(ValueError, match="n_tokens_col or text_col"):
+        mix_token_budget(docs, BUDGETS)
+    with pytest.raises(ValueError, match="non-empty"):
+        mix_token_budget(docs, {}, text_col="text")
+    with pytest.raises(ValueError, match=">= 0"):
+        mix_token_budget(docs, {"src0": -1}, text_col="text")
+
+
+def test_partial_merge_equals_direct_profile_state(spark, duck):
+    li = spark.read.parquet(f"{SF_CORRECT}/lineitem.parquet")
+    cols = ["l_quantity", "l_returnflag", "l_shipdate"]
+    halves = [
+        profile_partial(li.filter(F.col("l_orderkey") % 2 == i), cols, run_id=f"h{i}")
+        for i in (0, 1)
+    ]
+    merged = {
+        r["column"]: r
+        for r in profile_merge(halves[0].unionByName(halves[1])).collect()
+    }
+    exp = duck.execute(
+        """
+        SELECT count(*), count(DISTINCT l_quantity),
+               CAST(min(l_quantity) AS STRING), CAST(max(l_quantity) AS STRING),
+               count(DISTINCT l_returnflag), CAST(min(l_shipdate) AS STRING)
+        FROM lineitem
+        """
+    ).fetchone()
+    q = merged["l_quantity"]
+    assert q["total_count"] == exp[0]
+    assert q["min_val"] == exp[2] and q["max_val"] == exp[3]
+    assert q["null_count"] == 0 and q["required"] and not q["nullable"]
+    # HLL union estimates: within 5% of exact on both cardinality regimes
+    assert abs(q["distinct_approx"] - exp[1]) <= max(1, 0.05 * exp[1])
+    assert merged["l_returnflag"]["distinct_approx"] == exp[4]
+    assert merged["l_shipdate"]["min_val"] == exp[5]
+
+
+def test_partial_parquet_roundtrip_and_incremental_merge(spark, tmp_path):
+    """The artifact path: persist per-run partials, read ALL of them back,
+    merge — identical to merging in memory, and the 2-run merge equals a
+    direct partial over the union of inputs (state-level mergeability)."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    cols = ["doc_id", "lang", "n_chars"]
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    for name, part in (("a", a), ("b", b)):
+        profile_partial(part, cols, run_id=name).write.parquet(
+            str(tmp_path / name)
+        )
+    loaded = spark.read.parquet(str(tmp_path / "a")).unionByName(
+        spark.read.parquet(str(tmp_path / "b"))
+    )
+    # type_histogram is a map (unorderable in tuples); distinct_approx is an
+    # estimate whose estimator differs between a fresh sketch (HIP) and a
+    # union (composite) — exact-equal on everything else, close on distinct
+    got = {r["column"]: r for r in profile_merge(loaded).collect()}
+    direct = {
+        r["column"]: r for r in profile_merge(profile_partial(docs, cols)).collect()
+    }
+    skip = {"run_id", "type_histogram", "distinct_approx"}
+    for c in cols:
+        for k in got[c].asDict():
+            if k not in skip:
+                assert got[c][k] == direct[c][k], (c, k)
+        assert abs(got[c]["distinct_approx"] - direct[c]["distinct_approx"]) <= max(
+            1, 0.02 * direct[c]["distinct_approx"]
+        )
+
+
+def test_partial_merge_guards(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    with pytest.raises(ValueError, match="no __total"):
+        profile_merge(docs.select("doc_id"))
+    p = profile_partial(docs, ["doc_id", "lang"])
+    with pytest.raises(ValueError, match="missing"):
+        profile_merge(p.drop("lang__hll"))
+
+
+def test_partial_single_pass_plan(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = profile_partial(docs, ["doc_id", "lang"])._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    # one scan, partial->final agg: exactly one exchange
+    assert plan.count("Exchange") == 1

@@ -118,6 +118,10 @@ def run_bench(
         # uses the shared prefix above)
         "dedup_semantic",
         "dedup_incremental_lsh",
+        # round-4 additions (supplementary keys)
+        "ann_ivfpq_topk",
+        "mix_token_budget",
+        "profile_partial_merge",
     ):
         timed(name, lambda name=name: q[name](spark, sf_dir).count())
 

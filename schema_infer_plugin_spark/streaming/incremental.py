@@ -290,3 +290,34 @@ def session_stats_stream(
             "n_events",
         )
     )
+
+
+def profile_partial_sink(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    columns: list[str] | None = None,
+) -> DataStreamWriter:
+    """Incremental profiling over a stream: every micro-batch folds into ONE
+    mergeable partial-profile row (operators/profile_partial) appended to
+    ``out_dir`` — the streaming producer of the same artifact the batch CLI
+    ``profile-partial`` writes, so "profile of everything ingested so far"
+    is ``profile_merge(spark.read.parquet(out_dir))`` at any moment, reading
+    #batches rows and rescanning nothing.
+
+    State is the aggregation's own partial buffers (bounded by #columns, not
+    input); the checkpoint gives exactly-once batch replay, and the epoch in
+    ``run_id`` keeps replays idempotent to a downstream dedupe-on-run_id.
+    """
+    from ..operators.profile_partial import profile_partial
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            profile_partial(batch_df, columns, run_id=f"epoch{epoch_id}")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )

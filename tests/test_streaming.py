@@ -271,3 +271,47 @@ def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
     starts_g = sorted(int(k[1].timestamp() * 1_000_000) for k in g)
     starts_b = sorted(v for _, v in b)
     assert starts_g == starts_b
+
+
+def test_profile_partial_stream_merges_to_batch_profile(spark, tmp_path):
+    """Incremental profiling: one partial-profile artifact row per
+    micro-batch (maxFilesPerTrigger=1 forces several), merged WITHOUT
+    rescanning input — exact-state equality with a direct batch partial
+    (counts/min/max/ladder), estimate-close on the HLL distinct."""
+    from schema_infer_plugin_spark.operators.profile_partial import (
+        profile_merge,
+        profile_partial,
+    )
+    from schema_infer_plugin_spark.streaming.incremental import profile_partial_sink
+
+    src = str(tmp_path / "in")
+    t = synth_transcripts(spark, 1_500)
+    t.write.mode("overwrite").parquet(src)
+    cols = ["conv_id", "role", "turn_idx"]
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = str(tmp_path / "partials")
+    q = (
+        profile_partial_sink(stream, out, str(tmp_path / "ckpt_pp"), cols)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    parts = spark.read.parquet(out)
+    assert parts.count() > 1  # several micro-batches, one artifact row each
+    got = {r["column"]: r for r in profile_merge(parts).collect()}
+    want = {
+        r["column"]: r
+        for r in profile_merge(profile_partial(t, cols)).collect()
+    }
+    skip = {"run_id", "type_histogram", "distinct_approx"}
+    for c in cols:
+        for k in got[c].asDict():
+            if k not in skip:
+                assert got[c][k] == want[c][k], (c, k)
+        assert abs(got[c]["distinct_approx"] - want[c]["distinct_approx"]) <= max(
+            1, 0.02 * want[c]["distinct_approx"]
+        )

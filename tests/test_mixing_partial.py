@@ -168,3 +168,16 @@ def test_partial_single_pass_plan(spark):
     assert "BatchEvalPython" not in plan
     # one scan, partial->final agg: exactly one exchange
     assert plan.count("Exchange") == 1
+
+
+def test_mix_plan_broadcasts_offsets(spark):
+    """The shard-offset roll-up frame (n_sources x n_shards rows) must join
+    back as a broadcast — a sort-merge join here would shuffle the corpus a
+    second time for driver-scale data."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = (
+        mix_token_budget(docs, BUDGETS, text_col="text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan

@@ -331,8 +331,11 @@ def simhash_candidate_pairs(
         left.join(right, ["blk", "blk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
-        .distinct()
+        # hamming is a pure function of the pair, so filtering before the
+        # distinct is row-identical and shrinks the dedup shuffle to the
+        # near-dup survivors (most block-collisions fail the hamming cut)
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

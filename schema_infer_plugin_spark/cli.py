@@ -478,6 +478,49 @@ def cmd_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_mix(args: argparse.Namespace) -> int:
+    """Token-budget mixture selection (datapipe/mixing.mix_token_budget):
+    ``--budgets src0=800,src1=500`` selects a deterministic per-source
+    document prefix and writes the selection (ids + running token counts)."""
+    from schema_infer_plugin_spark.datapipe.mixing import mix_token_budget
+    from schema_infer_plugin_spark.sources.io import load_table
+
+    budgets: dict[str, int] = {}
+    for part in args.budgets.split(","):
+        k, _, v = part.partition("=")
+        if not k or not v:
+            print(f"mix: malformed --budgets entry {part!r} (want source=tokens)")
+            return 2
+        try:
+            budgets[k.strip()] = int(v)
+        except ValueError:
+            print(f"mix: budget for {k!r} is not an integer: {v!r}")
+            return 2
+    spark = _spark()
+    df = load_table(spark, args.input, args.table)
+    sel = mix_token_budget(
+        df,
+        budgets,
+        id_col=args.id_col,
+        source_col=args.source_col,
+        text_col=args.text_col,
+        n_shards=int(args.n_shards),
+    )
+    sel.write.mode("overwrite").parquet(args.out)
+    import pyspark.sql.functions as _F
+
+    stats = (
+        spark.read.parquet(args.out)
+        .groupBy(args.source_col)
+        .agg(_F.count(_F.lit(1)).alias("docs"), _F.max("cum_tokens").alias("tokens"))
+        .orderBy(args.source_col)
+        .collect()
+    )
+    for r in stats:
+        print(f"{r[args.source_col]}: docs={r['docs']} tokens={r['tokens']}")
+    return 0
+
+
 def cmd_profile_partial(args: argparse.Namespace) -> int:
     """Scan ONE table/partition and persist its mergeable profile state
     (operators/profile_partial): the incremental-profiling producer — run it
@@ -612,6 +655,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bands", default="4", help="minhash: LSH bands")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser(
+        "mix",
+        help="token-budget mixture selection per source (deterministic greedy prefix)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--table", default="documents")
+    p.add_argument("--budgets", required=True, help="source=tokens,source=tokens,...")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--source-col", default="source")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--n-shards", default="64")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_mix)
 
     p = sub.add_parser(
         "profile-partial",

@@ -250,3 +250,25 @@ def test_profile_partial_merge_cli(spark, tmp_path, capsys):
     got = {r["column"]: r for r in spark.read.parquet(merged).collect()}
     n = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert got["doc_id"]["total_count"] == 2 * n and got["doc_id"]["null_count"] == 0
+
+
+def test_mix_cli(spark, tmp_path, capsys):
+    out = str(tmp_path / "mixture")
+    rc = main([
+        "mix", "--input", SF, "--table", "documents",
+        "--budgets", "src0=200,src1=1000000", "--out", out,
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "src0: docs=" in printed and "src1: docs=" in printed
+    sel = spark.read.parquet(out)
+    srcs = {r["source"] for r in sel.select("source").distinct().collect()}
+    assert srcs == {"src0", "src1"}
+    # src1's giant budget takes the whole source
+    n1 = spark.read.parquet(f"{SF}/documents.parquet").filter("source = 'src1'").count()
+    assert sel.filter("source = 'src1'").count() == n1
+
+
+def test_mix_cli_rejects_malformed_budgets(spark, tmp_path):
+    assert main(["mix", "--input", SF, "--budgets", "src0", "--out", str(tmp_path / "x")]) == 2
+    assert main(["mix", "--input", SF, "--budgets", "src0=abc", "--out", str(tmp_path / "x")]) == 2

@@ -58,15 +58,21 @@ def profile_partial(
     columns: list[str] | None = None,
     run_id: str = "run0",
     lg_k: int = 12,
+    partition_by: str | None = None,
 ) -> DataFrame:
-    """One wide row of mergeable profile state for ``columns`` (default all).
+    """Mergeable profile state for ``columns`` (default all): ONE wide row
+    globally, or one row per ``partition_by`` value (the reference's
+    per-topic analog, incremental — artifact size ∝ partition cardinality,
+    never input).
 
-    The row is the artifact: write it with ``.write.parquet(...)`` and feed
-    any union of such rows (same column set, same ``lg_k``) to
-    :func:`profile_merge`. One scan, map-side combined — the shuffle is a
-    handful of bytes per column per partition.
+    The rows are the artifact: write them with ``.write.parquet(...)`` and
+    feed any union of such rows (same column set, same ``lg_k``, same
+    partitioning) to :func:`profile_merge`. One scan, map-side combined —
+    the shuffle is a handful of bytes per column per partition.
     """
-    columns = columns or list(df.columns)
+    columns = columns or [c for c in df.columns if c != partition_by]
+    if partition_by in (columns or []):
+        raise ValueError("profile_partial: partition_by cannot also be profiled")
     agg_exprs: list = []
     for c in columns:
         col = F.col(c)
@@ -90,7 +96,12 @@ def profile_partial(
         if isinstance(df.schema[c].dataType, StringType)
     ]
     prep = df.select("*", *code_cols) if code_cols else df
-    return prep.agg(*agg_exprs).select(F.lit(run_id).alias("run_id"), "*")
+    wide = (
+        prep.groupBy(partition_by).agg(*agg_exprs)
+        if partition_by
+        else prep.agg(*agg_exprs)
+    )
+    return wide.select(F.lit(run_id).alias("run_id"), "*")
 
 
 def _partial_columns(parts: DataFrame) -> list[str]:
@@ -103,11 +114,13 @@ def profile_merge(parts: DataFrame, run_id: str = "merged") -> DataFrame:
 
     Accepts any union of :func:`profile_partial` outputs over the SAME
     column set (mismatched partials raise — merging profiles of different
-    tables is a caller bug, not a coercion opportunity). Output: one row
-    per column with (run_id, partition_key, column, inferred_type,
-    type_histogram, total_count, null_count, null_rate, required, nullable,
-    confidence, distinct_approx, min_val, max_val) — the
-    :func:`~.profile.profile` surface minus quantiles/examples.
+    tables is a caller bug, not a coercion opportunity). Partition-keyed
+    partials (``partition_by=``) merge per key — the key column is
+    recognized as the non-state column riding the artifact. Output: one row
+    per (partition, column) with (run_id, partition_key, column,
+    inferred_type, type_histogram, total_count, null_count, null_rate,
+    required, nullable, confidence, distinct_approx, min_val, max_val) —
+    the :func:`~.profile.profile` surface minus quantiles/examples.
     """
     columns = _partial_columns(parts)
     if not columns:
@@ -117,6 +130,11 @@ def profile_merge(parts: DataFrame, run_id: str = "merged") -> DataFrame:
     ]
     if missing:
         raise ValueError(f"profile_merge: partial state columns missing: {missing}")
+    # state columns all carry a "__" suffix; whatever else rides the artifact
+    # beside run_id is the partition key (at most one, as in profile())
+    keys = [c for c in parts.columns if c != "run_id" and "__" not in c]
+    if len(keys) > 1:
+        raise ValueError(f"profile_merge: at most one partition column, got {keys}")
 
     agg_exprs: list = []
     string_cols = set()
@@ -136,7 +154,7 @@ def profile_merge(parts: DataFrame, run_id: str = "merged") -> DataFrame:
                 F.sum(f"{c}__cnt_{t}").cast("long").alias(f"{c}__cnt_{t}")
                 for t in TYPE_NAMES
             )
-    wide = parts.agg(*agg_exprs)
+    wide = parts.groupBy(*keys).agg(*agg_exprs) if keys else parts.agg(*agg_exprs)
 
     structs = []
     for c in columns:
@@ -181,10 +199,11 @@ def profile_merge(parts: DataFrame, run_id: str = "merged") -> DataFrame:
                 F.col(f"{c}__max").cast("string").alias("max_val"),
             )
         )
+    part_key = F.col(keys[0]).cast("string") if keys else F.lit("_global_")
     return (
         wide.select(
             F.lit(run_id).alias("run_id"),
-            F.lit("_global_").alias("partition_key"),
+            part_key.alias("partition_key"),
             F.explode(F.array(*structs)).alias("p"),
         ).select("run_id", "partition_key", "p.*")
     )

@@ -181,3 +181,40 @@ def test_mix_plan_broadcasts_offsets(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+def test_partial_partitioned_merge_matches_duckdb(spark, duck):
+    """Partition-keyed partials (one state row per partition value per run)
+    merge per key: counts/min/max vs DuckDB GROUP BY, and the two-run merge
+    sums exactly."""
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    halves = [
+        profile_partial(
+            docs.filter(F.col("doc_id") % 2 == i),
+            ["doc_id", "n_chars"],
+            run_id=f"h{i}",
+            partition_by="lang",
+        )
+        for i in (0, 1)
+    ]
+    merged = profile_merge(halves[0].unionByName(halves[1]))
+    got = {
+        (r["partition_key"], r["column"]): r
+        for r in merged.collect()
+    }
+    exp = duck.execute(
+        """
+        SELECT lang, count(*), CAST(min(n_chars) AS STRING), CAST(max(n_chars) AS STRING)
+        FROM documents GROUP BY lang
+        """
+    ).fetchall()
+    assert len(exp) > 1
+    for lang, n, mn, mx in exp:
+        r = got[(lang, "n_chars")]
+        assert r["total_count"] == n and r["min_val"] == mn and r["max_val"] == mx
+        assert got[(lang, "doc_id")]["total_count"] == n
+    # guards: partition col can't be profiled; two key columns rejected
+    with pytest.raises(ValueError, match="cannot also be profiled"):
+        profile_partial(docs, ["lang"], partition_by="lang")
+    with pytest.raises(ValueError, match="at most one partition"):
+        profile_merge(halves[0].withColumn("extra_key", F.lit("x")))

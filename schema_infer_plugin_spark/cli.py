@@ -532,7 +532,9 @@ def cmd_profile_partial(args: argparse.Namespace) -> int:
     spark = _spark()
     df = load_table(spark, args.input, args.table)
     cols = args.columns.split(",") if args.columns else None
-    part = profile_partial(df, cols, run_id=args.run_id)
+    part = profile_partial(
+        df, cols, run_id=args.run_id, partition_by=args.partition_by
+    )
     part.write.mode("overwrite").parquet(args.out)
     print(f"run_id={args.run_id} columns={len(cols or df.columns)} path={args.out}")
     return 0
@@ -677,6 +679,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--table", required=True)
     p.add_argument("--columns", default=None, help="comma-separated subset (default all)")
+    p.add_argument("--partition-by", default=None,
+                   help="emit one state row per value of this column (per-topic analog)")
     p.add_argument("--run-id", default="run0")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_profile_partial)

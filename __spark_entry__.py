@@ -2193,15 +2193,18 @@ def q_session_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="sess_stream_")
     in_dir, out_dir, ckpt = (os.path.join(work, d) for d in ("in", "out", "ckpt"))
-    ev.write.parquet(in_dir)
     # watermark is GLOBAL max event time − delay: one sentinel row (user −1,
-    # year 2100) closes every real session; it is filtered from the result
+    # year 2100) closes every real session; it is filtered from the result.
+    # Stage events + sentinel as ONE file: a multi-file source could split
+    # into micro-batches whose watermark (advanced to 2100 by the sentinel's
+    # batch) drops every later real-data file as late — single-batch replay
+    # keeps the parity exact (same guard as q_windowed_rates_stream).
     sentinel = (
         ev.limit(1)
         .withColumn("user_id", F.lit(-1).cast("long"))
         .withColumn("ts", F.to_timestamp(F.lit("2100-01-01 00:00:00")))
     )
-    sentinel.write.mode("append").parquet(in_dir)
+    ev.unionByName(sentinel).coalesce(1).write.parquet(in_dir)
     stream = spark.readStream.schema(ev.schema).parquet(in_dir)
     out = session_stats_stream(stream, "user_id", "ts", gap="1 hour", delay="1 second")
     q = (

@@ -131,7 +131,10 @@ def run_bench(
     # (the r3 headline "drop" was a noisy profile denominator, not the engine).
     validate_sec = queries.get("validate_fused")
     result = {
-        "metric": "headline_suite_sec",
+        # a --queries subset must not impersonate the full-suite headline:
+        # the metric name changes so nothing keyed on headline_suite_sec can
+        # mistake a filtered sum for the tracked number
+        "metric": "headline_suite_sec" if only is None else "headline_subset_sec",
         "value": round(sum(queries.values()), 3),
         "unit": "sec",
         "queries": queries,
@@ -143,6 +146,8 @@ def run_bench(
         "cpus": cpus,
         "turns_per_sec": int(n_turns / validate_sec) if validate_sec else None,
     }
+    if only is not None:
+        result["subset"] = sorted(only)
     t.unpersist()
     spark.stop()
     return result

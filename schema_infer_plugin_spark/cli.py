@@ -324,7 +324,13 @@ def cmd_validate_tables(args: argparse.Namespace) -> int:
     else:
         from schema_infer_plugin_spark.sources.io import register_views
 
-        register_views(spark, args.input, tuple(TABLES))
+        # same per-table leniency on the catalog path: one broken table must
+        # not abort the report for the others
+        for t in TABLES:
+            try:
+                register_views(spark, args.input, (t,))
+            except Exception as e:  # noqa: BLE001 — any fetch failure is the signal
+                load_errors[t] = e
     r = discover_tables(spark, names=args.tables.split(","))
     inaccessible = 0
     for t in r.found:
@@ -492,10 +498,14 @@ def cmd_mix(args: argparse.Namespace) -> int:
             print(f"mix: malformed --budgets entry {part!r} (want source=tokens)")
             return 2
         try:
-            budgets[k.strip()] = int(v)
+            b = int(v)
         except ValueError:
             print(f"mix: budget for {k!r} is not an integer: {v!r}")
             return 2
+        if b < 0:
+            print(f"mix: budget for {k!r} must be >= 0, got {b}")
+            return 2
+        budgets[k.strip()] = b
     spark = _spark()
     df = load_table(spark, args.input, args.table)
     sel = mix_token_budget(

@@ -64,6 +64,7 @@ def profile(
     approx_distinct: bool = True,
     n_examples: int = 5,
     run_id: str = "run0",
+    examples_prefilter_num: int | None = None,
 ) -> DataFrame:
     """Profile ``columns`` (default: all) in one aggregation pass.
 
@@ -72,6 +73,15 @@ def profile(
     partition (the per-topic analog of the reference); None profiles globally.
     ``approx_distinct=True`` uses HyperLogLog (the 100 TB path);
     False uses exact count_distinct (oracle-checkable at test scale).
+
+    With ``partition_by`` the example sampling (fixed_k_sample) ranks every
+    row by md5 inside its partition — a SECOND full shuffle of the selected
+    columns beyond the wide agg. At huge per-partition row counts pass
+    ``examples_prefilter_num`` (a /256 hash-prefix rate, forwarded to
+    fixed_k_sample's map-side pre-filter): the sampled set is identical
+    whenever >= k rows clear the cut, and the shuffle drops to
+    ~rate x |input|. Size it >= ~4k/|smallest partition|; the default None
+    keeps exact every-partition coverage for moderate tables.
     """
     columns = columns or [c for c in df.columns if c != partition_by]
     agg_exprs: list = []
@@ -104,6 +114,7 @@ def profile(
             partition_by,
             key_cols=list(columns),
             k=max(n_examples * 20, 100),
+            prefilter_rate_num=examples_prefilter_num,
         )
         # sort BEFORE the slice: collect_set accumulation order is not
         # deterministic, but the sampled value set is (md5-ranked rows), so

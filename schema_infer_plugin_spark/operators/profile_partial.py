@@ -73,6 +73,14 @@ def profile_partial(
     columns = columns or [c for c in df.columns if c != partition_by]
     if partition_by in (columns or []):
         raise ValueError("profile_partial: partition_by cannot also be profiled")
+    # "__" is the state-column marker profile_merge keys off — a partition
+    # column containing it would be misread as state and silently collapse
+    # every partition into one global row at merge time
+    if partition_by is not None and "__" in partition_by:
+        raise ValueError(
+            "profile_partial: partition_by name must not contain '__' "
+            "(reserved for artifact state columns)"
+        )
     agg_exprs: list = []
     for c in columns:
         col = F.col(c)
@@ -145,7 +153,10 @@ def profile_merge(parts: DataFrame, run_id: str = "merged") -> DataFrame:
                 F.sum(f"{c}__nulls").cast("long").alias(f"{c}__nulls"),
                 F.min(f"{c}__min").alias(f"{c}__min"),
                 F.max(f"{c}__max").alias(f"{c}__max"),
-                F.hll_union_agg(f"{c}__hll", True).alias(f"{c}__hll"),
+                # strict lgK: partials built with a different lg_k raise at
+                # merge (a mis-configured pipeline must not silently degrade
+                # the estimate — same posture as the mismatched-column guard)
+                F.hll_union_agg(f"{c}__hll", False).alias(f"{c}__hll"),
             ]
         )
         if f"{c}__cnt_{TYPE_NAMES[0]}" in parts.columns:

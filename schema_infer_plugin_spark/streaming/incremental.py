@@ -302,20 +302,25 @@ def profile_partial_sink(
     mergeable partial-profile row (operators/profile_partial) appended to
     ``out_dir`` — the streaming producer of the same artifact the batch CLI
     ``profile-partial`` writes, so "profile of everything ingested so far"
-    is ``profile_merge(spark.read.parquet(out_dir))`` at any moment, reading
-    #batches rows and rescanning nothing.
+    is ``profile_merge(spark.read.parquet(f"{out_dir}/*"))`` at any moment,
+    reading #batches rows and rescanning nothing.
 
     State is the aggregation's own partial buffers (bounded by #columns, not
-    input); the checkpoint gives exactly-once batch replay, and the epoch in
-    ``run_id`` keeps replays idempotent to a downstream dedupe-on-run_id.
+    input). foreachBatch is at-least-once: a crash between the artifact
+    write and the checkpoint commit replays the epoch, so each epoch writes
+    its OWN subdirectory with overwrite — the replay lands on the same path
+    and the merged profile never double-counts (idempotent by construction,
+    not by downstream dedupe).
     """
+    import os
+
     from ..operators.profile_partial import profile_partial
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         (
             profile_partial(batch_df, columns, run_id=f"epoch{epoch_id}")
-            .write.mode("append")
-            .parquet(out_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch{epoch_id}"))
         )
 
     return stream_df.writeStream.foreachBatch(_process).option(

@@ -272,3 +272,7 @@ def test_mix_cli(spark, tmp_path, capsys):
 def test_mix_cli_rejects_malformed_budgets(spark, tmp_path):
     assert main(["mix", "--input", SF, "--budgets", "src0", "--out", str(tmp_path / "x")]) == 2
     assert main(["mix", "--input", SF, "--budgets", "src0=abc", "--out", str(tmp_path / "x")]) == 2
+
+
+def test_mix_cli_rejects_negative_budget(spark, tmp_path):
+    assert main(["mix", "--input", SF, "--budgets", "src0=-5", "--out", str(tmp_path / "x")]) == 2

@@ -218,3 +218,21 @@ def test_partial_partitioned_merge_matches_duckdb(spark, duck):
         profile_partial(docs, ["lang"], partition_by="lang")
     with pytest.raises(ValueError, match="at most one partition"):
         profile_merge(halves[0].withColumn("extra_key", F.lit("x")))
+
+
+def test_partial_partition_name_and_lgk_guards(spark):
+    """Review fixes: '__'-named partition columns are rejected at build time
+    (merge would misread them as state and silently collapse partitions);
+    partials built with different lg_k raise at merge instead of silently
+    degrading the union estimate."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    with pytest.raises(ValueError, match="must not contain '__'"):
+        profile_partial(
+            docs.withColumnRenamed("lang", "lang__x"),
+            ["doc_id"],
+            partition_by="lang__x",
+        )
+    a = profile_partial(docs, ["doc_id"], run_id="a", lg_k=12)
+    b = profile_partial(docs, ["doc_id"], run_id="b", lg_k=4)
+    with pytest.raises(Exception, match="(?i)lgconfigk|sketch"):
+        profile_merge(a.unionByName(b)).collect()

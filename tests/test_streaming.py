@@ -300,7 +300,8 @@ def test_profile_partial_stream_merges_to_batch_profile(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    parts = spark.read.parquet(out)
+    # one subdirectory per epoch (overwrite-on-replay idempotency)
+    parts = spark.read.parquet(f"{out}/*")
     assert parts.count() > 1  # several micro-batches, one artifact row each
     got = {r["column"]: r for r in profile_merge(parts).collect()}
     want = {

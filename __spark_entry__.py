@@ -3844,6 +3844,39 @@ FROM documents"""
     )
 
 
+_TOPV_K = 5
+
+
+def q_top_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k frequent values per column (operators/profile.top_values):
+    the categorical heavy-hitters histogram. Per column: one hash agg on the
+    value (shuffle ∝ distinct, map-side combined) then orderBy().limit(k) —
+    distributed TakeOrderedAndProject, never a single-partition sort; the
+    rank window runs over the ≤ k surviving rows. Ties break on value ASC so
+    the cut is deterministic in both engines."""
+    from schema_infer_plugin_spark.operators.profile import top_values
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    return top_values(docs, ["lang", "source"], k=_TOPV_K).unionByName(
+        top_values(ev, ["event_type"], k=_TOPV_K)
+    )
+
+
+def _oracle_top_values() -> str:
+    def one(table: str, c: str) -> str:
+        return f"""
+(SELECT '{c}' AS col_name, CAST({c} AS STRING) AS value,
+        CAST(count(*) AS BIGINT) AS cnt,
+        CAST(row_number() OVER (ORDER BY count(*) DESC, CAST({c} AS STRING) ASC) AS INT) AS rank
+ FROM {table} WHERE {c} IS NOT NULL GROUP BY {c}
+ ORDER BY cnt DESC, value ASC LIMIT {_TOPV_K})"""
+
+    return " UNION ALL ".join(
+        [one("documents", "lang"), one("documents", "source"), one("events", "event_type")]
+    )
+
+
 _HYBRID_QUERY_TEXT = "spark shuffle window"
 _HYBRID_DIM = 64
 _HYBRID_LEG_K = 25
@@ -4051,6 +4084,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_ivfpq_topk": (q_ann_ivfpq, _oracle_ann_ivfpq()),
     "mix_token_budget": (q_mix_token_budget, _oracle_mix()),
     "profile_partial_merge": (q_profile_partial_merge, _oracle_ppm()),
+    "top_values_frequent": (q_top_values, _oracle_top_values()),
     # --- canaries: keep core families continuously driver-verified ---
     "transcripts_validate_fused": (q_validate_fused, ORACLE_VALIDATE_FUSED),
     "transcripts_profile": (q_profile, ORACLE_PROFILE),
@@ -4062,10 +4096,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_ngram_jaccard": (q_ngram_jaccard, ORACLE_NGRAM_JACCARD),
     "dedup_embedding_lsh": (q_embedding_neardup_lsh, _oracle_embedding_lsh()),
     "dedup_incremental_lsh": (q_dedup_incremental, ORACLE_DEDUP_INCREMENTAL),
-    "ann_lsh_topk": (q_ann_lsh, _oracle_ann_lsh()),
     "text_quality": (q_text_quality, ORACLE_TEXT_QUALITY),
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
     # --- beyond the driver window (all driver-green in r1-r3) ---
+    "ann_lsh_topk": (q_ann_lsh, _oracle_ann_lsh()),
     "ann_bruteforce_topk": (q_ann_bruteforce, ORACLE_ANN_BRUTEFORCE),
     "ann_ivf_topk": (q_ann_ivf, ORACLE_ANN_IVF),
     "contamination_pairs": (q_contamination, ORACLE_CONTAMINATION),

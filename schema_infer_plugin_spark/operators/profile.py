@@ -243,3 +243,51 @@ def type_profile(
             )
         )
     return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def top_values(
+    df: DataFrame,
+    columns: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k most frequent values per column (heavy hitters) — the
+    categorical companion of the numeric equi-depth histogram: which roles,
+    tools, event types, error strings dominate a column, with exact counts.
+
+    Plan shape, per column: one hash aggregation on the value (shuffle ∝
+    DISTINCT values, map-side combined) then ``orderBy().limit(k)`` — 
+    Spark's distributed TakeOrderedAndProject, so a 10^9-distinct column
+    never funnels through a single-partition sort (the repo-invariant top-k
+    shape; an unpartitioned row_number window here would). Ties break on
+    value ascending, so the cut is deterministic in both engines. The final
+    rank window runs over ≤ k collected rows per column. NULLs are excluded
+    (profile() already counts them); columns are unioned lazily into one
+    frame.
+
+    Output: (col_name, value, cnt, rank) with value cast to string.
+    """
+    if not columns:
+        raise ValueError("top_values: columns must be non-empty")
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = []
+    for c in columns:
+        counted = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).cast("string").alias("value"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("value"))
+            .limit(k)
+        )
+        w = Window.orderBy(F.desc("cnt"), F.asc("value"))
+        parts.append(
+            counted.select(
+                F.lit(c).alias("col_name"),
+                "value",
+                F.col("cnt").cast("long").alias("cnt"),
+                F.row_number().over(w).cast("int").alias("rank"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -90,3 +90,40 @@ def test_partitioned_examples_cover_every_partition(spark):
     p2 = profile(df, columns=["val"], partition_by="grp", approx_distinct=False)
     again = {r["partition_key"]: r["examples"] for r in p2.collect()}
     assert again == {k: r["examples"] for k, r in by_part.items()}
+
+
+def test_top_values_exact_and_takeordered_plan(spark, duck):
+    """Heavy-hitters: exact counts + deterministic tie-break vs DuckDB, and
+    the per-column top-k is a distributed TakeOrderedAndProject (never an
+    unpartitioned sort of the distinct-value space)."""
+    from schema_infer_plugin_spark.operators.profile import top_values
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    tv = top_values(docs, ["lang", "source"], k=3)
+    got = sorted(map(tuple, tv.collect()))
+    exp = sorted(
+        map(
+            tuple,
+            duck.execute(
+                """
+        (SELECT 'lang' AS col_name, lang AS value, CAST(count(*) AS BIGINT) AS cnt,
+                CAST(row_number() OVER (ORDER BY count(*) DESC, lang ASC) AS INT) AS rank
+         FROM documents WHERE lang IS NOT NULL GROUP BY lang
+         ORDER BY cnt DESC, value ASC LIMIT 3)
+        UNION ALL
+        (SELECT 'source', source, CAST(count(*) AS BIGINT),
+                CAST(row_number() OVER (ORDER BY count(*) DESC, source ASC) AS INT)
+         FROM documents WHERE source IS NOT NULL GROUP BY source
+         ORDER BY 3 DESC, 2 ASC LIMIT 3)
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) == 6
+    plan = tv._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        top_values(docs, [])

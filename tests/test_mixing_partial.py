@@ -236,3 +236,25 @@ def test_partial_partition_name_and_lgk_guards(spark):
     b = profile_partial(docs, ["doc_id"], run_id="b", lg_k=4)
     with pytest.raises(Exception, match="(?i)lgconfigk|sketch"):
         profile_merge(a.unionByName(b)).collect()
+
+
+def test_profile_compare_over_merged_partials(spark):
+    """Composition contract: plans/compare.profile_compare consumes the
+    exact columns profile_merge emits — schema-drift verdicts between two
+    periods from persisted artifacts alone, zero input rescans."""
+    from schema_infer_plugin_spark.plans.compare import profile_compare
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    base = profile_merge(
+        profile_partial(docs, ["doc_id", "lang", "n_chars"]), run_id="base"
+    )
+    # current period: lang goes partially null (implicit NOT NULL broken),
+    # n_chars no longer profiled (column removed from the contract)
+    cur_docs = docs.withColumn(
+        "lang", F.when(F.col("doc_id") % 10 == 0, None).otherwise(F.col("lang"))
+    )
+    cur = profile_merge(profile_partial(cur_docs, ["doc_id", "lang"]), run_id="cur")
+    v = {r["col_name"]: r for r in profile_compare(cur, base).collect()}
+    assert v["doc_id"]["verdict"] == "OK" and v["doc_id"]["status"] == "common"
+    assert v["lang"]["verdict"] == "BREAKING"  # zero-null baseline grew nulls
+    assert v["n_chars"]["status"] == "removed" and v["n_chars"]["verdict"] == "BREAKING"

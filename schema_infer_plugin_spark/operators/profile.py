@@ -249,6 +249,7 @@ def top_values(
     df: DataFrame,
     columns: list[str],
     k: int = 10,
+    partition_by: str | None = None,
 ) -> DataFrame:
     """Exact top-k most frequent values per column (heavy hitters) — the
     categorical companion of the numeric equi-depth histogram: which roles,
@@ -264,19 +265,50 @@ def top_values(
     (profile() already counts them); columns are unioned lazily into one
     frame.
 
-    Output: (col_name, value, cnt, rank) with value cast to string.
+    With ``partition_by`` the top-k is per partition value (top tools per
+    role — the conditional distribution): the rank window partitions on the
+    group key, so its per-task work is bounded by the DISTINCT (group,
+    value) pairs of one group — the categorical-column regime this targets.
+    For a near-unique value column prefer the global form (TakeOrdered has
+    no per-group equivalent); the unpartitioned-window shape is never used
+    in either mode.
+
+    Output: (col_name, [partition_key,] value, cnt, rank) with value and
+    partition_key cast to string.
     """
     if not columns:
         raise ValueError("top_values: columns must be non-empty")
+    if partition_by in columns:
+        raise ValueError("top_values: partition_by cannot also be ranked")
     from functools import reduce
 
     from pyspark.sql import Window
 
     parts = []
     for c in columns:
+        base = df.filter(F.col(c).isNotNull())
+        if partition_by is not None:
+            counted = base.groupBy(
+                F.col(partition_by).cast("string").alias("partition_key"),
+                F.col(c).cast("string").alias("value"),
+            ).agg(F.count(F.lit(1)).alias("cnt"))
+            w = Window.partitionBy("partition_key").orderBy(
+                F.desc("cnt"), F.asc("value")
+            )
+            parts.append(
+                counted.withColumn("rank", F.row_number().over(w).cast("int"))
+                .filter(F.col("rank") <= k)
+                .select(
+                    F.lit(c).alias("col_name"),
+                    "partition_key",
+                    "value",
+                    F.col("cnt").cast("long").alias("cnt"),
+                    "rank",
+                )
+            )
+            continue
         counted = (
-            df.filter(F.col(c).isNotNull())
-            .groupBy(F.col(c).cast("string").alias("value"))
+            base.groupBy(F.col(c).cast("string").alias("value"))
             .agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("value"))
             .limit(k)

@@ -127,3 +127,34 @@ def test_top_values_exact_and_takeordered_plan(spark, duck):
 
     with pytest.raises(ValueError, match="non-empty"):
         top_values(docs, [])
+
+
+def test_top_values_partitioned(spark, duck):
+    """Per-group heavy hitters (top sources per lang): window partitioned on
+    the group key (bounded by one group's distinct values), exact counts and
+    deterministic tie-break vs DuckDB."""
+    from schema_infer_plugin_spark.operators.profile import top_values
+    import pytest
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    tv = top_values(docs, ["source"], k=2, partition_by="lang")
+    got = sorted(map(tuple, tv.collect()))
+    exp = sorted(
+        map(
+            tuple,
+            duck.execute(
+                """
+        SELECT 'source' AS col_name, lang AS partition_key, source AS value,
+               CAST(cnt AS BIGINT) AS cnt, CAST(rnk AS INT) AS rank
+        FROM (
+          SELECT lang, source, count(*) AS cnt,
+                 row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, source ASC) AS rnk
+          FROM documents WHERE source IS NOT NULL GROUP BY lang, source)
+        WHERE rnk <= 2
+        """
+            ).fetchall(),
+        )
+    )
+    assert got == exp and len(got) > 0
+    with pytest.raises(ValueError, match="cannot also be ranked"):
+        top_values(docs, ["lang"], partition_by="lang")

@@ -390,6 +390,16 @@ def pq_codebook(
     return [[v[j * sub : (j + 1) * sub] for v in sampled] for j in range(m)]
 
 
+def _sq_norm(w: list[float]) -> float:
+    """Sequential-fold |w|^2 — the exact IEEE addition order of the
+    aggregate-fold dot and DuckDB's list_dot_product, so replacing the
+    expression with this literal cannot flip a near-tie codeword."""
+    acc = 0.0
+    for x in w:
+        acc += float(x) * float(x)
+    return acc
+
+
 def pq_encode(vec: Column, codebook: list[list[list[float]]]) -> Column:
     """PQ codes (array<int>, length m) of a vector: per block, the index of
     the L2-nearest codeword, ties to the LOWEST code (the ascending struct
@@ -410,10 +420,46 @@ def pq_encode(vec: Column, codebook: list[list[list[float]]]) -> Column:
         scored = []
         for c, w in enumerate(words):
             w_arr = F.array(*[F.lit(float(x)) for x in w])
-            metric = dot(w_arr, w_arr) - F.lit(2.0) * dot(v_sub, w_arr)
+            # |w|^2 folded in Python (same sequential IEEE order as the
+            # aggregate fold and DuckDB's list_dot_product) — a literal, so
+            # the plan carries one constant instead of an aggregate per code
+            metric = F.lit(_sq_norm(w)) - F.lit(2.0) * dot(v_sub, w_arr)
             scored.append(F.struct(metric.alias("d"), F.lit(c).alias("c")))
         blocks.append(F.sort_array(F.array(*scored))[0]["c"])
     return F.array(*blocks)
+
+
+def pq_reconstructed(vec: Column, codebook: list[list[list[float]]]) -> Column:
+    """Reconstructed vector straight from ``vec`` — encode and decode fused
+    into ONE argmin per block: each candidate struct carries (metric, code,
+    codeword array) and the ascending sort's head IS the decoded block.
+    Codeword choice is identical to :func:`pq_encode` (same metric, same
+    tie-to-lowest-code ordering; the array field is never compared because
+    codes are distinct).
+
+    This exists because ``pq_reconstruct(pq_encode(vec), ...)`` is a plan
+    hazard: CollapseProject inlines the full encode tree into every
+    when-branch of every block (~m × n_codes copies), and analysis/codegen
+    over the duplicated tree dominates wall-clock (measured minutes per
+    action at m=16, n_codes=8 — multi-MiB task binaries). Keep
+    encode → column → reconstruct for the PERSISTED-codes path (a real
+    column is a safe barrier); use this fused form whenever the
+    reconstruction feeds scoring in the same plan."""
+    from ..functions.vectors import dot
+
+    sub = len(codebook[0][0])
+    parts = []
+    for j, words in enumerate(codebook):
+        v_sub = F.slice(vec, j * sub + 1, sub)
+        scored = []
+        for c, w in enumerate(words):
+            w_arr = F.array(*[F.lit(float(x)) for x in w])
+            metric = F.lit(_sq_norm(w)) - F.lit(2.0) * dot(v_sub, w_arr)
+            scored.append(
+                F.struct(metric.alias("d"), F.lit(c).alias("c"), w_arr.alias("w"))
+            )
+        parts.append(F.sort_array(F.array(*scored))[0]["w"])
+    return F.concat(*parts)
 
 
 def pq_reconstruct(codes: Column, codebook: list[list[list[float]]]) -> Column:
@@ -481,7 +527,7 @@ def ann_ivfpq_topk(
     ).select(
         "neighbor_id",
         nearest_cell(F.col("cv"), centroids).alias("cell"),
-        pq_reconstruct(pq_encode(F.col("cv"), codebook), codebook).alias("rv"),
+        pq_reconstructed(F.col("cv"), codebook).alias("rv"),
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -572,7 +618,7 @@ def ann_pq_topk(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        pq_reconstruct(pq_encode(F.col(vec_col), cb), cb).alias("rv"),
+        pq_reconstructed(F.col(vec_col), cb).alias("rv"),
     )
     scored = c.join(broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
         "query_id",

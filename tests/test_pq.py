@@ -137,3 +137,26 @@ def test_ivfpq_reuses_persisted_artifacts(spark, tmp_path):
         codebook=load_pq_codebook(spark, str(tmp_path / "b")),
     )
     assert sorted(map(tuple, fresh.collect())) == sorted(map(tuple, reused.collect()))
+
+
+def test_pq_reconstructed_fused_equals_encode_then_reconstruct(spark):
+    """The fused argmin-carrying-codeword form must pick byte-identical
+    reconstructions to the two-step encode->reconstruct path (same metric,
+    same tie order) — it exists purely to avoid CollapseProject inlining the
+    encode tree into every reconstruct branch."""
+    from schema_infer_plugin_spark.datapipe.ann import (
+        pq_codebook,
+        pq_encode,
+        pq_reconstruct,
+        pq_reconstructed,
+    )
+
+    emb = _corpus(spark, n=16)
+    cb = pq_codebook(emb, "vec_id", "embedding", m=M, n_codes=CODES)
+    two_step = emb.select(
+        "vec_id", pq_reconstruct(pq_encode(F.col("embedding"), cb), cb).alias("rv")
+    )
+    fused = emb.select("vec_id", pq_reconstructed(F.col("embedding"), cb).alias("rv"))
+    a = {r["vec_id"]: list(r["rv"]) for r in two_step.collect()}
+    b = {r["vec_id"]: list(r["rv"]) for r in fused.collect()}
+    assert a == b

@@ -50,6 +50,11 @@ def _viol(df: DataFrame) -> DataFrame:
 
 _INT_RE = "^[+-]?[0-9]+$"
 
+# Python float() grammar — mirrors functions/typeladder.FLOAT_RE. The oracle
+# must NOT use TRY_CAST(.. AS DOUBLE): Java/Spark cast accepts trailing D/d/F/f
+# suffixes ('0D', '1f') that the reference's Python float() rejects → string.
+_FLOAT_RE = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
 
 def _duck_type_profile_sql(source_sql: str, cols: list[str]) -> str:
     """DuckDB SQL reproducing operators/profile.type_profile for ``cols`` of
@@ -62,7 +67,7 @@ def _duck_type_profile_sql(source_sql: str, cols: list[str]) -> str:
             f"CASE WHEN {v} IS NULL THEN 'null' "
             f"WHEN lower({v}) IN ('true','false') THEN 'boolean' "
             f"WHEN regexp_matches({v}, '{_INT_RE}') THEN 'int' "
-            f"WHEN TRY_CAST({v} AS DOUBLE) IS NOT NULL THEN 'float' "
+            f"WHEN regexp_matches(trim({v}), '{_FLOAT_RE}') THEN 'float' "
             f"ELSE 'string' END"
         )
         parts.append(
@@ -364,10 +369,16 @@ SELECT
   CASE WHEN event_id % 2 = 0 THEN 'true' ELSE 'FALSE' END AS s_bool,
   CASE WHEN event_id % 4 = 0 THEN 'abc' ELSE CAST(event_id AS STRING) END AS s_mixed,
   CASE WHEN event_id % 10 = 0 THEN NULL ELSE CAST(event_id % 7 AS STRING) END AS s_nullable,
-  CASE WHEN event_id % 2 = 0 THEN 'x' ELSE CAST(event_id AS STRING) END AS s_union
+  CASE WHEN event_id % 2 = 0 THEN 'x' ELSE CAST(event_id AS STRING) END AS s_union,
+  CASE WHEN event_id % 3 = 0 THEN '1.5d' WHEN event_id % 3 = 1 THEN '0D' ELSE '.5' END AS s_suffixed
 FROM events
 """
-_TYPE_LADDER_COLS = ["s_int", "s_float", "s_str", "s_bool", "s_mixed", "s_nullable", "s_union"]
+_TYPE_LADDER_COLS = [
+    "s_int", "s_float", "s_str", "s_bool", "s_mixed", "s_nullable", "s_union",
+    # Java-suffixed literals ('1.5d', '0D') MUST classify string per the
+    # reference's Python float(); '.5' is float (VERDICT r4 finding #1)
+    "s_suffixed",
+]
 
 ORACLE_TYPE_PROFILE = _duck_type_profile_sql(_TYPE_LADDER_SOURCE_SQL, _TYPE_LADDER_COLS)
 
@@ -781,12 +792,18 @@ UNION ALL SELECT 'key-value', CAST(round(least(p_kv * 0.7 + 0.15, 1.0), 6) AS DO
 _KV_CORPUS_SQL = """
 SELECT event_id,
        concat('user=', CAST(user_id AS STRING), ', type=', event_type,
-              ', active=true, score="', CAST(event_id % 3 AS STRING), '"') AS line
+              ', active=true, score="', CAST(event_id % 3 AS STRING), '"',
+              ', ratio=', CAST(event_id % 5 AS STRING), '.5',
+              ', dur=1.5d, rate=0D') AS line
 FROM events
 """
 
 
 def q_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV ladder over synthesized lines. 'dur=1.5d' / 'rate=0D' pin the
+    Java-suffix edge: Python float() (the reference ladder) rejects trailing
+    D/d/F/f, so they must classify as STRING — a bare try_cast("double")
+    would call them float (VERDICT r4 finding #1)."""
     from schema_infer_plugin_spark.operators.parsers import parse_key_value
 
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
@@ -799,16 +816,22 @@ def q_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kv.vtype").alias("vtype"),
         F.col("kv.as_int").alias("as_int"),
         F.col("kv.as_boolean").alias("as_boolean"),
+        F.col("kv.as_float").alias("as_float"),
     )
 
 
 ORACLE_KV_PARSE = """
 SELECT event_id, 'user' AS kv_key, CAST(user_id AS STRING) AS kv_value,
-       'int' AS vtype, CAST(user_id AS BIGINT) AS as_int, CAST(NULL AS BOOLEAN) AS as_boolean
+       'int' AS vtype, CAST(user_id AS BIGINT) AS as_int, CAST(NULL AS BOOLEAN) AS as_boolean,
+       CAST(NULL AS DOUBLE) AS as_float
 FROM events
-UNION ALL SELECT event_id, 'type', event_type, 'string', NULL, NULL FROM events
-UNION ALL SELECT event_id, 'active', 'true', 'boolean', NULL, true FROM events
-UNION ALL SELECT event_id, 'score', CAST(event_id % 3 AS STRING), 'int', event_id % 3, NULL FROM events
+UNION ALL SELECT event_id, 'type', event_type, 'string', NULL, NULL, NULL FROM events
+UNION ALL SELECT event_id, 'active', 'true', 'boolean', NULL, true, NULL FROM events
+UNION ALL SELECT event_id, 'score', CAST(event_id % 3 AS STRING), 'int', event_id % 3, NULL, NULL FROM events
+UNION ALL SELECT event_id, 'ratio', concat(CAST(event_id % 5 AS STRING), '.5'), 'float', NULL, NULL,
+       CAST(event_id % 5 AS DOUBLE) + 0.5 FROM events
+UNION ALL SELECT event_id, 'dur', '1.5d', 'string', NULL, NULL, NULL FROM events
+UNION ALL SELECT event_id, 'rate', '0D', 'string', NULL, NULL, NULL FROM events
 """
 
 
@@ -2681,7 +2704,7 @@ FROM transcripts WHERE {side_filter}"""
             f"CASE WHEN {c} IS NULL THEN 'null' "
             f"WHEN lower({c}) IN ('true','false') THEN 'boolean' "
             f"WHEN regexp_matches({c}, '{_INT_RE}') THEN 'int' "
-            f"WHEN TRY_CAST({c} AS DOUBLE) IS NOT NULL THEN 'float' "
+            f"WHEN regexp_matches(trim({c}), '{_FLOAT_RE}') THEN 'float' "
             f"ELSE 'string' END"
         )
         parts.append(

@@ -27,20 +27,31 @@ TYPE_NAMES = ("boolean", "int", "float", "string")
 
 _INT_RE = r"^[+-]?[0-9]+$"
 
+#: Python float() grammar (minus inf/nan spellings and '_' separators, which the
+#: engine spec excludes — SURVEY.md §1.2). The float branch is gated on THIS
+#: regex, not on Spark's cast: Spark's try_cast("double") follows Java
+#: Double.parseDouble, which also accepts trailing D/d/F/f suffixes ('0D',
+#: '1f', '2.5d'), while the reference's Python float() ladder
+#: (/root/reference/schema_infer/formats/parsers.py:360-383) raises on them →
+#: string. Every string matching this grammar is castable by BOTH Spark and
+#: DuckDB, so the regex alone decides the branch — no cast probe needed.
+FLOAT_RE = r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?$"
+
 
 def string_value_type(col: Column) -> Column:
     """Classify one string value per the reference coercion ladder.
 
     Returns one of 'null' | 'boolean' | 'int' | 'float' | 'string'.
     Mirrors KeyValueParser._convert_value (parsers.py:360-383): lowercase
-    true/false → boolean; integral literal → int; double-castable → float;
+    true/false → boolean; integral literal → int; Python-float-grammar literal
+    → float (see FLOAT_RE — NOT a double cast, which is Java grammar);
     everything else string.
     """
     return (
         F.when(col.isNull(), F.lit("null"))
         .when(F.lower(col).isin("true", "false"), F.lit("boolean"))
         .when(col.rlike(_INT_RE), F.lit("int"))
-        .when(col.try_cast("double").isNotNull(), F.lit("float"))
+        .when(F.trim(col).rlike(FLOAT_RE), F.lit("float"))
         .otherwise(F.lit("string"))
     )
 
@@ -52,14 +63,14 @@ TYPE_CODES = {name: i + 1 for i, name in enumerate(TYPE_NAMES)}
 def string_value_type_code(col: Column) -> Column:
     """``string_value_type`` as a tiny int code (0=null, 1=boolean, 2=int,
     3=float, 4=string). Classify ONCE per row in a pre-projection and aggregate
-    on the code — the regex + try_cast ladder is the expensive part, and four
+    on the code — the regex ladder is the expensive part, and four
     ``sum(when(ladder == ...))`` counters would otherwise re-evaluate it four
     times per row (measured ~3× slower on a high-cardinality column)."""
     return (
         F.when(col.isNull(), F.lit(0))
         .when(F.lower(col).isin("true", "false"), F.lit(1))
         .when(col.rlike(_INT_RE), F.lit(2))
-        .when(col.try_cast("double").isNotNull(), F.lit(3))
+        .when(F.trim(col).rlike(FLOAT_RE), F.lit(3))
         .otherwise(F.lit(4))
         .cast("byte")
     )

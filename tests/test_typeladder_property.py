@@ -34,10 +34,11 @@ def _model(v: str | None) -> str:
     return "float"
 
 
-# Mix of adversarial literals and random ASCII text. Spellings where Python's
-# float() and Spark's cast disagree (inf/nan names, '_' separators, full-width
-# Unicode digits) are excluded: the engine spec is Spark cast semantics; the
-# model below mirrors it for the shared domain.
+# Mix of adversarial literals and random ASCII text. inf/nan spellings and
+# '_' digit separators are excluded by the engine spec (SURVEY.md §1.2): the
+# float branch is a Python-float-grammar regex (typeladder.FLOAT_RE) minus
+# those spellings; Java-suffixed literals ('0D', '1f') are IN the domain and
+# must classify string.
 _EXOTIC = re.compile(r"(?i)^[\s+-]*(inf|nan)|_")
 
 _values = st.one_of(
@@ -45,7 +46,9 @@ _values = st.one_of(
     st.sampled_from(
         ["true", "FALSE", "True", "0", "-17", "+4", "3.14", "-0.5", "1e3",
          "1E-2", ".5", "5.", "0x1f", "  7  ", "", " ", "7a", "a7",
-         "100000000000000000000", "-9223372036854775809"]
+         "100000000000000000000", "-9223372036854775809",
+         # Java Double.parseDouble accepts these; Python float() does not:
+         "0D", "1f", "2.5d", "1.5F", "3e2f", "  4.5d  ", "."]
     ),
     st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=12),
     st.integers().map(str),

@@ -306,7 +306,9 @@ FROM transcripts"""
 def q_profile_by_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-partition profiling (north_star: "groupBy/agg per partition"):
     the same single-pass wide profile, grouped by role — the reference's
-    per-topic analog. Examples omitted (head-sample examples are global)."""
+    per-topic analog. Examples excluded from the compare: profile(
+    partition_by=...) samples them per partition via the md5-ranked
+    fixed_k_sample, which has no DuckDB mirror in this query."""
     p = profile(
         _transcripts(spark, sf_dir), ["turn_idx", "text"], partition_by="role",
         approx_distinct=False,
@@ -2288,10 +2290,12 @@ def q_windowed_rates_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _transcripts(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
     work = tempfile.mkdtemp(prefix="wrates_stream_")
     in_dir, out_dir, ckpt = (os.path.join(work, d) for d in ("in", "out", "ckpt"))
-    # one staged file: a multi-file source could split into micro-batches
-    # whose watermark drops earlier-ts rows as late — single-batch replay
-    # keeps the aggregation exact (late-data semantics are pytest-covered)
-    t.coalesce(1).write.parquet(in_dir)
+    # one staged file INCLUDING the sentinel: a multi-file source could split
+    # into micro-batches, and if the sentinel's file formed its own batch the
+    # watermark would advance to 2100 and drop every later real-data file as
+    # late — union + coalesce(1) keeps the replay single-batch and exact
+    # (same guard as q_session_stats_stream; late-data semantics are
+    # pytest-covered)
     sentinel = (
         t.limit(1)
         .withColumn("conv_id", F.lit("__flush__"))
@@ -2301,7 +2305,7 @@ def q_windowed_rates_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tool", F.lit(None).cast("string"))
         .withColumn("ts", F.to_timestamp(F.lit("2100-01-01 00:00:00")))
     )
-    sentinel.write.mode("append").parquet(in_dir)
+    t.unionByName(sentinel).coalesce(1).write.parquet(in_dir)
     stream = spark.readStream.schema(t.schema).parquet(in_dir)
     rates = windowed_violation_rates(
         stream, window_duration="1 minute", watermark_delay="1 second"

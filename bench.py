@@ -84,15 +84,29 @@ def run_bench(
         if only is not None and name not in only:
             return
         secs, loads, calm = [], [], 0
+        cold_secs = None
         while calm < 5 and len(secs) < 8:
             la = os.getloadavg()[0]
             t0 = time.time()
             fn()
-            secs.append(round(time.time() - t0, 3))
-            loads.append(round(la, 1))
-            if la <= load_guard:
+            dt = round(time.time() - t0, 3)
+            # re-sample after: contention that began MID-iteration also
+            # disqualifies the sample from the calm count (min over all
+            # readings stays safe — load only inflates)
+            la_end = os.getloadavg()[0]
+            secs.append(dt)
+            loads.append([round(la, 1), round(la_end, 1)])
+            if la <= load_guard and la_end <= load_guard:
                 calm += 1
-        cold[name] = secs[0]
+                if cold_secs is None:
+                    cold_secs = dt
+        # cold = the first CALM iteration, so "cold_queries" documents JIT /
+        # page-cache warm-up rather than a noise-inflated reading. Caveat: if
+        # the FIRST iteration ran under load, the first calm one has already
+        # paid the JIT, so this is a lower bound; with zero calm iterations
+        # we fall back to the raw first reading (auditable via "loadavg",
+        # which records [start, end] 1-min samples per iteration).
+        cold[name] = secs[0] if cold_secs is None else cold_secs
         queries[name] = min(secs)
         loadavg[name] = loads
 

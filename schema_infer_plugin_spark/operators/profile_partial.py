@@ -149,8 +149,10 @@ def profile_merge(parts: DataFrame, run_id: str = "merged") -> DataFrame:
     for c in columns:
         agg_exprs.extend(
             [
-                F.sum(f"{c}__total").cast("long").alias(f"{c}__total"),
-                F.sum(f"{c}__nulls").cast("long").alias(f"{c}__nulls"),
+                # coalesce: a partial built over an EMPTY input carries NULL
+                # sum-state (Spark sum over 0 rows); the merged totals are 0
+                F.coalesce(F.sum(f"{c}__total"), F.lit(0)).cast("long").alias(f"{c}__total"),
+                F.coalesce(F.sum(f"{c}__nulls"), F.lit(0)).cast("long").alias(f"{c}__nulls"),
                 F.min(f"{c}__min").alias(f"{c}__min"),
                 F.max(f"{c}__max").alias(f"{c}__max"),
                 # strict lgK: partials built with a different lg_k raise at
@@ -162,7 +164,7 @@ def profile_merge(parts: DataFrame, run_id: str = "merged") -> DataFrame:
         if f"{c}__cnt_{TYPE_NAMES[0]}" in parts.columns:
             string_cols.add(c)
             agg_exprs.extend(
-                F.sum(f"{c}__cnt_{t}").cast("long").alias(f"{c}__cnt_{t}")
+                F.coalesce(F.sum(f"{c}__cnt_{t}"), F.lit(0)).cast("long").alias(f"{c}__cnt_{t}")
                 for t in TYPE_NAMES
             )
     wide = parts.groupBy(*keys).agg(*agg_exprs) if keys else parts.agg(*agg_exprs)
@@ -199,13 +201,19 @@ def profile_merge(parts: DataFrame, run_id: str = "merged") -> DataFrame:
                 hist.alias("type_histogram"),
                 total.alias("total_count"),
                 nulls.alias("null_count"),
-                (nulls / total).alias("null_rate"),
+                # merging partials built over empty inputs must not emit a
+                # NULL rate (0/0) — an empty merge is 0-null by definition
+                F.when(total > 0, nulls / total)
+                .otherwise(F.lit(0.0))
+                .cast("double")
+                .alias("null_rate"),
                 resolved["required"].alias("required"),
                 resolved["nullable"].alias("nullable"),
                 resolved["confidence"].cast("double").alias("confidence"),
-                F.hll_sketch_estimate(F.col(f"{c}__hll")).cast("long").alias(
-                    "distinct_approx"
-                ),
+                # NULL sketch = zero observed values (empty-input partial)
+                F.coalesce(
+                    F.hll_sketch_estimate(F.col(f"{c}__hll")), F.lit(0)
+                ).cast("long").alias("distinct_approx"),
                 F.col(f"{c}__min").cast("string").alias("min_val"),
                 F.col(f"{c}__max").cast("string").alias("max_val"),
             )

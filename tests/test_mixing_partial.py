@@ -162,6 +162,19 @@ def test_partial_merge_guards(spark):
         profile_merge(p.drop("lang__hll"))
 
 
+def test_partial_merge_over_empty_inputs(spark):
+    """Merging partials built over EMPTY inputs (ADVICE r4): null_rate must be
+    an explicit 0.0, never NULL (0/0), and the verdict fields stay defined."""
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    empty = profile_partial(docs.filter(F.lit(False)), ["doc_id", "lang"])
+    merged = {r["column"]: r for r in profile_merge(empty.unionByName(empty)).collect()}
+    for c in ("doc_id", "lang"):
+        r = merged[c]
+        assert r["total_count"] == 0 and r["null_count"] == 0
+        assert r["null_rate"] == 0.0, "empty merge must not emit NULL null_rate"
+        assert r["required"] is True and r["nullable"] is False
+
+
 def test_partial_single_pass_plan(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     plan = profile_partial(docs, ["doc_id", "lang"])._jdf.queryExecution().executedPlan().toString()

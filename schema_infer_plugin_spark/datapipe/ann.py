@@ -186,11 +186,33 @@ def scored_cells(vec: Column, centroids: list[list[float]]) -> Column:
     )
 
 
-def nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+def nearest_cell(
+    vec: Column, centroids: list[list[float]], impl: str = "auto"
+) -> Column:
     """Index of the nearest centroid (argmax cosine, ties to lowest index) —
     the IVF cell-assignment projection shared by :func:`ann_ivf_topk` and
-    the SemDeDup-style clustered dedup (datapipe/dedup.semantic_dedup_pairs)."""
+    the SemDeDup-style clustered dedup (datapipe/dedup.semantic_dedup_pairs).
+    ``auto`` switches to the Arrow twin when the centroid literals
+    (n_cells x dim) would bloat the plan — bit-identical cells either way
+    (fold-ordered dots; parity-tested)."""
+    n_lit = len(centroids) * (len(centroids[0]) if centroids else 0)
+    if _resolve_impl(impl, n_lit) == "arrow":
+        return nearest_cell_arrow(centroids)(vec)
     return (-F.element_at(scored_cells(vec, centroids), 1)["ni"]).cast("int")
+
+
+def _probe_cells(
+    vec: Column, centroids: list[list[float]], n_probe: int, impl: str
+) -> Column:
+    """Top-``n_probe`` cell ids (array<int>, cosine desc, ties to lowest
+    index) — the query-side probe list, expr or Arrow (``impl`` must already
+    be resolved)."""
+    if impl == "arrow":
+        return probe_cells_arrow(centroids, n_probe)(vec)
+    return F.transform(
+        F.slice(scored_cells(vec, centroids), 1, n_probe),
+        lambda s: (-s["ni"]).cast("int"),
+    )
 
 
 def ann_ivf_topk(
@@ -203,6 +225,7 @@ def ann_ivf_topk(
     n_probe: int = 2,
     centroids: list[list[float]] | None = None,
     round_digits: int = 6,
+    impl: str = "auto",
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest centroid's
     cell (argmax cosine, ties to the lowest centroid index); each query probes
@@ -221,22 +244,16 @@ def ann_ivf_topk(
     if centroids is None:
         centroids = ivf_centroids(corpus, id_col, vec_col, n_cells)
     n_cells = len(centroids)
+    # both the cell-assignment and probe projections embed n_cells x dim
+    # centroid literals — resolve expr/arrow once for the pair
+    impl = _resolve_impl(impl, n_cells * (len(centroids[0]) if centroids else 0))
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("cell", nearest_cell(F.col("cv"), centroids))
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .withColumn(
-            "cell",
-            F.explode(
-                F.transform(
-                    F.slice(scored_cells(F.col("qv"), centroids), 1, n_probe),
-                    lambda s: (-s["ni"]).cast("int"),
-                )
-            ),
-        )
-    )
+    ).withColumn("cell", nearest_cell(F.col("cv"), centroids, impl=impl))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("cell", F.explode(_probe_cells(F.col("qv"), centroids, n_probe, impl)))
     scored = (
         c.join(broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -400,7 +417,212 @@ def _sq_norm(w: list[float]) -> float:
     return acc
 
 
-def pq_encode(vec: Column, codebook: list[list[list[float]]]) -> Column:
+# --- Arrow twins of the literal-expression IVF/PQ projections -------------
+#
+# The expression paths below embed every centroid/codeword component as a
+# plan literal; past ~_EXPR_PATH_MAX_LITERALS per projection the DRIVER pays
+# for it (analysis + codegen grow with the literal count and do not shrink
+# with executors — the same pathology bucket_column(impl="auto") solves for
+# hyperplanes, VERDICT r4 perf item). These twins evaluate the SAME math per
+# Arrow batch with O(1) plan size. Unlike the hyperplane matmul, every dot
+# product here is accumulated SEQUENTIALLY over the dimension axis
+# (one vectorized add per component), which reproduces the F.aggregate fold
+# — and therefore DuckDB's list_dot_product — bit-for-bit, so a near-tie
+# codeword/cell choice can never diverge between impls or engines. numpy
+# multiply/add are plain IEEE double ops (no FMA contraction), so per
+# (row, word): 0.0 + x_0*w_0 + x_1*w_1 + ... exactly as the fold computes.
+
+
+def _batch_matrix(v) -> "object":
+    """pandas Series of array-typed cells -> (batch, dim) float64 matrix
+    (float32 -> float64 widening is exact, matching cast('array<double>'))."""
+    import numpy as np
+
+    return np.vstack(v.to_numpy()).astype(np.float64)
+
+
+def _fold_dots(X, W):
+    """Fold-ordered dot products: X (batch, d) x W (n, d) -> (batch, n),
+    accumulated component-by-component in increasing dimension order."""
+    import numpy as np
+
+    out = np.zeros((X.shape[0], W.shape[0]))
+    for d in range(X.shape[1]):
+        out += X[:, d : d + 1] * W[:, d][None, :]
+    return out
+
+
+def _block_codes(X, W_j, norms_j):
+    """Per-block PQ code assignment for one batch: argmin of
+    |w|^2 - 2*(v_sub . w) with ties to the lowest code (np.argmin keeps the
+    first occurrence, identical to the expression path's struct sort)."""
+    import numpy as np
+
+    metric = norms_j[None, :] - 2.0 * _fold_dots(X, W_j)
+    return np.argmin(metric, axis=1)
+
+
+def _codebook_arrays(codebook):
+    import numpy as np
+
+    W = [np.array(words, dtype=np.float64) for words in codebook]
+    norms = [
+        np.array([_sq_norm(list(w)) for w in words], dtype=np.float64)
+        for words in codebook
+    ]
+    return W, norms
+
+
+def pq_codes_arrow(codebook: list[list[list[float]]]):
+    """Arrow-batched twin of :func:`pq_encode` — same codes, O(1) plan size."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    W, norms = _codebook_arrays(codebook)
+    sub = W[0].shape[1]
+
+    def codes(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = _batch_matrix(v)
+        blocks = [
+            _block_codes(X[:, j * sub : (j + 1) * sub], W[j], norms[j]).astype(
+                np.int32
+            )
+            for j in range(len(W))
+        ]
+        return pd.Series(list(np.stack(blocks, axis=1)))
+
+    codes.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(codes, "array<int>")
+
+
+def pq_reconstructed_arrow(codebook: list[list[list[float]]]):
+    """Arrow-batched twin of :func:`pq_reconstructed` — encode + decode in
+    one pass, identical codeword choices, O(1) plan size."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    W, norms = _codebook_arrays(codebook)
+    sub = W[0].shape[1]
+
+    def rec(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = _batch_matrix(v)
+        parts = [
+            W[j][_block_codes(X[:, j * sub : (j + 1) * sub], W[j], norms[j])]
+            for j in range(len(W))
+        ]
+        return pd.Series(list(np.concatenate(parts, axis=1)))
+
+    rec.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(rec, "array<double>")
+
+
+def pq_decode_arrow(codebook: list[list[list[float]]]):
+    """Arrow-batched twin of :func:`pq_reconstruct` (codes -> vector gather)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    W, _ = _codebook_arrays(codebook)
+
+    def rec(codes):
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        C = np.vstack(codes.to_numpy()).astype(np.int64)  # (batch, m)
+        parts = [W[j][C[:, j]] for j in range(len(W))]
+        return pd.Series(list(np.concatenate(parts, axis=1)))
+
+    rec.__annotations__ = {"codes": pd.Series, "return": pd.Series}
+    return pandas_udf(rec, "array<double>")
+
+
+def _cell_score_matrix(X, centroids):
+    """cosine(row, centroid) for a batch, exactly as cosine_similarity
+    computes it: fold dots, fold norms, one multiply, one divide, 0.0 on a
+    zero denominator."""
+    import math
+
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)
+    cnorm = np.array(
+        [math.sqrt(_sq_norm(list(c))) for c in centroids], dtype=np.float64
+    )
+    dots = _fold_dots(X, C)
+    vsq = np.zeros(X.shape[0])
+    for d in range(X.shape[1]):
+        vsq += X[:, d] * X[:, d]
+    denom = np.sqrt(vsq)[:, None] * cnorm[None, :]
+    ok = denom > 0
+    return np.where(ok, dots / np.where(ok, denom, 1.0), 0.0)
+
+
+def nearest_cell_arrow(centroids: list[list[float]]):
+    """Arrow-batched twin of :func:`nearest_cell` (argmax cosine, ties to the
+    lowest centroid index — np.argmax keeps the first occurrence, identical
+    to the expression path's desc struct sort)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    def cell(v):
+        if len(v) == 0:
+            return pd.Series([], dtype="int32")
+        scores = _cell_score_matrix(_batch_matrix(v), centroids)
+        return pd.Series(np.argmax(scores, axis=1).astype(np.int32))
+
+    cell.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(cell, "int")
+
+
+def probe_cells_arrow(centroids: list[list[float]], n_probe: int):
+    """Arrow-batched twin of the query-side top-``n_probe`` cell selection
+    (slice of :func:`scored_cells`): cells ordered by cosine desc, ties to
+    the lowest index (stable argsort of the negated scores)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    import numpy as np
+
+    def probes(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        scores = _cell_score_matrix(_batch_matrix(v), centroids)
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    probes.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(probes, "array<int>")
+
+
+def _resolve_impl(impl: str, n_literals: int) -> str:
+    if impl == "auto":
+        return "arrow" if n_literals > _EXPR_PATH_MAX_LITERALS else "expr"
+    if impl not in ("expr", "arrow"):
+        raise ValueError(f"unknown impl {impl!r} (expr|arrow|auto)")
+    return impl
+
+
+def _codebook_literals(codebook: list[list[list[float]]]) -> int:
+    """Literal components one encode/decode projection would embed:
+    m x n_codes x sub = n_codes x dim."""
+    if not codebook or not codebook[0]:
+        return 0
+    return len(codebook) * len(codebook[0]) * len(codebook[0][0])
+
+
+def pq_encode(
+    vec: Column, codebook: list[list[list[float]]], impl: str = "auto"
+) -> Column:
     """PQ codes (array<int>, length m) of a vector: per block, the index of
     the L2-nearest codeword, ties to the LOWEST code (the ascending struct
     sort compares the metric then the code — deterministic at any
@@ -410,9 +632,13 @@ def pq_encode(vec: Column, codebook: list[list[list[float]]]) -> Column:
     minus the per-block-constant ``|v_sub|²``) — same argmin, and both dot
     products are sequential folds that DuckDB's ``list_dot_product``
     reproduces bit-for-bit (functions/vectors.py), so the oracle picks the
-    identical codeword even on near-ties."""
+    identical codeword even on near-ties. ``auto`` switches to the Arrow twin
+    (:func:`pq_codes_arrow` — same fold order, same argmin) past the literal
+    budget."""
     from ..functions.vectors import dot
 
+    if _resolve_impl(impl, _codebook_literals(codebook)) == "arrow":
+        return pq_codes_arrow(codebook)(vec)
     sub = len(codebook[0][0])
     blocks = []
     for j, words in enumerate(codebook):
@@ -429,7 +655,9 @@ def pq_encode(vec: Column, codebook: list[list[list[float]]]) -> Column:
     return F.array(*blocks)
 
 
-def pq_reconstructed(vec: Column, codebook: list[list[list[float]]]) -> Column:
+def pq_reconstructed(
+    vec: Column, codebook: list[list[list[float]]], impl: str = "auto"
+) -> Column:
     """Reconstructed vector straight from ``vec`` — encode and decode fused
     into ONE argmin per block: each candidate struct carries (metric, code,
     codeword array) and the ascending sort's head IS the decoded block.
@@ -444,9 +672,15 @@ def pq_reconstructed(vec: Column, codebook: list[list[list[float]]]) -> Column:
     action at m=16, n_codes=8 — multi-MiB task binaries). Keep
     encode → column → reconstruct for the PERSISTED-codes path (a real
     column is a safe barrier); use this fused form whenever the
-    reconstruction feeds scoring in the same plan."""
+    reconstruction feeds scoring in the same plan.
+
+    ``auto`` switches to :func:`pq_reconstructed_arrow` past the literal
+    budget — the fused expression carries each codeword twice (metric +
+    decoded array), hence the 2x in the count."""
     from ..functions.vectors import dot
 
+    if _resolve_impl(impl, 2 * _codebook_literals(codebook)) == "arrow":
+        return pq_reconstructed_arrow(codebook)(vec)
     sub = len(codebook[0][0])
     parts = []
     for j, words in enumerate(codebook):
@@ -462,10 +696,15 @@ def pq_reconstructed(vec: Column, codebook: list[list[list[float]]]) -> Column:
     return F.concat(*parts)
 
 
-def pq_reconstruct(codes: Column, codebook: list[list[list[float]]]) -> Column:
+def pq_reconstruct(
+    codes: Column, codebook: list[list[list[float]]], impl: str = "auto"
+) -> Column:
     """Decode PQ codes back to an approximate vector (array<double>): per
     block a literal lookup (when-chain over ≤ n_codes codewords), blocks
-    concatenated. Pure projection — decompression costs no shuffle."""
+    concatenated. Pure projection — decompression costs no shuffle.
+    ``auto`` switches to the Arrow gather past the literal budget."""
+    if _resolve_impl(impl, _codebook_literals(codebook)) == "arrow":
+        return pq_decode_arrow(codebook)(codes)
     parts = []
     for j, words in enumerate(codebook):
         expr = F.array(*[F.lit(float(x)) for x in words[0]])
@@ -491,6 +730,7 @@ def ann_ivfpq_topk(
     centroids: list[list[float]] | None = None,
     codebook: list[list[list[float]]] | None = None,
     round_digits: int = 6,
+    impl: str = "auto",
 ) -> DataFrame:
     """IVF-PQ: the composition both bounds apply to — IVF cells bound the
     CANDIDATE COUNT (each query scores ~n_probe/n_cells of the corpus), PQ
@@ -522,25 +762,23 @@ def ann_ivfpq_topk(
         raise ValueError(
             "ann_ivfpq_topk: codebook must have >=1 block with >=1 codeword"
         )
+    # the corpus projection stacks cell assignment AND the fused
+    # reconstruct: resolve expr/arrow against the TOTAL literal budget
+    # (same rule ann_lsh_topk applies across its n_tables bucket columns)
+    impl = _resolve_impl(
+        impl,
+        len(centroids) * len(centroids[0]) + 2 * _codebook_literals(codebook),
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).select(
         "neighbor_id",
-        nearest_cell(F.col("cv"), centroids).alias("cell"),
-        pq_reconstructed(F.col("cv"), codebook).alias("rv"),
+        nearest_cell(F.col("cv"), centroids, impl=impl).alias("cell"),
+        pq_reconstructed(F.col("cv"), codebook, impl=impl).alias("rv"),
     )
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .withColumn(
-            "cell",
-            F.explode(
-                F.transform(
-                    F.slice(scored_cells(F.col("qv"), centroids), 1, n_probe),
-                    lambda s: (-s["ni"]).cast("int"),
-                )
-            ),
-        )
-    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("cell", F.explode(_probe_cells(F.col("qv"), centroids, n_probe, impl)))
     scored = (
         c.join(broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

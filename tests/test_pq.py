@@ -160,3 +160,71 @@ def test_pq_reconstructed_fused_equals_encode_then_reconstruct(spark):
     a = {r["vec_id"]: list(r["rv"]) for r in two_step.collect()}
     b = {r["vec_id"]: list(r["rv"]) for r in fused.collect()}
     assert a == b
+
+
+def test_arrow_impl_bit_parity_on_real_embeddings(spark):
+    """expr vs arrow twins of every IVF/PQ projection must be BIT-identical
+    on the sandbox embeddings (VERDICT r4 #3): the Arrow paths accumulate
+    dots sequentially over the dimension axis, reproducing the F.aggregate
+    fold exactly, so this holds by construction — asserted here on real data
+    for cells, codes, fused reconstructions, probe lists, and code decode."""
+    from schema_infer_plugin_spark.datapipe.ann import (
+        _probe_cells,
+        ivf_centroids,
+        nearest_cell,
+        pq_codebook,
+        pq_encode,
+        pq_reconstruct,
+        pq_reconstructed,
+    )
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cents = ivf_centroids(emb, "vec_id", "embedding", 8)
+    cb = pq_codebook(emb, "vec_id", "embedding", m=16, n_codes=8)
+
+    def proj(impl):
+        return sorted(
+            tuple(r)
+            for r in emb.select(
+                "vec_id",
+                nearest_cell(F.col("embedding"), cents, impl=impl).alias("cell"),
+                pq_encode(F.col("embedding"), cb, impl=impl).alias("codes"),
+                pq_reconstructed(F.col("embedding"), cb, impl=impl).alias("rv"),
+                _probe_cells(F.col("embedding"), cents, 2, impl).alias("probes"),
+                pq_reconstruct(
+                    pq_encode(F.col("embedding"), cb, impl=impl), cb, impl=impl
+                ).alias("dv"),
+            ).collect()
+        )
+
+    assert proj("expr") == proj("arrow")
+
+
+def test_ivfpq_arrow_impl_end_to_end_parity(spark):
+    """ann_ivfpq_topk(impl='arrow') returns row-identical results to the
+    expression path (and 'auto' resolves by the shared literal budget)."""
+    from schema_infer_plugin_spark.datapipe.ann import ann_ivfpq_topk
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 20 == 0)
+    kw = dict(k=3, n_cells=8, n_probe=2, m=16, n_codes=8, rerank=20)
+    a = sorted(map(tuple, ann_ivfpq_topk(emb, qs, impl="expr", **kw).collect()))
+    b = sorted(map(tuple, ann_ivfpq_topk(emb, qs, impl="arrow", **kw).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_impl_auto_threshold_resolution():
+    """auto flips to arrow strictly past _EXPR_PATH_MAX_LITERALS."""
+    from schema_infer_plugin_spark.datapipe.ann import (
+        _EXPR_PATH_MAX_LITERALS,
+        _resolve_impl,
+    )
+    import pytest
+
+    assert _resolve_impl("auto", _EXPR_PATH_MAX_LITERALS) == "expr"
+    assert _resolve_impl("auto", _EXPR_PATH_MAX_LITERALS + 1) == "arrow"
+    assert _resolve_impl("expr", 10**9) == "expr"
+    with pytest.raises(ValueError, match="impl"):
+        _resolve_impl("vectorized", 1)

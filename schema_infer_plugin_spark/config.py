@@ -109,21 +109,42 @@ class InferenceConfig:
 class RegistryConfig:
     """Schema-registry settings (reference schema_registry section). mode
     'local' is the directory registry; 'remote' selects the pluggable client
-    interface (operators/registry.RegistryClient) with ``url`` — auth fields
-    (user/password/SSL) would attach there and are intentionally absent from
-    the offline stub."""
+    interface (operators/registry.RegistryClient) with ``url``.
+
+    Auth mirrors the reference's AuthenticationManager registry side
+    (plugin/auth.py:149-199): a cloud-looking ``url`` authenticates with
+    ``api_key``/``api_secret`` as basic credentials, anything else with
+    ``username``/``password``; half-set pairs are ignored, not errors
+    (reference behavior — it warns and proceeds unauthenticated).
+    ``bearer_token`` is the engine-added third scheme and must not be
+    combined with a basic pair. Headers are assembled by
+    operators/registry.registry_auth_headers and ride every transport call.
+    SSL material (ca/cert/key paths) stays out of scope: it configures the
+    HTTP client itself, which is injected here (no network in the sandbox).
+    """
 
     mode: str = "local"
     root: str = ""
     url: str | None = None
     compatibility: str = "NONE"
     subject_name_strategy: str = "TopicNameStrategy"
+    username: str | None = None
+    password: str | None = None
+    api_key: str | None = None
+    api_secret: str | None = None
+    bearer_token: str | None = None
 
     def validate(self) -> None:
         if self.mode not in ("local", "remote"):
             raise ConfigError(f"registry.mode must be local|remote: {self.mode}")
         if self.mode == "remote" and not self.url:
             raise ConfigError("registry.mode=remote requires registry.url")
+        if self.bearer_token and (
+            (self.username and self.password) or (self.api_key and self.api_secret)
+        ):
+            raise ConfigError(
+                "registry.bearer_token cannot be combined with a basic-auth pair"
+            )
         comp = self.compatibility.upper()
         if comp not in COMPAT_LEVELS:
             raise ConfigError(

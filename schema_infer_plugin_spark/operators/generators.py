@@ -40,6 +40,12 @@ class FieldSpec:
     required: bool = True
     examples: list = dc_field(default_factory=list)
     description: str | None = None
+    #: reference SchemaField.default_value (schemas/inference.py:58-76):
+    #: inference never sets it, but it is part of the documented surface and
+    #: the generators honor it (Avro: a set default suppresses the
+    #: nullable->["null",T] wrap, generators.py:166-173; JSON Schema: a
+    #: "default" key, :525-527; proto3 has no field defaults — not emitted)
+    default_value: object | None = None
 
 
 def fields_from_profile(rows: list[dict]) -> list[FieldSpec]:
@@ -120,7 +126,9 @@ def _avro_leaf(spec: FieldSpec) -> dict:
         "type": t,
         "doc": spec.description or f"Field {spec.name}",
     }
-    if not spec.required and isinstance(t, str) and t != "null":
+    if spec.default_value is not None:
+        f["default"] = spec.default_value
+    elif not spec.required and isinstance(t, str) and t != "null":
         f["type"] = ["null", t]
         f["default"] = None
     return f
@@ -197,6 +205,8 @@ def _json_leaf(spec: FieldSpec) -> dict:
         prop = {"type": base}
     if spec.description:
         prop["description"] = spec.description
+    if spec.default_value is not None:
+        prop["default"] = spec.default_value
     if spec.examples:
         prop["examples"] = spec.examples
     return prop

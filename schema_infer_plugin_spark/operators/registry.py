@@ -30,6 +30,7 @@ Rules (Avro resolution, restricted to this engine's flat field model):
 
 from __future__ import annotations
 
+import base64
 import json
 import os
 from dataclasses import dataclass
@@ -288,41 +289,108 @@ class LocalSchemaRegistry(_CompatEnforcingRegistry):
         return next_version
 
 
+#: URL substrings marking a managed-cloud registry (the registry-relevant
+#: subset of the reference's detect_environment indicator list,
+#: plugin/auth.py:36-53) — cloud endpoints authenticate with API key/secret,
+#: everything else ("platform") with username/password.
+CLOUD_URL_INDICATORS = ("schema-infer.cloud", "psrc-", "lsrc-")
+
+
+def registry_auth_headers(
+    url: str,
+    username: str | None = None,
+    password: str | None = None,
+    api_key: str | None = None,
+    api_secret: str | None = None,
+    bearer_token: str | None = None,
+) -> dict[str, str]:
+    """HTTP auth headers for a registry endpoint, reference semantics
+    (plugin/auth.py:149-199): a cloud-looking URL uses ``api_key``/
+    ``api_secret`` as the basic pair (_configure_cloud_sr_auth), any other
+    URL uses ``username``/``password`` (_configure_platform_sr_auth);
+    a half-set pair yields NO auth header rather than an error, exactly as
+    the reference warns-and-proceeds. ``bearer_token`` (engine-added) takes
+    the whole Authorization header; config validation already rejects it
+    alongside a complete basic pair."""
+    if bearer_token:
+        return {"Authorization": f"Bearer {bearer_token}"}
+    lower = (url or "").lower()
+    if any(ind in lower for ind in CLOUD_URL_INDICATORS):
+        user, secret = api_key, api_secret
+    else:
+        user, secret = username, password
+    if user and secret:
+        cred = base64.b64encode(f"{user}:{secret}".encode()).decode()
+        return {"Authorization": f"Basic {cred}"}
+    return {}
+
+
+def http_registry_from_config(registry_cfg, transport) -> "HttpSchemaRegistry":
+    """Wire a config section (config.RegistryConfig) into an authenticated
+    client: headers derive from the section's credential fields and ride
+    every call of the injected transport."""
+    return HttpSchemaRegistry(
+        registry_cfg.url,
+        transport=transport,
+        headers=registry_auth_headers(
+            registry_cfg.url,
+            username=registry_cfg.username,
+            password=registry_cfg.password,
+            api_key=registry_cfg.api_key,
+            api_secret=registry_cfg.api_secret,
+            bearer_token=registry_cfg.bearer_token,
+        ),
+    )
+
+
 class HttpSchemaRegistry(_CompatEnforcingRegistry):
     """Remote registry speaking the Confluent REST surface the reference
     targets (core/registry.py:53-133: GET /subjects, GET+POST
     /subjects/{s}/versions, GET /subjects/{s}/versions/{n}).
 
-    ``transport(method, path, body) -> parsed-JSON`` is injectable: production
-    wires an HTTP client (auth/SSL attach there, reference config.py:40-55);
-    tests wire an in-memory fake — this sandbox has no network, so no urllib
-    default is provided and constructing without a transport raises.
+    ``transport(method, path, body, headers) -> parsed-JSON`` is injectable:
+    production wires an HTTP client (SSL attaches there, reference
+    config.py:40-55); tests wire an in-memory fake — this sandbox has no
+    network, so no urllib default is provided and constructing without a
+    transport raises. ``headers`` (from :func:`registry_auth_headers`) are
+    passed verbatim on EVERY call; the transport attaches them to the
+    request (basic/bearer auth, reference plugin/auth.py:149-199).
 
     Transport error contract: an HTTP 404 on a subject path MUST surface as
     ``KeyError`` (a urllib-based transport catches HTTPError(code=404) and
     re-raises KeyError) — that is how "subject has no versions yet" is
     distinguished from transport failure, which should propagate as-is."""
 
-    def __init__(self, url: str, transport=None):
+    def __init__(self, url: str, transport=None, headers: dict[str, str] | None = None):
         self.url = url.rstrip("/")
         if transport is None:
             raise NotImplementedError(
-                "no network in this environment: inject a transport(method, path, body)"
+                "no network in this environment: inject a transport(method, path, body, headers)"
             )
         self._t = transport
+        self.headers = dict(headers or {})
 
     def list_subjects(self) -> list[str]:
-        return sorted(self._t("GET", "/subjects", None))
+        return sorted(self._t("GET", "/subjects", None, self.headers))
 
     def get_subject_versions(self, subject: str) -> list[int]:
         try:
-            return sorted(self._t("GET", f"/subjects/{subject}/versions", None))
+            return sorted(
+                self._t("GET", f"/subjects/{subject}/versions", None, self.headers)
+            )
         except KeyError:
             return []
 
     def get_schema(self, subject: str, version: int) -> str:
-        return self._t("GET", f"/subjects/{subject}/versions/{version}", None)["schema"]
+        return self._t(
+            "GET", f"/subjects/{subject}/versions/{version}", None, self.headers
+        )["schema"]
 
     def _store(self, subject: str, schema_text: str, next_version: int) -> int:
-        out = self._t("POST", f"/subjects/{subject}/versions", {"schema": schema_text})
+        out = self._t(
+            "POST",
+            f"/subjects/{subject}/versions",
+            {"schema": schema_text},
+            self.headers,
+        )
         return int(out["version"])

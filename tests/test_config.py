@@ -83,6 +83,43 @@ def test_env_overlay_and_file_precedence(tmp_path):
     assert cfg2.validation.n_buckets == 16  # env fills what the file omits
 
 
+def test_registry_credentials_env_and_file_precedence(tmp_path):
+    """Registry auth fields obey the same file-over-env rule and flow into
+    Authorization headers (VERDICT r4 #4)."""
+    from schema_infer_plugin_spark.operators.registry import registry_auth_headers
+
+    env = {
+        "SCHEMA_INFER_REGISTRY_MODE": "remote",
+        "SCHEMA_INFER_REGISTRY_URL": "http://registry.corp:8081",
+        "SCHEMA_INFER_REGISTRY_USERNAME": "env-user",
+        "SCHEMA_INFER_REGISTRY_PASSWORD": "env-pass",
+        "SCHEMA_INFER_REGISTRY_API_KEY": "env-key",
+        "SCHEMA_INFER_REGISTRY_API_SECRET": "env-secret",
+    }
+    cfg = load_config(None, env=env)
+    assert (cfg.registry.username, cfg.registry.password) == ("env-user", "env-pass")
+    assert (cfg.registry.api_key, cfg.registry.api_secret) == ("env-key", "env-secret")
+    h = registry_auth_headers(
+        cfg.registry.url, username=cfg.registry.username, password=cfg.registry.password
+    )
+    assert h["Authorization"].startswith("Basic ")
+
+    p = tmp_path / "c.yaml"
+    p.write_text("registry:\n  mode: remote\n  url: http://r:1\n  username: file-user\n")
+    cfg2 = load_config(str(p), env=env)
+    assert cfg2.registry.username == "file-user"  # file wins
+    assert cfg2.registry.password == "env-pass"  # env fills what file omits
+
+    # bearer + complete basic pair is rejected at validation
+    import pytest
+
+    from schema_infer_plugin_spark.config import ConfigError
+
+    env_bad = dict(env, SCHEMA_INFER_REGISTRY_BEARER_TOKEN="tok")
+    with pytest.raises(ConfigError, match="bearer_token"):
+        load_config(None, env=env_bad)
+
+
 @pytest.mark.parametrize(
     "section,body,msg",
     [

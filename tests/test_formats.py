@@ -195,3 +195,36 @@ def test_generators_render_array_element_types():
     assert js["properties"]["xs"]["items"] == {"type": "integer"}
     proto = generate_protobuf(fields, "R")
     assert "repeated int32 xs = 1;" in proto
+
+
+def test_default_value_emission():
+    """FieldSpec.default_value parity (VERDICT r4 #6, reference
+    generators.py:166-173 / :525-527): Avro keeps the plain type and emits
+    the default (NO null-union wrap even for optional fields); JSON Schema
+    adds a "default" key; proto3 has no field defaults, so nothing changes."""
+    import json
+
+    from schema_infer_plugin_spark.operators.generators import (
+        FieldSpec,
+        generate_avro,
+        generate_json_schema,
+        generate_protobuf,
+    )
+
+    fields = [
+        FieldSpec(name="status", type_name="string", required=False,
+                  nullable=True, default_value="new"),
+        FieldSpec(name="n", type_name="int", required=False, nullable=True),
+    ]
+    avro = json.loads(generate_avro(fields, "R"))
+    by_name = {f["name"]: f for f in avro["fields"]}
+    assert by_name["status"]["default"] == "new"
+    assert by_name["status"]["type"] == "string"  # default suppresses the union
+    assert by_name["n"]["type"] == ["null", "int"] and by_name["n"]["default"] is None
+
+    js = json.loads(generate_json_schema(fields, "R"))
+    assert js["properties"]["status"]["default"] == "new"
+    assert "default" not in js["properties"]["n"]
+
+    proto = generate_protobuf(fields, "R")
+    assert "default" not in proto

@@ -124,10 +124,20 @@ class InMemoryConfluentTransport:
     """Fake Confluent REST server (the surface core/registry.py:53-133 talks
     to): subjects held in a dict; no network, same endpoint shapes."""
 
-    def __init__(self):
+    def __init__(self, require_auth: str | None = None):
         self.store: dict[str, list[str]] = {}
+        self.require_auth = require_auth
+        self.calls = 0
 
-    def __call__(self, method, path, body):
+    def __call__(self, method, path, body, headers=None):
+        self.calls += 1
+        if self.require_auth is not None:
+            # a real server rejects EVERY unauthenticated request
+            assert (headers or {}).get("Authorization") == self.require_auth, (
+                method,
+                path,
+                headers,
+            )
         parts = path.strip("/").split("/")
         if method == "GET" and path == "/subjects":
             return list(self.store)
@@ -178,3 +188,80 @@ def test_http_registry_requires_transport():
 
     with pytest.raises(NotImplementedError, match="transport"):
         HttpSchemaRegistry("http://registry.test")
+
+
+def _basic(user, pw):
+    import base64
+
+    return "Basic " + base64.b64encode(f"{user}:{pw}".encode()).decode()
+
+
+@pytest.mark.parametrize(
+    "url,creds,expect",
+    [
+        # platform URL -> username/password basic (auth.py:171-176)
+        ("http://registry.corp:8081", dict(username="u", password="p"), _basic("u", "p")),
+        # cloud-looking URL -> api key/secret basic (auth.py:149-166)
+        ("https://psrc-x1.region.schema-infer.cloud", dict(api_key="K", api_secret="S"), _basic("K", "S")),
+        # engine-added bearer
+        ("http://registry.corp:8081", dict(bearer_token="tok"), "Bearer tok"),
+    ],
+)
+def test_http_registry_auth_headers_ride_every_call(url, creds, expect):
+    """S11 parity (VERDICT r4 #4): config credentials become Authorization
+    headers on EVERY transport call — asserted by a server-side fake that
+    rejects any unauthenticated request."""
+    from schema_infer_plugin_spark.operators.registry import (
+        HttpSchemaRegistry,
+        registry_auth_headers,
+    )
+
+    t = InMemoryConfluentTransport(require_auth=expect)
+    reg = HttpSchemaRegistry(url, transport=t, headers=registry_auth_headers(url, **creds))
+    s = subject_name("events")
+    assert reg.register(s, generate_avro([_f("a", "string")], "events")) == 1
+    assert reg.register(
+        s, generate_avro([_f("a", "string"), _f("b", "int", nullable=True)], "events"),
+        "BACKWARD",
+    ) == 2
+    assert reg.list_subjects() == [s]
+    assert reg.get_latest_schema(s)[0] == 2
+    assert t.calls >= 5
+
+
+def test_auth_headers_reference_semantics():
+    """Half-set pairs -> no auth (reference warns-and-proceeds); the pair is
+    picked by URL environment, so platform creds don't leak to cloud URLs."""
+    from schema_infer_plugin_spark.operators.registry import registry_auth_headers
+
+    assert registry_auth_headers("http://r:8081", username="u") == {}
+    assert registry_auth_headers("http://r:8081", api_key="K", api_secret="S") == {}
+    assert (
+        registry_auth_headers("https://lsrc-9.schema-infer.cloud", username="u", password="p")
+        == {}
+    )
+    assert registry_auth_headers(
+        "https://lsrc-9.schema-infer.cloud", api_key="K", api_secret="S"
+    ) == {"Authorization": _basic("K", "S")}
+
+
+def test_http_registry_from_config_and_validation():
+    """Config fields flow into headers via http_registry_from_config; a
+    bearer token alongside a complete basic pair is a config error."""
+    from schema_infer_plugin_spark.config import ConfigError, RegistryConfig
+    from schema_infer_plugin_spark.operators.registry import http_registry_from_config
+
+    cfg = RegistryConfig(
+        mode="remote", url="http://registry.corp:8081", username="u", password="p"
+    )
+    cfg.validate()
+    t = InMemoryConfluentTransport(require_auth=_basic("u", "p"))
+    reg = http_registry_from_config(cfg, t)
+    assert reg.register("s", generate_avro([_f("a", "string")], "R")) == 1
+
+    bad = RegistryConfig(
+        mode="remote", url="http://r:8081",
+        username="u", password="p", bearer_token="tok",
+    )
+    with pytest.raises(ConfigError, match="bearer_token"):
+        bad.validate()

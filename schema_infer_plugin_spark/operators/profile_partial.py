@@ -23,9 +23,18 @@ input.
   columns (adds under merge, so the merged inferred type / confidence is
   EXACTLY what a full-table profile would resolve).
 
-Quantiles and examples are deliberately absent: percentile_approx exposes
-no mergeable state in the DataFrame API, and examples are a bounded-sample
-concern, not an accumulator — both stay on the full ``profile()`` path.
+* ``{col}__kll`` — numeric columns only: a Datasketches KLL doubles sketch
+  (``kll_sketch_agg_double``), the mergeable form of quantiles;
+  ``kll_merge_agg_double`` over partials answers "quantiles of the last 90
+  days" within KLL's rank-error bound (~1.65% two-sided at the default
+  k=200) without rescans. Like ``distinct_approx``, merged ``quantiles``
+  are ESTIMATES — keep them out of exact cross-engine comparisons. Note:
+  Spark's KLL merge has no strict-k mode (unlike the HLL union's strict
+  lgK), so merging mixed-k partials silently degrades to the smaller k's
+  accuracy per Datasketches semantics.
+
+Examples are deliberately absent: they are a bounded-sample concern, not an
+accumulator — they stay on the full ``profile()`` path.
 
 ``profile_merge`` unions any number of partial rows (parquet round-trips
 preserve the sketch binary) and re-resolves the long-format profile. Merge
@@ -35,7 +44,13 @@ work is ∝ (#partials × #columns) — driver-scale forever.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import BinaryType, IntegerType, LongType, StringType
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    NumericType,
+    StringType,
+)
 
 #: types Datasketches HLL ingests natively; anything else is sketched over
 #: its string rendering (injective for dates/timestamps/decimals — the
@@ -59,6 +74,7 @@ def profile_partial(
     run_id: str = "run0",
     lg_k: int = 12,
     partition_by: str | None = None,
+    kll_k: int = 200,
 ) -> DataFrame:
     """Mergeable profile state for ``columns`` (default all): ONE wide row
     globally, or one row per ``partition_by`` value (the reference's
@@ -96,6 +112,10 @@ def profile_partial(
                 F.hll_sketch_agg(sketch_input, lg_k).alias(f"{c}__hll"),
             ]
         )
+        if isinstance(df.schema[c].dataType, NumericType):
+            agg_exprs.append(
+                F.kll_sketch_agg_double(col.cast("double"), kll_k).alias(f"{c}__kll")
+            )
         if isinstance(df.schema[c].dataType, StringType):
             agg_exprs.extend(type_profile_exprs(c, from_code=True)[: len(TYPE_NAMES)])
     code_cols = [
@@ -127,8 +147,12 @@ def profile_merge(parts: DataFrame, run_id: str = "merged") -> DataFrame:
     recognized as the non-state column riding the artifact. Output: one row
     per (partition, column) with (run_id, partition_key, column,
     inferred_type, type_histogram, total_count, null_count, null_rate,
-    required, nullable, confidence, distinct_approx, min_val, max_val) —
-    the :func:`~.profile.profile` surface minus quantiles/examples.
+    required, nullable, confidence, distinct_approx, min_val, max_val,
+    quantiles) — the :func:`~.profile.profile` surface minus examples.
+    ``quantiles`` = [p25, p50, p75] from the merged KLL sketch (numeric
+    columns; NULL otherwise) — an ESTIMATE within the sketch's rank-error
+    bound, and like ``distinct_approx`` excluded from exact comparisons:
+    merging halves is not bit-identical to sketching the whole.
     """
     columns = _partial_columns(parts)
     if not columns:
@@ -161,6 +185,8 @@ def profile_merge(parts: DataFrame, run_id: str = "merged") -> DataFrame:
                 F.hll_union_agg(f"{c}__hll", False).alias(f"{c}__hll"),
             ]
         )
+        if f"{c}__kll" in parts.columns:
+            agg_exprs.append(F.kll_merge_agg_double(f"{c}__kll").alias(f"{c}__kll"))
         if f"{c}__cnt_{TYPE_NAMES[0]}" in parts.columns:
             string_cols.add(c)
             agg_exprs.extend(
@@ -194,6 +220,21 @@ def profile_merge(parts: DataFrame, run_id: str = "merged") -> DataFrame:
                 F.array(F.lit(spark_type), F.lit("null")),
                 F.array((total - nulls).cast("long"), nulls.cast("long")),
             )
+        if f"{c}__kll" in parts.columns:
+            sk = F.col(f"{c}__kll")
+            # KLL merge of all-empty partials yields a valid EMPTY sketch on
+            # which get_quantile raises — gate on the sketch's own n
+            quantiles = F.when(
+                F.kll_sketch_get_n_double(sk) > 0,
+                F.array(
+                    *[
+                        F.kll_sketch_get_quantile_double(sk, F.lit(p))
+                        for p in (0.25, 0.5, 0.75)
+                    ]
+                ),
+            )
+        else:
+            quantiles = F.lit(None).cast("array<double>")
         structs.append(
             F.struct(
                 F.lit(c).alias("column"),
@@ -216,6 +257,7 @@ def profile_merge(parts: DataFrame, run_id: str = "merged") -> DataFrame:
                 ).cast("long").alias("distinct_approx"),
                 F.col(f"{c}__min").cast("string").alias("min_val"),
                 F.col(f"{c}__max").cast("string").alias("max_val"),
+                quantiles.alias("quantiles"),
             )
         )
     part_key = F.col(keys[0]).cast("string") if keys else F.lit("_global_")

@@ -308,7 +308,9 @@ def test_profile_partial_stream_merges_to_batch_profile(spark, tmp_path):
         r["column"]: r
         for r in profile_merge(profile_partial(t, cols)).collect()
     }
-    skip = {"run_id", "type_histogram", "distinct_approx"}
+    # quantiles are KLL estimates: a many-epoch merge is not bit-identical
+    # to one batch sketch — estimate-close like the HLL distinct
+    skip = {"run_id", "type_histogram", "distinct_approx", "quantiles"}
     for c in cols:
         for k in got[c].asDict():
             if k not in skip:
@@ -316,3 +318,8 @@ def test_profile_partial_stream_merges_to_batch_profile(spark, tmp_path):
         assert abs(got[c]["distinct_approx"] - want[c]["distinct_approx"]) <= max(
             1, 0.02 * want[c]["distinct_approx"]
         )
+        gq, wq = got[c]["quantiles"], want[c]["quantiles"]
+        assert (gq is None) == (wq is None)
+        if gq is not None:
+            for g, w in zip(gq, wq):
+                assert abs(g - w) <= 0.1 * max(abs(w), 1.0), (c, gq, wq)

@@ -479,6 +479,7 @@ def cmd_index(args: argparse.Namespace) -> int:
         n_codes=int(args.n_codes),
         num_hashes=int(args.num_hashes),
         bands=int(args.bands),
+        refine_sweeps=int(args.refine_sweeps),
     )
     print(f"kind={manifest['kind']} rows={manifest['rows']} path={manifest['path']}")
     return 0
@@ -661,6 +662,8 @@ def main(argv: list[str] | None = None) -> int:
                    help="embedding column (ivf/pq) or text column (minhash)")
     p.add_argument("--kind", required=True, choices=["ivf", "pq", "minhash"])
     p.add_argument("--n-cells", default="8", help="ivf: number of centroids")
+    p.add_argument("--refine-sweeps", default="0",
+                   help="ivf: k-means refinement sweeps over the sampled seeds")
     p.add_argument("--m", default="8", help="pq: blocks per vector")
     p.add_argument("--n-codes", default="8", help="pq: codewords per block")
     p.add_argument("--num-hashes", default="16", help="minhash: signature length")

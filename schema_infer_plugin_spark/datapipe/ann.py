@@ -162,6 +162,62 @@ def ivf_centroids(
     return [[float(x) for x in r["_v"]] for r in rows]
 
 
+def refine_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    sweeps: int = 1,
+    impl: str = "auto",
+) -> list[list[float]]:
+    """Lloyd (k-means) refinement sweeps over a seed centroid set
+    (VERDICT r4 #8): assign every corpus vector to its nearest cell, replace
+    each centroid with its cell's component-wise mean, repeat. Seeds come
+    from :func:`ivf_centroids` (md5-sampled); refined centroids persist
+    through the same index_store artifact, so IVF, PQ-on-cells, and IVF-PQ
+    all inherit the refinement from one build.
+
+    Plan per sweep: one cell-assignment projection (expr/arrow by the same
+    literal budget as :func:`nearest_cell`), a posexplode to (cell, pos, x),
+    and a map-side-combined groupBy(cell, pos) sum — the shuffle moves
+    n_cells x dim partial rows per task, never the corpus. The closing
+    collect is plan-bounded at n_cells x dim rows, fixed at build time.
+    Empty cells keep their previous centroid (classic Lloyd). Centroid norm
+    is irrelevant to assignment (cosine normalizes), so means are not
+    re-normalized. Note: FP summation order across partitions makes refined
+    components non-bit-deterministic run-to-run; the persisted artifact is
+    the source of truth, and every consumer shares its exact bits."""
+    if sweeps < 0:
+        raise ValueError(f"refine_ivf_centroids: sweeps must be >= 0: {sweeps}")
+    dim = len(centroids[0])
+    for _ in range(sweeps):
+        # cell first, THEN the generator: combining the struct-sorting cell
+        # expression with posexplode in ONE select trips analyzer field
+        # resolution (struct names degrade to col1/col2 under the generator)
+        assigned = corpus.withColumn(
+            "cell", nearest_cell(F.col(vec_col), centroids, impl=impl)
+        ).select(
+            "cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "x")
+        )
+        rows = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: n_cells x dim rows (see docstring)
+        )
+        sums: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in rows:
+            sums.setdefault(r["cell"], [0.0] * dim)[r["pos"]] = float(r["s"])
+            counts[r["cell"]] = int(r["n"])
+        centroids = [
+            [x / counts[i] for x in sums[i]]
+            if i in sums
+            else [float(x) for x in old]
+            for i, old in enumerate(centroids)
+        ]
+    return centroids
+
+
 def _cell_scores(vec: Column, centroids: list[list[float]]) -> list[Column]:
     """cosine(vec, centroid_i) for every centroid, as literal-array math."""
     return [

@@ -141,6 +141,7 @@ def build_vector_index(
     num_hashes: int = 16,
     shingle_k: int = 3,
     bands: int = 4,
+    refine_sweeps: int = 0,
 ) -> dict:
     """Build one search-index artifact and persist it under ``out``.
 
@@ -155,11 +156,17 @@ def build_vector_index(
     """
     spark = df.sparkSession
     if kind == "ivf":
-        from .ann import ivf_centroids
+        from .ann import ivf_centroids, refine_ivf_centroids
 
         cents = ivf_centroids(df, id_col, vec_col, n_cells)
+        if refine_sweeps:
+            # k-means sweeps over the md5-sampled seeds — every consumer of
+            # the artifact (IVF / IVF-PQ / clustered dedup) inherits them
+            cents = refine_ivf_centroids(
+                df, id_col, vec_col, cents, sweeps=refine_sweeps
+            )
         save_ivf_centroids(spark, cents, out)
-        return {"kind": kind, "rows": len(cents), "path": out}
+        return {"kind": kind, "rows": len(cents), "path": out, "refine_sweeps": refine_sweeps}
     if kind == "pq":
         from .ann import pq_codebook
 

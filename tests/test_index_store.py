@@ -179,3 +179,37 @@ def test_cli_index_subcommand(tmp_path, spark):
     assert rc == 0
     cb = load_pq_codebook(spark, out_pq)
     assert len(cb) == 4 and all(len(b) == 4 for b in cb)
+
+
+def test_build_ivf_index_with_refinement_roundtrips(spark, tmp_path):
+    """refine_sweeps flows through build_vector_index into the SAME
+    (cell, vector) artifact format — consumers can't tell refined from
+    sampled centroids except by quality."""
+    from schema_infer_plugin_spark.datapipe.ann import (
+        ivf_centroids,
+        refine_ivf_centroids,
+    )
+    from schema_infer_plugin_spark.datapipe.index_store import (
+        build_vector_index,
+        load_ivf_centroids,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    out = str(tmp_path / "ivf_refined")
+    manifest = build_vector_index(
+        emb, "vec_id", "embedding", "ivf", out, n_cells=4, refine_sweeps=1
+    )
+    assert manifest["rows"] == 4 and manifest["refine_sweeps"] == 1
+    loaded = load_ivf_centroids(spark, out)
+    direct = refine_ivf_centroids(
+        emb, "vec_id", "embedding",
+        ivf_centroids(emb, "vec_id", "embedding", 4), sweeps=1,
+    )
+    assert len(loaded) == 4
+    # same grid shape and (modulo FP summation order) the same centroids
+    for lv, dv in zip(loaded, direct):
+        assert len(lv) == len(dv)
+        for a, b in zip(lv, dv):
+            assert abs(a - b) <= 1e-9 * max(1.0, abs(b))

@@ -34,11 +34,11 @@ from .index_store import (  # noqa: F401
 from .convstats import conversation_features, conversation_texts  # noqa: F401
 from .examples import sft_examples  # noqa: F401
 from .graph import canonical_docs, connected_components  # noqa: F401
-from .mixing import mix_token_budget  # noqa: F401
+from .mixing import mix_temperature_sample, mix_token_budget  # noqa: F401
 from .packing import pack_sequences  # noqa: F401
 from .sessions import session_stats, sessionize  # noqa: F401
 from .pipeline import clean_corpus  # noqa: F401
-from .text import boilerplate_ngrams, text_quality_table, language_id_table  # noqa: F401
+from .text import boilerplate_ngrams, quality_funnel, text_quality_table, language_id_table  # noqa: F401
 from .multimodal import (  # noqa: F401
     extract_binary_features,
     resize_images,

@@ -35,6 +35,8 @@ sources absent from the budget map are dropped.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.hashing import hex_hash_long
@@ -116,4 +118,70 @@ def mix_token_budget(
     )
     return cum.filter(F.col("cum_tokens") - F.col("n_tokens") < budget).select(
         id_col, source_col, "n_tokens", "cum_tokens"
+    )
+
+
+def mix_temperature_sample(
+    df: DataFrame,
+    alpha: float,
+    total_docs: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling: source quotas ``∝ n_i^alpha``.
+
+    The standard multilingual/multi-domain rebalancing recipe (XLM-R §3.1,
+    T5/mT5 sampling): ``alpha=1`` keeps natural proportions, ``alpha→0``
+    flattens toward uniform, upsampling low-resource sources' SHARE (this is
+    a selection operator — a quota never exceeds the source's size;
+    repetition/epoching stays a trainer concern, as in
+    :func:`mix_token_budget`).
+
+    Quotas: ``quota_i = min(n_i, floor(round(total_docs * n_i^alpha /
+    Σ n_j^alpha, 6) + 0.5))`` — round-to-6-then-floor(+0.5) so an engine
+    reproducing the arithmetic (the DuckDB oracle) lands on identical
+    integers despite pow()/sum() ulp differences. Per-source counts are a
+    bounded driver collect (n_sources rows — mixture specs are small by
+    construction); the weight normalization folds in sorted-source order so
+    the quota set is deterministic. Document selection is then exactly
+    :func:`mix_token_budget` with unit token counts: the deterministic
+    (md5-shard, id) prefix of each source, i.e. ``sel_rank <= quota``.
+
+    Output: (id_col, source_col, sel_rank) — sel_rank is the document's
+    1-based position in its source's deterministic order.
+    """
+    if alpha <= 0:
+        raise ValueError(f"mix_temperature_sample: alpha must be > 0: {alpha}")
+    if total_docs < 0:
+        raise ValueError(
+            f"mix_temperature_sample: total_docs must be >= 0: {total_docs}"
+        )
+    counts = {
+        r["_src"]: r["n"]
+        for r in df.groupBy(F.col(source_col).alias("_src"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: n_sources rows (see docstring)
+    }
+    counts.pop(None, None)  # NULL source is never part of a mixture spec
+    if not counts:
+        raise ValueError("mix_temperature_sample: no non-null sources in input")
+    weights = {s: float(counts[s]) ** alpha for s in sorted(counts)}
+    z = 0.0
+    for s in sorted(weights):  # fixed fold order → deterministic quotas
+        z += weights[s]
+    quotas = {
+        s: min(counts[s], int(math.floor(round(total_docs * weights[s] / z, 6) + 0.5)))
+        for s in sorted(counts)
+    }
+    sel = mix_token_budget(
+        df.withColumn("_unit", F.lit(1)),
+        quotas,
+        id_col=id_col,
+        source_col=source_col,
+        n_tokens_col="_unit",
+        n_shards=n_shards,
+    )
+    return sel.select(
+        F.col(id_col), F.col(source_col), F.col("cum_tokens").alias("sel_rank")
     )

@@ -6,7 +6,7 @@ one projection, no shuffle (except any downstream agg the caller adds).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.textstats import (
     bpe_token_count,
@@ -339,3 +339,80 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
     )
+
+
+def quality_funnel(
+    df: DataFrame, stages: list[tuple[str, Column]]
+) -> DataFrame:
+    """Ordered quality-filter attrition counts — pipeline observability.
+
+    A production cleaning pipeline is a CHAIN of predicates; what its
+    operator owes the owner is where documents die. Each row is classified
+    by its FIRST failing stage (a NULL predicate — e.g. a ratio over NULL
+    text — counts as a fail, never a silent pass), then ONE wide aggregation
+    produces per-stage (entered, survived, dropped): survivors of stage s =
+    rows whose first failure is strictly after s. Exact longs end-to-end.
+
+    Plan: one scan, one projection (the when-chain evaluates each predicate
+    once per row), one map-side-combined aggregate to a single wide row,
+    melted to n_stages rows with a literal explode — no corpus-sized
+    shuffle, no second pass per stage.
+
+    Output: (stage, stage_name, entered, survived, dropped, survival_rate)
+    ordered by stage; ``entered`` of stage 0 is the corpus size and
+    ``survived`` of the last stage is the cleaned-corpus size.
+    """
+    if not stages:
+        raise ValueError("quality_funnel: stages must be non-empty")
+    names = [n for n, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError(f"quality_funnel: duplicate stage names: {names}")
+    n = len(stages)
+    first_fail = F.lit(n)
+    for i in range(n - 1, -1, -1):
+        first_fail = F.when(
+            ~F.coalesce(stages[i][1], F.lit(False)), F.lit(i)
+        ).otherwise(first_fail)
+    ff = df.select(first_fail.alias("_ff"))
+    wide = ff.agg(
+        *[
+            F.sum((F.col("_ff") > i).cast("long")).alias(f"_surv_{i}")
+            for i in range(n)
+        ],
+        F.count(F.lit(1)).alias("_total"),
+    )
+    entered = {0: F.col("_total")}
+    for i in range(1, n):
+        entered[i] = F.col(f"_surv_{i - 1}")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(names[i]).alias("stage_name"),
+                F.coalesce(entered[i], F.lit(0)).alias("entered"),
+                F.coalesce(F.col(f"_surv_{i}"), F.lit(0)).alias("survived"),
+                (
+                    F.coalesce(entered[i], F.lit(0))
+                    - F.coalesce(F.col(f"_surv_{i}"), F.lit(0))
+                ).alias("dropped"),
+            )
+            for i in range(n)
+        ]
+    )
+    out = wide.select(F.explode(rows).alias("s")).select("s.*")
+    return out.select(
+        "stage",
+        "stage_name",
+        "entered",
+        "survived",
+        "dropped",
+        F.round(
+            F.when(
+                F.col("entered") > 0,
+                F.col("survived").cast("double") / F.col("entered"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        )
+        .cast("double")
+        .alias("survival_rate"),
+    ).orderBy("stage")

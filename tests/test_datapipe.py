@@ -1141,3 +1141,74 @@ def test_ivf_centroid_refinement_improves_tight_probe_recall(spark, emb):
     with pytest.raises(ValueError, match="sweeps"):
         refine_ivf_centroids(corpus, "vec_id", "embedding", seeds, sweeps=-1)
     corpus.unpersist()
+
+
+def test_quality_funnel_first_fail_semantics(spark):
+    """Each doc dies at its FIRST failing stage (later failures don't
+    double-count); NULL predicates fail rather than silently pass; the
+    funnel telescopes (entered_{s+1} == survived_s)."""
+    from schema_infer_plugin_spark.datapipe.text import quality_funnel
+
+    rows = [
+        (0, "good long text here", 5),   # passes all
+        (1, None, 5),                    # dies at nonempty (NULL predicate)
+        (2, "", 5),                      # dies at nonempty
+        (3, "x", 5),                     # dies at min_len (len 1)
+        (4, "also fine text", None),     # dies at score (NULL)
+        (5, "ok words here", 1),         # dies at score (1 < 3)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score int")
+    out = quality_funnel(
+        df,
+        [
+            ("nonempty", F.length(F.trim("text")) > 0),
+            ("min_len", F.length("text") >= 5),
+            ("score", F.col("score") >= 3),
+        ],
+    ).collect()
+    got = {r["stage_name"]: (r["entered"], r["survived"], r["dropped"]) for r in out}
+    assert got == {
+        "nonempty": (6, 4, 2),
+        "min_len": (4, 3, 1),
+        "score": (3, 1, 2),
+    }
+    assert [r["stage"] for r in out] == [0, 1, 2]
+    # rate of the empty-entered case is 0.0, never NULL
+    empty = quality_funnel(
+        df.filter(F.lit(False)), [("any", F.lit(True))]
+    ).collect()[0]
+    assert (empty["entered"], empty["survived"], empty["survival_rate"]) == (0, 0, 0.0)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="non-empty"):
+        quality_funnel(df, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        quality_funnel(df, [("a", F.lit(True)), ("a", F.lit(True))])
+
+
+def test_quality_funnel_single_pass_plan(spark):
+    """One scan, one aggregate, pruned to the predicate columns — no
+    per-stage passes, no row-Python."""
+    from schema_infer_plugin_spark.datapipe.text import quality_funnel
+    from tests.conftest import SF_CORRECT
+
+    fresh = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    plan = (
+        quality_funnel(fresh, [("a", F.col("n_chars") > 0), ("b", F.col("lang") == "en")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    # exactly one aggregate pair (partial+final) — never one pass per stage
+    assert plan.count("HashAggregate") == 2
+    # pruned to the predicate columns. Spark's cache manager may substitute
+    # the suite's cached documents relation for this read (same logical
+    # plan) — then pruning shows on the InMemoryTableScan column list
+    # instead of the parquet ReadSchema.
+    if "InMemoryTableScan" in plan:
+        scan_cols = plan.split("InMemoryTableScan [")[1].split("]")[0]
+    else:
+        assert plan.count("FileScan") == 1
+        scan_cols = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "n_chars" in scan_cols and "lang" in scan_cols
+    assert "text" not in scan_cols

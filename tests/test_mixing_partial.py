@@ -306,3 +306,49 @@ def test_profile_compare_over_merged_partials(spark):
     assert v["doc_id"]["verdict"] == "OK" and v["doc_id"]["status"] == "common"
     assert v["lang"]["verdict"] == "BREAKING"  # zero-null baseline grew nulls
     assert v["n_chars"]["status"] == "removed" and v["n_chars"]["verdict"] == "BREAKING"
+
+
+def test_mix_temperature_quotas_and_determinism(spark):
+    """alpha=1 reproduces natural proportions; alpha<1 lifts small sources'
+    share monotonically; quotas cap at the source size; selection is the
+    same deterministic (md5-shard, id) prefix at any input partitioning."""
+    from schema_infer_plugin_spark.datapipe.mixing import mix_temperature_sample
+
+    rows = [(i, "big" if i < 400 else "small") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def shares(alpha, total=100):
+        got = (
+            mix_temperature_sample(df, alpha, total)
+            .groupBy("source").count().collect()
+        )
+        return {r["source"]: r["count"] for r in got}
+
+    nat = shares(1.0)
+    assert nat == {"big": 80, "small": 20}  # 400:100 at alpha=1
+    cool = shares(0.5)
+    assert cool["small"] > 20 and cool["big"] < 80
+    assert sum(cool.values()) in (99, 100, 101)  # rounding slack only
+
+    # quota caps at n_i: a huge budget selects whole sources, never more
+    capped = shares(0.5, total=10_000)
+    assert capped == {"big": 400, "small": 100}
+
+    # partition-invariant selection set
+    a = {tuple(r) for r in mix_temperature_sample(df, 0.5, 100).collect()}
+    b = {
+        tuple(r)
+        for r in mix_temperature_sample(df.repartition(13), 0.5, 100).collect()
+    }
+    assert a == b and len(a) == sum(cool.values())
+
+    import pytest
+
+    with pytest.raises(ValueError, match="alpha"):
+        mix_temperature_sample(df, 0.0, 100)
+    with pytest.raises(ValueError, match="total_docs"):
+        mix_temperature_sample(df, 0.5, -1)
+    with pytest.raises(ValueError, match="non-null"):
+        mix_temperature_sample(
+            df.withColumn("source", F.lit(None).cast("string")), 0.5, 10
+        )

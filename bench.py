@@ -136,6 +136,9 @@ def run_bench(
         "ann_ivfpq_topk",
         "mix_token_budget",
         "profile_partial_merge",
+        # round-5 additions (supplementary keys)
+        "mix_temperature_sample",
+        "quality_funnel",
     ):
         timed(name, lambda name=name: q[name](spark, sf_dir).count())
 

@@ -3911,23 +3911,28 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_funnel(docs, stages)
 
 
-def _oracle_funnel() -> str:
+def _oracle_funnel(stages: list[tuple[str, str]] | None = None, partition: str | None = None) -> str:
     """First-fail CASE over the same predicates (NULL predicate = fail via
-    coalesce), then per-stage conditional sums — melted with UNION ALL."""
-    n = len(_FUNNEL_STAGES)
+    coalesce), then per-stage conditional sums — melted with UNION ALL.
+    With ``partition``, one funnel per partition value (GROUP BY key)."""
+    stages = stages if stages is not None else _FUNNEL_STAGES
+    n = len(stages)
     whens = " ".join(
         f"WHEN NOT coalesce({sql}, false) THEN {i}"
-        for i, (_, sql) in enumerate(_FUNNEL_STAGES)
+        for i, (_, sql) in enumerate(stages)
     )
     surv = ", ".join(
         f"CAST(sum(CASE WHEN ff > {i} THEN 1 ELSE 0 END) AS BIGINT) AS s{i}"
         for i in range(n)
     )
+    key_sel = f"CAST({partition} AS VARCHAR) AS partition_key, " if partition else ""
+    key_out = "partition_key, " if partition else ""
+    group = " GROUP BY partition_key" if partition else ""
     rows = []
-    for i, (name, _) in enumerate(_FUNNEL_STAGES):
+    for i, (name, _) in enumerate(stages):
         entered = "total" if i == 0 else f"s{i - 1}"
         rows.append(
-            f"SELECT {i} AS stage, '{name}' AS stage_name,"
+            f"SELECT {key_out}{i} AS stage, '{name}' AS stage_name,"
             f" {entered} AS entered, s{i} AS survived,"
             f" {entered} - s{i} AS dropped,"
             f" CAST(round(CASE WHEN {entered} > 0"
@@ -3936,10 +3941,29 @@ def _oracle_funnel() -> str:
         )
     melted = " UNION ALL ".join(rows)
     return rf"""
-WITH f AS (SELECT CASE {whens} ELSE {n} END AS ff FROM documents),
-s AS (SELECT CAST(count(*) AS BIGINT) AS total, {surv} FROM f)
+WITH f AS (SELECT {key_sel}CASE {whens} ELSE {n} END AS ff FROM documents),
+s AS (SELECT {key_out}CAST(count(*) AS BIGINT) AS total, {surv} FROM f{group})
 {melted}
 """
+
+
+def q_quality_funnel_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition funnels (quality_funnel(partition_by=...)): where did
+    each LANGUAGE's documents die — the first question mixture debugging
+    asks. Same single scan + one aggregate, keyed on the partition column;
+    the lang stage is dropped from the chain (trivial within a lang
+    partition)."""
+    from schema_infer_plugin_spark.datapipe.text import quality_funnel
+    from schema_infer_plugin_spark.functions.textstats import ws_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    stages = [
+        ("nonempty", F.length(F.trim(t)) > 0),
+        ("min_tokens", ws_token_count(t) >= 25),
+        ("max_chars", F.col("n_chars") <= 450),
+    ]
+    return quality_funnel(docs, stages, partition_by="lang")
 
 
 _PPM_COLS = ["doc_id", "lang", "n_chars"]
@@ -4244,6 +4268,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "mix_token_budget": (q_mix_token_budget, _oracle_mix()),
     "mix_temperature_sample": (q_mix_temperature, _oracle_mix_temperature()),
     "quality_funnel": (q_quality_funnel, _oracle_funnel()),
+    "quality_funnel_by_lang": (
+        q_quality_funnel_by_lang,
+        _oracle_funnel(_FUNNEL_STAGES[:3], partition="lang"),
+    ),
     "profile_partial_merge": (q_profile_partial_merge, _oracle_ppm()),
     "top_values_frequent": (q_top_values, _oracle_top_values()),
     # --- canaries: keep core families continuously driver-verified ---
@@ -4343,7 +4371,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-5 driver window (VERDICT r4 #2): the driver checks the FIRST 50
-# queries() entries. Front-load (a) the 2 round-5-new queries, (b) the 13
+# queries() entries. Front-load (a) the 3 round-5-new queries, (b) the 13
 # whose last driver row is r2 (judge re-verified green locally in r4, but
 # they need hard driver rows), (c) the 12 whose BEHAVIOR round 5 touched
 # (type ladder regex, arrow IVF/PQ impls, profile_partial quantiles, stream
@@ -4354,6 +4382,7 @@ _R5_WINDOW = [
     # (a) new in round 5
     "mix_temperature_sample",
     "quality_funnel",
+    "quality_funnel_by_lang",
     # (b) last driver row r2
     "ann_lsh_topk",
     "ann_ivf_topk",
@@ -4404,7 +4433,6 @@ _R5_WINDOW = [
     "dedup_conversations",
     "value_outliers",
     "value_histogram_equidepth",
-    "daily_volume_anomalies",
 ]
 
 

@@ -342,7 +342,9 @@ def chunk_documents(
 
 
 def quality_funnel(
-    df: DataFrame, stages: list[tuple[str, Column]]
+    df: DataFrame,
+    stages: list[tuple[str, Column]],
+    partition_by: str | None = None,
 ) -> DataFrame:
     """Ordered quality-filter attrition counts — pipeline observability.
 
@@ -353,14 +355,20 @@ def quality_funnel(
     produces per-stage (entered, survived, dropped): survivors of stage s =
     rows whose first failure is strictly after s. Exact longs end-to-end.
 
-    Plan: one scan, one projection (the when-chain evaluates each predicate
-    once per row), one map-side-combined aggregate to a single wide row,
-    melted to n_stages rows with a literal explode — no corpus-sized
-    shuffle, no second pass per stage.
+    ``partition_by`` adds one funnel per partition value (per source / per
+    language — where did MY domain's documents die, the first question
+    mixture debugging asks). Same single pass: the aggregate keys on the
+    partition column, output size n_partitions × n_stages.
 
-    Output: (stage, stage_name, entered, survived, dropped, survival_rate)
-    ordered by stage; ``entered`` of stage 0 is the corpus size and
-    ``survived`` of the last stage is the cleaned-corpus size.
+    Plan: one scan, one projection (the when-chain evaluates each predicate
+    once per row), one map-side-combined aggregate to a single wide row per
+    partition, melted to n_stages rows each with a literal explode — no
+    corpus-sized shuffle, no second pass per stage.
+
+    Output: ([partition_key,] stage, stage_name, entered, survived,
+    dropped, survival_rate) ordered by (partition, stage); ``entered`` of
+    stage 0 is the (partition's) corpus size and ``survived`` of the last
+    stage is its cleaned-corpus size.
     """
     if not stages:
         raise ValueError("quality_funnel: stages must be non-empty")
@@ -373,14 +381,15 @@ def quality_funnel(
         first_fail = F.when(
             ~F.coalesce(stages[i][1], F.lit(False)), F.lit(i)
         ).otherwise(first_fail)
-    ff = df.select(first_fail.alias("_ff"))
-    wide = ff.agg(
-        *[
-            F.sum((F.col("_ff") > i).cast("long")).alias(f"_surv_{i}")
-            for i in range(n)
-        ],
-        F.count(F.lit(1)).alias("_total"),
-    )
+    keys = []
+    if partition_by is not None:
+        keys = [F.col(partition_by).cast("string").alias("partition_key")]
+    ff = df.select(*keys, first_fail.alias("_ff"))
+    aggs = [
+        F.sum((F.col("_ff") > i).cast("long")).alias(f"_surv_{i}")
+        for i in range(n)
+    ] + [F.count(F.lit(1)).alias("_total")]
+    wide = ff.groupBy("partition_key").agg(*aggs) if keys else ff.agg(*aggs)
     entered = {0: F.col("_total")}
     for i in range(1, n):
         entered[i] = F.col(f"_surv_{i - 1}")
@@ -399,8 +408,12 @@ def quality_funnel(
             for i in range(n)
         ]
     )
-    out = wide.select(F.explode(rows).alias("s")).select("s.*")
+    key_cols = ["partition_key"] if keys else []
+    out = wide.select(*key_cols, F.explode(rows).alias("s")).select(
+        *key_cols, "s.*"
+    )
     return out.select(
+        *key_cols,
         "stage",
         "stage_name",
         "entered",
@@ -415,4 +428,4 @@ def quality_funnel(
         )
         .cast("double")
         .alias("survival_rate"),
-    ).orderBy("stage")
+    ).orderBy(*key_cols, "stage")

@@ -1212,3 +1212,30 @@ def test_quality_funnel_single_pass_plan(spark):
         scan_cols = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "n_chars" in scan_cols and "lang" in scan_cols
     assert "text" not in scan_cols
+
+
+def test_quality_funnel_partitioned_consistency(spark):
+    """partition_by funnels: per-partition rows telescope exactly like the
+    global funnel, and summing a stage's counts across partitions
+    reproduces the global stage counts."""
+    from schema_infer_plugin_spark.datapipe.text import quality_funnel
+    from tests.conftest import SF_CORRECT
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    stages = [
+        ("nonempty", F.length(F.trim("text")) > 0),
+        ("short", F.col("n_chars") <= 300),
+    ]
+    per = quality_funnel(docs, stages, partition_by="lang").collect()
+    glob = {r["stage_name"]: r for r in quality_funnel(docs, stages).collect()}
+    langs = {r["partition_key"] for r in per}
+    assert len(langs) > 1
+    for name in ("nonempty", "short"):
+        rows = [r for r in per if r["stage_name"] == name]
+        assert sum(r["entered"] for r in rows) == glob[name]["entered"]
+        assert sum(r["survived"] for r in rows) == glob[name]["survived"]
+    # telescoping within each partition
+    for lang in langs:
+        mine = sorted((r for r in per if r["partition_key"] == lang),
+                      key=lambda r: r["stage"])
+        assert mine[1]["entered"] == mine[0]["survived"]

@@ -256,6 +256,30 @@ WHERE role IS NOT NULL AND prev_role IS NOT NULL AND role = prev_role AND role !
 )
 
 
+def q_role_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-turn (prev_role → role) transition counts + rates — the
+    distributional profile the alternation check is the violation slice of
+    (checks/alternation.role_transition_matrix)."""
+    from schema_infer_plugin_spark.checks import role_transition_matrix
+
+    return role_transition_matrix(_transcripts(spark, sf_dir))
+
+
+ORACLE_ROLE_TRANSITION = oracle_cte(
+    """
+SELECT prev_role, role, n, CAST(round(n * 1.0 / sum(n) OVER (), 6) AS DOUBLE) AS rate
+FROM (
+  SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT role,
+           lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
+                           ts ASC NULLS FIRST, role ASC NULLS FIRST) AS prev_role
+    FROM transcripts)
+  GROUP BY prev_role, role)
+"""
+)
+
+
 def q_null_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _viol(null_violations(_transcripts(spark, sf_dir), "text"))
 
@@ -2902,6 +2926,33 @@ ORDER BY doc_freq DESC, shingle ASC LIMIT 20
 """
 
 
+def q_dup_ngram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated 3-gram rate over the mutated corpus
+    (datapipe/text.dup_ngram_rate): fraction of each doc's distinct shingles
+    that occur in at least one other doc — the Lee-et-al document-level
+    duplication signal. No pair join, so no skew guard needed."""
+    from schema_infer_plugin_spark.datapipe import dup_ngram_rate
+
+    return dup_ngram_rate(_mutated_corpus(spark, sf_dir), "doc_id", "text", shingle_k=3)
+
+
+ORACLE_DUP_NGRAM_RATE = rf"""
+WITH {_CORPUS_CTE},
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM corpus),
+sh AS (SELECT doc_id,
+              unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
+                                                  i -> array_to_string(tk[i:i+2], ' ')))) AS sh
+       FROM toks),
+freq AS (SELECT sh, count(*) AS dfreq FROM sh GROUP BY sh)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles,
+       CAST(round(sum(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS DOUBLE) AS dup_rate
+FROM sh JOIN freq USING (sh)
+GROUP BY doc_id
+"""
+
+
 def q_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplicate-pair matrix (datapipe/dedup.
     contamination_matrix): MinHash-LSH pairs over the mutated corpus rolled
@@ -4302,6 +4353,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "transcripts_tool_without_role": (q_tool_without_role, ORACLE_TOOL_WITHOUT_ROLE),
     "transcripts_null_text": (q_null_text, ORACLE_NULL_TEXT),
     "transcripts_role_alternation": (q_role_alternation, ORACLE_ROLE_ALTERNATION),
+    "role_transition_matrix": (q_role_transition, ORACLE_ROLE_TRANSITION),
     "violations_triage": (q_violations_triage, ORACLE_VIOLATIONS_TRIAGE),
     "transcripts_ts_monotonic": (q_ts_monotonic, ORACLE_TS_MONOTONIC),
     "transcripts_text_ordered": (q_text_ordered, ORACLE_TEXT_ORDERED),
@@ -4329,6 +4381,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_components": (q_dedup_components, ORACLE_DEDUP_COMPONENTS),
     "dedup_canonical": (q_dedup_canonical, ORACLE_DEDUP_CANONICAL),
     "boilerplate_ngrams": (q_boilerplate_ngrams, ORACLE_BOILERPLATE),
+    "dup_ngram_rate": (q_dup_ngram_rate, ORACLE_DUP_NGRAM_RATE),
     "contamination_matrix": (q_contamination_matrix, ORACLE_CONTAMINATION_MATRIX),
     "ngram_containment": (q_ngram_containment, ORACLE_NGRAM_CONTAINMENT),
     "simhash_documents": (q_simhash, ORACLE_SIMHASH),
@@ -4380,6 +4433,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # after this round — they are the next window's priority block.
 _R5_WINDOW = [
     # (a) new in round 5
+    "dup_ngram_rate",
+    "role_transition_matrix",
     "mix_temperature_sample",
     "quality_funnel",
     "quality_funnel_by_lang",
@@ -4431,8 +4486,6 @@ _R5_WINDOW = [
     "conv_stats_salted",
     "conversation_features",
     "dedup_conversations",
-    "value_outliers",
-    "value_histogram_equidepth",
 ]
 
 

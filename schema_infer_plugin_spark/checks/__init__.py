@@ -8,7 +8,7 @@ check is one declarative plan with an explicit scale posture documented per
 module.
 """
 
-from .alternation import role_alternation_violations  # noqa: F401
+from .alternation import role_alternation_violations, role_transition_matrix  # noqa: F401
 from .uniqueness import uniqueness_violations  # noqa: F401
 from .contiguity import contiguity_violations  # noqa: F401
 from .domains import domain_violations, infer_domain  # noqa: F401

@@ -38,7 +38,13 @@ from .mixing import mix_temperature_sample, mix_token_budget  # noqa: F401
 from .packing import pack_sequences  # noqa: F401
 from .sessions import session_stats, sessionize  # noqa: F401
 from .pipeline import clean_corpus  # noqa: F401
-from .text import boilerplate_ngrams, quality_funnel, text_quality_table, language_id_table  # noqa: F401
+from .text import (  # noqa: F401
+    boilerplate_ngrams,
+    dup_ngram_rate,
+    language_id_table,
+    quality_funnel,
+    text_quality_table,
+)
 from .multimodal import (  # noqa: F401
     extract_binary_features,
     resize_images,

@@ -287,6 +287,60 @@ def boilerplate_ngrams(
     )
 
 
+def dup_ngram_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-document duplicated n-gram rate: the fraction of a document's
+    DISTINCT word k-gram shingles that also occur in at least one OTHER
+    document. This is the document-level "how much of me is corpus-duplicated
+    text" signal (Lee et al., *Deduplicating Training Data Makes Language
+    Models Better*) that the near-dup PAIR metrics can't give you — a doc can
+    have no single near-duplicate partner yet be 90% assembled from fragments
+    duplicated across many docs.
+
+    Plan: distinct-shingle explode (fan-out ∝ tokens) → one hash agg on the
+    shingle for document frequency → shuffle equi-join back on the shingle →
+    one hash agg on the doc id. Unlike :func:`~.dedup.ngram_jaccard_pairs`
+    there is NO pair join anywhere, so a viral shingle carries no quadratic
+    risk — it's just a large partial-agg-combinable counter — which is why
+    this operator needs no ``max_shingle_freq`` skew guard. Shingles are
+    deduplicated per doc BEFORE the frequency agg, so doc_freq counts
+    documents, not occurrences.
+
+    Output: (id_col, n_shingles bigint, dup_shingles bigint, dup_rate double).
+    Docs whose text is NULL produce no shingles and are absent from the
+    output (same contract as the dedup joins).
+    """
+    from .dedup import word_shingles
+
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), shingle_k))
+        ).alias("sh"),
+    )
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        sh.join(freq, "sh")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_df") >= 2).cast("long")).alias("dup_shingles"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_shingles",
+        "dup_shingles",
+        F.round(F.col("dup_shingles") / F.col("n_shingles"), 6)
+        .cast("double")
+        .alias("dup_rate"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

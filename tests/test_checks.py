@@ -186,6 +186,31 @@ def test_role_alternation_micro(spark):
     assert got == [("A", 2, "assistant")]
 
 
+def test_role_transition_matrix_micro(spark):
+    from schema_infer_plugin_spark.checks import role_transition_matrix
+
+    rows = [
+        ("A", 0, "user", "2026-01-01 00:00:00"),
+        ("A", 1, "assistant", "2026-01-01 00:01:00"),
+        ("A", 2, "user", "2026-01-01 00:02:00"),
+        ("B", 0, "user", "2026-01-01 00:00:00"),
+        ("B", 1, "tool", "2026-01-01 00:01:00"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "ts_s"]).select(
+        "conv_id", "turn_idx", "role", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["prev_role"], r["role"]): (r["n"], r["rate"])
+        for r in role_transition_matrix(df).collect()
+    }
+    assert got == {
+        (None, "user"): (2, 0.4),
+        ("user", "assistant"): (1, 0.2),
+        ("assistant", "user"): (1, 0.2),
+        ("user", "tool"): (1, 0.2),
+    }
+
+
 def test_hot_key_report_micro(spark):
     from schema_infer_plugin_spark.checks import group_size_stats, hot_key_report
 

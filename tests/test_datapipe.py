@@ -94,6 +94,41 @@ def test_ngram_jaccard_stop_shingle_guard(spark, docs):
     assert got <= {(i, i + 2000000) for i in range(10)}
 
 
+def test_dup_ngram_rate_exactness(spark):
+    from schema_infer_plugin_spark.datapipe import dup_ngram_rate
+
+    rows = [
+        (1, "a b c d e"),        # shingles: abc bcd cde — all shared with doc 2
+        (2, "a b c d e"),        # exact copy of doc 1
+        (3, "p q r s"),          # pqr qrs — pqr shared with doc 4
+        (4, "c d e p q r x y"),  # 6 shingles; cde (docs 1,2) + pqr (doc 3) dup
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["dup_shingles"], r["dup_rate"])
+        for r in dup_ngram_rate(df, "doc_id", "text", shingle_k=3).collect()
+    }
+    assert got == {
+        1: (3, 3, 1.0),
+        2: (3, 3, 1.0),
+        3: (2, 1, 0.5),
+        4: (6, 2, 0.333333),
+    }
+
+
+def test_dup_ngram_rate_planted(spark, docs):
+    from schema_infer_plugin_spark.datapipe import dup_ngram_rate
+
+    out = dup_ngram_rate(_planted(docs, spark), "doc_id", "text")
+    by_id = {r["doc_id"]: r["dup_rate"] for r in out.collect()}
+    # exact copies: every shingle of doc i<10 also lives in doc i+2000000
+    for i in range(10):
+        assert by_id[i] == 1.0 and by_id[i + 2000000] == 1.0
+    # near-copies share all but the last shingle with their original
+    for i in range(20):
+        assert by_id[i + 1000000] > 0.5
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, emb):
     from schema_infer_plugin_spark.datapipe import ann_bruteforce_topk, ann_lsh_topk
 

@@ -139,6 +139,7 @@ def run_bench(
         # round-5 additions (supplementary keys)
         "mix_temperature_sample",
         "quality_funnel",
+        "dup_ngram_rate",
     ):
         timed(name, lambda name=name: q[name](spark, sf_dir).count())
 

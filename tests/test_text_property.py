@@ -1,0 +1,103 @@
+"""Property tests: text-family operators equal pure-Python models.
+
+Same method as test_typeladder_property (which caught the r4 Java-suffix
+ladder divergence): a straightforward Python model of the documented
+semantics, compared against the Spark expression on hypothesis-generated
+inputs in one batch per example.
+
+Alphabet note: strategies stay on space-separated printable ASCII because
+Spark's ``trim`` strips only ASCII spaces while Python ``strip()`` eats all
+whitespace — the operators' contract is whitespace-token text, and the
+fixtures/oracles never feed control characters, so the model matches on the
+supported domain.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+
+#: words over a tiny alphabet so shingles collide often (dup-rate exercised)
+_word = st.text(alphabet="ab1", min_size=1, max_size=3)
+_text = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+def _toks(text: str) -> list[str]:
+    """dedup._tokens model: split(trim(text), '\\s+') — '' yields ['']."""
+    return re.split(r"\s+", text.strip(" "))
+
+
+def _shingles_model(text: str, k: int) -> list[str]:
+    toks = _toks(text)
+    n = len(toks)
+    # n-k+1 full windows; short texts yield ONE shingle of all tokens
+    return [" ".join(toks[i : i + k]) for i in range(max(n - k + 1, 1))]
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_text, min_size=1, max_size=10), st.sampled_from([2, 3, 4]))
+def test_word_shingles_matches_model(spark, texts, k):
+    from schema_infer_plugin_spark.datapipe.dedup import word_shingles
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r["i"]: r["sh"]
+        for r in df.select("i", word_shingles(F.col("t"), k).alias("sh")).collect()
+    }
+    assert got == {i: _shingles_model(t, k) for i, t in enumerate(texts)}
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_text, min_size=1, max_size=8))
+def test_dup_ngram_rate_matches_model(spark, texts):
+    from schema_infer_plugin_spark.datapipe import dup_ngram_rate
+
+    k = 2
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["dup_shingles"], r["dup_rate"])
+        for r in dup_ngram_rate(df, "doc_id", "text", shingle_k=k).collect()
+    }
+    sets = {i: set(_shingles_model(t, k)) for i, t in enumerate(texts)}
+    freq: dict[str, int] = {}
+    for s in sets.values():
+        for sh in s:
+            freq[sh] = freq.get(sh, 0) + 1
+    want = {}
+    for i, s in sets.items():
+        dup = sum(1 for sh in s if freq[sh] >= 2)
+        want[i] = (len(s), dup, round(dup / len(s), 6))
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(_text, min_size=1, max_size=6),
+    st.integers(min_value=2, max_value=6),
+    st.integers(min_value=0, max_value=2),
+)
+def test_chunk_documents_matches_model(spark, texts, max_tokens, overlap):
+    from schema_infer_plugin_spark.datapipe.text import chunk_documents
+
+    stride = max_tokens - overlap
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_chunks"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(df, "doc_id", "text", max_tokens, overlap).collect()
+    )
+    want = []
+    for i, t in enumerate(texts):
+        toks = re.split(r"\s+", t.strip(" ")) if t.strip(" ") else []
+        n = len(toks)
+        n_chunks = 1 + max((n - max_tokens + stride - 1) // stride, 0)
+        for c in range(n_chunks):
+            chunk = toks[c * stride : c * stride + max_tokens]
+            want.append((i, c, n_chunks, " ".join(chunk), len(chunk)))
+    assert got == sorted(want)
+    # invariants the model restates: every doc represented, full coverage in
+    # order with exactly `overlap` tokens shared between adjacent full chunks
+    assert {w[0] for w in want} == set(range(len(texts)))

@@ -310,6 +310,14 @@ def dup_ngram_rate(
     deduplicated per doc BEFORE the frequency agg, so doc_freq counts
     documents, not occurrences.
 
+    The shingle stream is deliberately tokenized TWICE (freq side + join
+    side; the partial-agg exchange can't be reused for the raw-row join
+    probe) rather than folded into one ``count().over(Window.partitionBy
+    ("sh"))`` pass: the window would put a viral shingle's every row in one
+    unsplittable task, while the equi-join form stays AQE-skew-splittable
+    (and Spark broadcasts the freq side outright when it fits). Double scan
+    CPU is parallel; a hot window task is not.
+
     Output: (id_col, n_shingles bigint, dup_shingles bigint, dup_rate double).
     Docs whose text is NULL produce no shingles and are absent from the
     output (same contract as the dedup joins).

@@ -3342,6 +3342,32 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, "doc_id", "text", _BM25_TERMS, k=_BM25_K)
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF terms (datapipe/retrieval.tfidf_top_terms):
+    keyword extraction with smoothed idf, score rounded to 6 decimals before
+    the per-doc bounded ranking window, term tie-break."""
+    from schema_infer_plugin_spark.datapipe.retrieval import tfidf_top_terms
+
+    docs = _fan(spark, load_table(spark, sf_dir, "documents"))
+    return tfidf_top_terms(docs, "doc_id", "text", top_k=5)
+
+
+ORACLE_TFIDF_TOP_TERMS = r"""
+WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok0 FROM documents),
+t2 AS (SELECT doc_id, lower(tok0) AS term FROM toks WHERE length(tok0) > 0),
+f AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM t2 GROUP BY doc_id, term),
+d AS (SELECT term, count(*) AS df FROM f GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT f.doc_id, f.term, f.tf,
+                  CAST(round(f.tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS DOUBLE) AS score
+           FROM f JOIN d ON f.term = d.term CROSS JOIN n)
+SELECT doc_id, term, tf, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+  FROM scored)
+WHERE rn <= 5
+"""
+
+
 def _oracle_bm25(terms: list[str], k: int, k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB mirror of bm25_topk with identical arithmetic association, so
     pre-rounding doubles agree bit-for-bit (see retrieval.py docstring)."""
@@ -4297,6 +4323,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pattern_event_type": (q_pattern_event_type, ORACLE_PATTERN_EVENT_TYPE),
     "pattern_rates": (q_pattern_rates, ORACLE_PATTERN_RATES),
     "bm25_search": (q_bm25_search, _oracle_bm25(_BM25_TERMS, _BM25_K)),
+    "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF_TOP_TERMS),
     "events_freshness": (q_events_freshness, ORACLE_FRESHNESS),
     "events_coverage_gaps": (q_events_coverage_gaps, ORACLE_COVERAGE_GAPS),
     "wasserstein_value_drift": (q_wasserstein_value_drift, ORACLE_W1_DRIFT),
@@ -4435,6 +4462,7 @@ _R5_WINDOW = [
     # (a) new in round 5
     "dup_ngram_rate",
     "role_transition_matrix",
+    "tfidf_top_terms",
     "mix_temperature_sample",
     "quality_funnel",
     "quality_funnel_by_lang",
@@ -4485,7 +4513,6 @@ _R5_WINDOW = [
     "clean_corpus",
     "conv_stats_salted",
     "conversation_features",
-    "dedup_conversations",
 ]
 
 

@@ -23,7 +23,13 @@ from .dedup import (  # noqa: F401
 )
 from .ann import ann_bruteforce_topk, ann_ivf_topk, ann_lsh_topk, ivf_centroids  # noqa: F401
 from .ann import ann_ivfpq_topk, ann_pq_topk, pq_codebook, pq_encode, pq_reconstruct  # noqa: F401
-from .retrieval import bm25_topk, hashed_cosine_topk, hashed_tf_vector, rrf_fuse  # noqa: F401
+from .retrieval import (  # noqa: F401
+    bm25_topk,
+    hashed_cosine_topk,
+    hashed_tf_vector,
+    rrf_fuse,
+    tfidf_top_terms,
+)
 from .index_store import (  # noqa: F401
     build_vector_index,
     load_ivf_centroids,

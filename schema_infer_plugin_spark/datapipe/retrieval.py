@@ -113,6 +113,58 @@ def bm25_topk(
     return out.orderBy(F.desc("score"), F.col(id_col)).limit(k)
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-``top_k`` TF-IDF terms per document — per-doc keyword extraction
+    (topical labels for curriculum mixes, dedup-cluster spot-check summaries,
+    the doc-side complement to :func:`bm25_topk`'s query-side scoring).
+
+    ``idf = ln((N + 1) / (df + 1)) + 1`` (the standard smoothed variant), so
+    idf ≥ 1 > 0 and scores are never negative. Scores are rounded to 6
+    decimals BEFORE ranking with ``term`` as the tie-breaker (module
+    invariant: ln() ulp noise must never reorder a cut).
+
+    Plan: tokenize-lowercase explode → (doc, term) hash agg (tf) → term hash
+    agg over the already-doc-distinct frame (df) → equi-join back on term →
+    one-row N frame broadcast-crossed → per-doc row_number window. The df
+    join on a viral term (a stopword) is linear in that term's doc count and
+    AQE-skew-splittable; the window partition is one document's vocabulary —
+    bounded by doc length, never corpus-sized.
+
+    Output: ``(id_col, term, tf bigint, score double)``, ≤ ``top_k`` rows per
+    doc; docs with no tokens are absent.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("_n_docs"))
+    idf = F.log((F.col("_n_docs") + F.lit(1.0)) / (F.col("_df") + F.lit(1.0))) + F.lit(1.0)
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "_id",
+            "term",
+            "tf",
+            F.round(F.col("tf") * idf, 6).cast("double").alias("score"),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .select(F.col("_id").alias(id_col), "term", "tf", "score")
+    )
+
+
 # ---------------------------------------------------------------------------
 # feature-hashed vectors + hybrid (lexical ∪ vector) retrieval
 # ---------------------------------------------------------------------------

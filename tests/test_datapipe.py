@@ -129,6 +129,36 @@ def test_dup_ngram_rate_planted(spark, docs):
         assert by_id[i + 1000000] > 0.5
 
 
+def test_tfidf_top_terms_micro(spark):
+    import math
+
+    from schema_infer_plugin_spark.datapipe import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana"),
+        (2, "apple cherry"),
+        (3, "banana banana banana cherry"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = tfidf_top_terms(df, "doc_id", "text", top_k=2).collect()
+    got = {(r["doc_id"], r["term"]): (r["tf"], r["score"]) for r in out}
+
+    def s(tf, dfreq, n=3):
+        return round(tf * (math.log((n + 1.0) / (dfreq + 1.0)) + 1.0), 6)
+
+    # doc 1: apple tf2 df2, banana tf1 df2 → both score via smoothed idf
+    assert got[(1, "apple")] == (2, s(2, 2))
+    assert got[(1, "banana")] == (1, s(1, 2))
+    # doc 3: banana tf3 beats cherry tf1
+    assert got[(3, "banana")] == (3, s(3, 2))
+    assert got[(3, "cherry")] == (1, s(1, 2))
+    # top_k enforced: ≤2 rows per doc
+    per_doc = {}
+    for (d, _), _v in got.items():
+        per_doc[d] = per_doc.get(d, 0) + 1
+    assert all(v <= 2 for v in per_doc.values())
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, emb):
     from schema_infer_plugin_spark.datapipe import ann_bruteforce_topk, ann_lsh_topk
 

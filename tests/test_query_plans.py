@@ -42,6 +42,7 @@ BOUNDED_BROADCAST_CROSS = {
     "bm25_search",           # single-row corpus-stats frame (datapipe/retrieval.py)
     "wasserstein_value_drift",  # single-row (lo, hi) bounds frame (checks/ksdrift.py)
     "hybrid_search_rrf",     # BM25 leg's single-row corpus-stats frame (retrieval.py)
+    "tfidf_top_terms",       # single-row N-docs frame (retrieval.py tfidf)
 }
 
 ALL_QUERIES = sorted(entrymod.queries().keys())

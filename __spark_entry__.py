@@ -1898,6 +1898,49 @@ FROM lab
 """
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split near-dup leakage matrix (sources/sampling.
+    split_leakage_report) over the NAIVE per-doc split — the off-diagonal
+    rows quantify exactly the contamination path split_assign_clustered
+    closes (pair joins ∝ |pairs|, never corpus²)."""
+    from schema_infer_plugin_spark.datapipe import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from schema_infer_plugin_spark.sources.sampling import (
+        split_assign,
+        split_leakage_report,
+    )
+
+    corpus = _mutated_corpus(spark, sf_dir)
+    sig = minhash_signatures(corpus, "doc_id", "text", num_hashes=16, shingle_k=3)
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=4, min_est_jaccard=0.5)
+    assigned = split_assign(corpus.select("doc_id"), ["doc_id"], _SPLIT_WEIGHTS, width=4)
+    return split_leakage_report(assigned, pairs, "doc_id")
+
+
+def _oracle_split_leakage() -> str:
+    buckets = 16**4
+    names = sorted(_SPLIT_WEIGHTS)
+    acc, whens = 0.0, []
+    for name in names[:-1]:
+        acc += _SPLIT_WEIGHTS[name]
+        whens.append((name, format(min(int(acc * buckets), buckets - 1), "04x")))
+    case = " ".join(
+        f"WHEN substr(md5(CAST(doc_id AS STRING)), 1, 4) < '{b}' THEN '{n}'"
+        for n, b in whens
+    )
+    return rf"""
+WITH {_CORPUS_CTE},
+{_MINHASH_CAND_CTES},
+splits AS (SELECT doc_id, CASE {case} ELSE '{names[-1]}' END AS split FROM corpus),
+j AS (SELECT least(sa.split, sb.split) AS split_a, greatest(sa.split, sb.split) AS split_b
+      FROM cand JOIN splits sa ON cand.id_a = sa.doc_id JOIN splits sb ON cand.id_b = sb.doc_id)
+SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs, split_a <> split_b AS leaky
+FROM j GROUP BY split_a, split_b
+"""
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) document fingerprints over the first 200 chars
     of each document (functions/textstats.winnowed_fingerprints), exploded to
@@ -4310,6 +4353,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ann_quantized_topk": (q_ann_quantized, ORACLE_ANN_QUANTIZED),
     "dedup_semantic": (q_semantic_dedup, ORACLE_SEMANTIC_DEDUP),
     "split_assign_clustered": (q_split_clustered, _oracle_split_clustered()),
+    "split_leakage": (q_split_leakage, _oracle_split_leakage()),
     "multimodal_frames": (q_multimodal_frames, ORACLE_MULTIMODAL_FRAMES),
     "ks_drift_turn_idx": (q_ks_drift, ORACLE_KS_DRIFT),
     "conv_hot_keys": (q_conv_hot_keys, ORACLE_CONV_HOT_KEYS),
@@ -4463,6 +4507,7 @@ _R5_WINDOW = [
     "dup_ngram_rate",
     "role_transition_matrix",
     "tfidf_top_terms",
+    "split_leakage",
     "mix_temperature_sample",
     "quality_funnel",
     "quality_funnel_by_lang",
@@ -4512,7 +4557,6 @@ _R5_WINDOW = [
     "fixed_k_sample_lang",
     "clean_corpus",
     "conv_stats_salted",
-    "conversation_features",
 ]
 
 

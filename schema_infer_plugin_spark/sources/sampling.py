@@ -197,3 +197,38 @@ def split_assign_clustered(
         .withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
     )
     return split_assign(labeled, ["component"], weights, width=width)
+
+
+def split_leakage_report(
+    assigned: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Cross-split near-duplicate leakage matrix: given a split-assigned
+    corpus (a ``split`` column from :func:`split_assign` or
+    :func:`split_assign_clustered`) and near-dup pairs from any dedup
+    operator, count pairs by the unordered split pair they straddle.
+    Off-diagonal mass IS contamination — test content reachable from train
+    through a near-copy; under the clustered split it must be zero (both
+    members share a component, components never straddle splits), which is
+    exactly the property this report audits after the fact.
+
+    Plan: two shuffle equi-joins of the PAIR frame against the assignment
+    (work ∝ |pairs|, never corpus²) + one hash agg on the canonical
+    (least, greatest) split pair — a handful of output rows.
+
+    Output: (split_a, split_b, n_pairs bigint, leaky bool), split_a <= split_b.
+    """
+    a = assigned.select(F.col(id_col).alias("id_a"), F.col("split").alias("_sa"))
+    b = assigned.select(F.col(id_col).alias("id_b"), F.col("split").alias("_sb"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("split_a"),
+            F.greatest("_sa", "_sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("leaky", F.col("split_a") != F.col("split_b"))
+    )

@@ -1106,6 +1106,36 @@ def test_clustered_split_keeps_near_dups_together(spark, docs):
     assert any(naive[i] != naive[i + 2000000] for i in range(10))
 
 
+def test_split_leakage_report(spark, docs):
+    """The leakage matrix is zero off-diagonal under the clustered split and
+    provably non-zero under the naive per-doc split on the same pairs."""
+    from schema_infer_plugin_spark.datapipe import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from schema_infer_plugin_spark.sources.sampling import (
+        split_assign,
+        split_assign_clustered,
+        split_leakage_report,
+    )
+
+    corpus = _planted(docs.select("doc_id", "text"), spark)
+    sig = minhash_signatures(corpus, "doc_id", "text")
+    pairs = lsh_candidate_pairs(sig, "doc_id")
+    weights = {"train": 0.8, "test": 0.2}
+
+    naive = split_assign(corpus.select("doc_id"), ["doc_id"], weights)
+    rows = split_leakage_report(naive, pairs, "doc_id").collect()
+    assert sum(r["n_pairs"] for r in rows) == pairs.count()  # every pair binned
+    assert all(r["leaky"] == (r["split_a"] != r["split_b"]) for r in rows)
+    assert any(r["leaky"] and r["n_pairs"] > 0 for r in rows)  # naive leaks
+
+    clustered = split_assign_clustered(corpus.select("doc_id"), pairs, "doc_id", weights)
+    crows = split_leakage_report(clustered, pairs, "doc_id").collect()
+    assert not any(r["leaky"] for r in crows)  # clusters never straddle splits
+    assert sum(r["n_pairs"] for r in crows) == pairs.count()
+
+
 def test_chunk_documents_windows(spark):
     from schema_infer_plugin_spark.datapipe.text import chunk_documents
 

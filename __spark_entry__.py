@@ -280,6 +280,45 @@ FROM (
 )
 
 
+def q_expr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-declared constraint suite (checks/custom.expr_suite_violations):
+    three declarative SQL rules compiled into ONE scan emitting standard
+    violation rows — NULL predicate = fail (the length rule fires on NULL
+    text with observed 'NULL'). Timestamps compared in epoch-µs per the
+    engine invariant."""
+    from schema_infer_plugin_spark.checks import expr_suite_violations
+
+    rules = [
+        ("turn_bound", "turn_idx <= 40", "turn_idx", "turn_idx", "<= 40"),
+        ("text_min_len", "length(text) >= 3", "text", "length(text)", ">= 3"),
+        (
+            "ts_retention",
+            "unix_micros(cast(ts as timestamp)) >= 1701388800000000",
+            "ts",
+            "unix_micros(cast(ts as timestamp))",
+            ">= 2023-12-01T00:00:00Z",
+        ),
+    ]
+    return _viol(expr_suite_violations(_transcripts(spark, sf_dir), rules))
+
+
+ORACLE_EXPR_SUITE = oracle_cte(
+    """
+SELECT 'turn_bound' AS check_name, conv_id, turn_idx, 'turn_idx' AS col_name,
+       coalesce(CAST(turn_idx AS STRING), 'NULL') AS observed, '<= 40' AS expected
+FROM transcripts WHERE NOT coalesce(turn_idx <= 40, FALSE)
+UNION ALL
+SELECT 'text_min_len', conv_id, turn_idx, 'text',
+       coalesce(CAST(length(text) AS STRING), 'NULL'), '>= 3'
+FROM transcripts WHERE NOT coalesce(length(text) >= 3, FALSE)
+UNION ALL
+SELECT 'ts_retention', conv_id, turn_idx, 'ts',
+       coalesce(CAST(epoch_us(ts) AS STRING), 'NULL'), '>= 2023-12-01T00:00:00Z'
+FROM transcripts WHERE NOT coalesce(epoch_us(ts) >= 1701388800000000, FALSE)
+"""
+)
+
+
 def q_null_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _viol(null_violations(_transcripts(spark, sf_dir), "text"))
 
@@ -4425,6 +4464,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "transcripts_null_text": (q_null_text, ORACLE_NULL_TEXT),
     "transcripts_role_alternation": (q_role_alternation, ORACLE_ROLE_ALTERNATION),
     "role_transition_matrix": (q_role_transition, ORACLE_ROLE_TRANSITION),
+    "expr_suite": (q_expr_suite, ORACLE_EXPR_SUITE),
     "violations_triage": (q_violations_triage, ORACLE_VIOLATIONS_TRIAGE),
     "transcripts_ts_monotonic": (q_ts_monotonic, ORACLE_TS_MONOTONIC),
     "transcripts_text_ordered": (q_text_ordered, ORACLE_TEXT_ORDERED),
@@ -4508,6 +4548,7 @@ _R5_WINDOW = [
     "role_transition_matrix",
     "tfidf_top_terms",
     "split_leakage",
+    "expr_suite",
     "mix_temperature_sample",
     "quality_funnel",
     "quality_funnel_by_lang",
@@ -4556,7 +4597,6 @@ _R5_WINDOW = [
     "mixture_sample_roles",
     "fixed_k_sample_lang",
     "clean_corpus",
-    "conv_stats_salted",
 ]
 
 

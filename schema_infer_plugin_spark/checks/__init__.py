@@ -9,6 +9,7 @@ module.
 """
 
 from .alternation import role_alternation_violations, role_transition_matrix  # noqa: F401
+from .custom import expr_suite_violations  # noqa: F401
 from .uniqueness import uniqueness_violations  # noqa: F401
 from .contiguity import contiguity_violations  # noqa: F401
 from .domains import domain_violations, infer_domain  # noqa: F401

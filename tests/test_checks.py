@@ -211,6 +211,37 @@ def test_role_transition_matrix_micro(spark):
     }
 
 
+def test_expr_suite_violations_micro(spark):
+    import pytest
+
+    from schema_infer_plugin_spark.checks import expr_suite_violations
+
+    rows = [
+        ("A", 0, "user", "ok text here"),
+        ("A", 1, "assistant", "x"),       # fails min_len
+        ("A", 99, "user", "long enough"),  # fails turn cap
+        ("B", 0, None, None),              # NULL text -> NULL predicate = fail
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "text"])
+    rules = [
+        ("turn_cap", "turn_idx <= 50", "turn_idx", "turn_idx", "<= 50"),
+        ("min_len", "length(text) >= 3", "text", "length(text)", ">= 3"),
+    ]
+    got = {
+        (r["check_name"], r["conv_id"], r["turn_idx"]): (r["observed"], r["expected"])
+        for r in expr_suite_violations(df, rules).collect()
+    }
+    assert got == {
+        ("turn_cap", "A", 99): ("99", "<= 50"),
+        ("min_len", "A", 1): ("1", ">= 3"),
+        ("min_len", "B", 0): ("NULL", ">= 3"),  # NULL predicate fails, observed NULL
+    }
+    with pytest.raises(ValueError):
+        expr_suite_violations(df, [])
+    with pytest.raises(ValueError):
+        expr_suite_violations(df, [rules[0], rules[0]])
+
+
 def test_hot_key_report_micro(spark):
     from schema_infer_plugin_spark.checks import group_size_stats, hot_key_report
 

@@ -186,6 +186,11 @@ class ValidationConfig:
     n_buckets: int = 64
     batch_buckets: int = 16
     psi_threshold: float = 0.2
+    #: user-declared constraints (checks/custom.expr_suite_violations): each
+    #: entry is [name, predicate_sql, column, observed_sql, expected_desc].
+    #: FILE-config only — the flat env-var overlay can't express nested lists
+    #: (a comma-split env string is rejected by validate() below).
+    custom_rules: list = field(default_factory=list)
 
     def validate(self) -> None:
         if self.n_buckets < 1:
@@ -196,6 +201,20 @@ class ValidationConfig:
             )
         if self.psi_threshold <= 0:
             raise ConfigError(f"validation.psi_threshold must be > 0: {self.psi_threshold}")
+        names = []
+        for r in self.custom_rules:
+            if (
+                not isinstance(r, (list, tuple))
+                or len(r) != 5
+                or not all(isinstance(x, str) and x for x in r)
+            ):
+                raise ConfigError(
+                    "validation.custom_rules entries must be 5 non-empty strings"
+                    f" [name, predicate, column, observed, expected]: {r!r}"
+                )
+            names.append(r[0])
+        if len(set(names)) != len(names):
+            raise ConfigError(f"validation.custom_rules names must be unique: {names}")
 
 
 @dataclass

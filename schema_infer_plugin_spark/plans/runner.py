@@ -82,8 +82,16 @@ def run_validation(
     role_domain: list[str] | None = None,
     tool_domain: list[str] | None = None,
     bucket_rows: dict[str, int] | None = None,
+    custom_rules: list | None = None,
 ) -> dict:
     """Pass B over ``transcripts`` with bucket-level checkpoint-resume.
+
+    ``custom_rules``: user-declared (name, predicate, column, observed,
+    expected) constraints (checks/custom.expr_suite_violations), unioned with
+    the fused plan's violations and added to every bucket's verdict grid.
+    Cost when present: ONE extra scan of each batch (the fused plan's
+    text-pruned shuffle invariant is pinned — arbitrary rule columns must not
+    enter it); zero cost when absent.
 
     Returns summary metrics. ``fail_after_batches`` injects a crash after that
     many completed batches (tests prove resumability with it). Domains default
@@ -99,6 +107,11 @@ def run_validation(
     iceberg_verified_counts (as ``main`` does), which verify the persisted
     scheme and return None when they can't; counts keyed by any other hash
     (e.g. Iceberg ``bucket(N, conv_id)`` Murmur3) would prune live buckets."""
+    custom_rules = list(custom_rules or [])
+    clash = {r[0] for r in custom_rules} & set(CHECK_NAMES)
+    if clash:
+        raise ValueError(f"custom rule names collide with built-in checks: {sorted(clash)}")
+    check_names = CHECK_NAMES + [r[0] for r in custom_rules]
     keyed = with_partition_key(transcripts, n_buckets)
     all_keys = [str(i) for i in range(n_buckets)]
     done = completed_keys(spark, out_dir, run_id, PASS_B)
@@ -122,7 +135,7 @@ def run_validation(
                 " observed string, expected string, partition_key string",
             )
             (
-                verdicts(empty_viol, grid, CHECK_NAMES, run_id=run_id)
+                verdicts(empty_viol, grid, check_names, run_id=run_id)
                 .repartition("partition_key")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -154,8 +167,15 @@ def run_validation(
             ],
         )
         # partition_key is a pure function of conv_id — recompute, don't join.
+        checked = validate_transcripts(part, role_domain, tool_domain)
+        if custom_rules:
+            from schema_infer_plugin_spark.checks.custom import expr_suite_violations
+
+            checked = checked.unionByName(
+                expr_suite_violations(part, [tuple(r) for r in custom_rules])
+            )
         viol = (
-            validate_transcripts(part, role_domain, tool_domain)
+            checked
             .withColumn(
                 "partition_key",
                 F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("string"),
@@ -191,7 +211,7 @@ def run_validation(
         )
         grid = spark.createDataFrame([(k,) for k in batch], ["partition_key"])
         (
-            verdicts(viol_written, grid, CHECK_NAMES, run_id=run_id)
+            verdicts(viol_written, grid, check_names, run_id=run_id)
             .repartition("partition_key")
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -704,6 +724,7 @@ def main(argv: list[str] | None = None) -> None:
         role_domain=role_domain,
         tool_domain=tool_domain,
         bucket_rows=bucket_rows,
+        custom_rules=cfg.validation.custom_rules,
     )
     if args.triage_k:
         summary["triage_rows"] = write_triage(

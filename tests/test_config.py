@@ -55,6 +55,37 @@ def test_yaml_file_loads_and_normalizes(tmp_path):
     assert cfg.validation.role_domain == ["user", "assistant"]
 
 
+def test_custom_rules_from_yaml(tmp_path):
+    p = tmp_path / "rules.yaml"
+    p.write_text(
+        "validation:\n"
+        "  custom_rules:\n"
+        "    - [turn_cap, 'turn_idx <= 40', turn_idx, turn_idx, '<= 40']\n"
+        "    - [min_len, 'length(text) >= 3', text, 'length(text)', '>= 3']\n"
+    )
+    cfg = load_config(str(p), env={})
+    assert [r[0] for r in cfg.validation.custom_rules] == ["turn_cap", "min_len"]
+    assert all(len(r) == 5 for r in cfg.validation.custom_rules)
+
+
+def test_custom_rules_malformed_rejected(tmp_path):
+    import pytest
+
+    from schema_infer_plugin_spark.config import ConfigError
+
+    for body, msg in [
+        ("    - [only, four, strings, here]\n", "5 non-empty strings"),
+        ("    - [dup, '1=1', c, o, e]\n    - [dup, '1=1', c, o, e]\n", "unique"),
+        # env overlay comma-splits into flat strings -> rejected, file-only field
+    ]:
+        p = tmp_path / "bad.yaml"
+        p.write_text("validation:\n  custom_rules:\n" + body)
+        with pytest.raises(ConfigError, match=msg):
+            load_config(str(p), env={})
+    with pytest.raises(ConfigError, match="5 non-empty strings"):
+        load_config(None, env={"SCHEMA_INFER_VALIDATION_CUSTOM_RULES": "a,b,c"})
+
+
 def test_json_file_loads(tmp_path):
     p = tmp_path / "engine.json"
     p.write_text(json.dumps({"inference": {"max_depth": 4}}))

@@ -79,6 +79,37 @@ def test_verdicts_cover_every_bucket_and_check(spark, tmp_path):
     assert bad.count() == 0
 
 
+def test_custom_rules_ride_validation_run(spark, tmp_path):
+    """Config-declared expression constraints (checks/custom) union with the
+    fused plan's violations and extend every bucket's verdict grid."""
+    import pytest
+
+    t = synth_transcripts(spark, 500)
+    out = str(tmp_path / "run")
+    rules = [("turn_cap_3", "turn_idx <= 3", "turn_idx", "turn_idx", "<= 3")]
+    run_validation(spark, t, out, n_buckets=4, batch_buckets=2, custom_rules=rules)
+
+    viol = spark.read.parquet(os.path.join(out, "violations"))
+    n_custom = viol.filter(F.col("check_name") == "turn_cap_3").count()
+    assert n_custom == t.filter("turn_idx > 3").count() and n_custom > 0
+    # built-in rows unchanged by the union
+    assert viol.filter(
+        F.col("check_name") != "turn_cap_3"
+    ).count() == validate_transcripts(t).count()
+
+    verd = spark.read.parquet(os.path.join(out, "verdicts"))
+    assert verd.count() == 4 * (len(CHECK_NAMES) + 1)
+    custom_verd = verd.filter(F.col("check_name") == "turn_cap_3")
+    assert custom_verd.count() == 4  # one verdict per bucket
+    assert custom_verd.filter(~F.col("pass")).count() > 0
+
+    with pytest.raises(ValueError, match="collide"):
+        run_validation(
+            spark, t, str(tmp_path / "run2"), n_buckets=2, batch_buckets=2,
+            custom_rules=[("uniqueness", "1=1", "x", "x", "dup name")],
+        )
+
+
 def test_one_input_scan_per_batch(spark, tmp_path):
     """VERDICT r2 #2 acceptance: ledger row counts now ride the violations
     write job as observations — each batch reads its input EXACTLY once. An

@@ -280,6 +280,21 @@ FROM (
 )
 
 
+#: shared rule suite for the batch AND streaming custom-constraint queries —
+#: both must satisfy the same oracle SQL.
+_EXPR_RULES = [
+    ("turn_bound", "turn_idx <= 40", "turn_idx", "turn_idx", "<= 40"),
+    ("text_min_len", "length(text) >= 3", "text", "length(text)", ">= 3"),
+    (
+        "ts_retention",
+        "unix_micros(cast(ts as timestamp)) >= 1701388800000000",
+        "ts",
+        "unix_micros(cast(ts as timestamp))",
+        ">= 2023-12-01T00:00:00Z",
+    ),
+]
+
+
 def q_expr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User-declared constraint suite (checks/custom.expr_suite_violations):
     three declarative SQL rules compiled into ONE scan emitting standard
@@ -288,18 +303,36 @@ def q_expr_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine invariant."""
     from schema_infer_plugin_spark.checks import expr_suite_violations
 
-    rules = [
-        ("turn_bound", "turn_idx <= 40", "turn_idx", "turn_idx", "<= 40"),
-        ("text_min_len", "length(text) >= 3", "text", "length(text)", ">= 3"),
-        (
-            "ts_retention",
-            "unix_micros(cast(ts as timestamp)) >= 1701388800000000",
-            "ts",
-            "unix_micros(cast(ts as timestamp))",
-            ">= 2023-12-01T00:00:00Z",
-        ),
-    ]
-    return _viol(expr_suite_violations(_transcripts(spark, sf_dir), rules))
+    return _viol(expr_suite_violations(_transcripts(spark, sf_dir), _EXPR_RULES))
+
+
+def q_expr_suite_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME rule suite on Structured Streaming (streaming/incremental.
+    stream_expr_violations): a pure projection needs no state, watermark or
+    sentinel — the transcripts fixture is staged once, replayed with
+    availableNow, and the cumulative append output must satisfy the SAME
+    oracle SQL as the batch query (stateless ⇒ row-identical)."""
+    import os
+    import tempfile
+
+    from schema_infer_plugin_spark.streaming.incremental import stream_expr_violations
+
+    t = _transcripts(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="expr_stream_")
+    in_dir, out_dir, ckpt = (os.path.join(work, d) for d in ("in", "out", "ckpt"))
+    t.write.parquet(in_dir)
+    stream = spark.readStream.schema(t.schema).parquet(in_dir)
+    out = _viol(stream_expr_violations(stream, _EXPR_RULES))
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
 
 
 ORACLE_EXPR_SUITE = oracle_cte(
@@ -4465,6 +4498,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "transcripts_role_alternation": (q_role_alternation, ORACLE_ROLE_ALTERNATION),
     "role_transition_matrix": (q_role_transition, ORACLE_ROLE_TRANSITION),
     "expr_suite": (q_expr_suite, ORACLE_EXPR_SUITE),
+    "expr_suite_stream": (q_expr_suite_stream, ORACLE_EXPR_SUITE),
     "violations_triage": (q_violations_triage, ORACLE_VIOLATIONS_TRIAGE),
     "transcripts_ts_monotonic": (q_ts_monotonic, ORACLE_TS_MONOTONIC),
     "transcripts_text_ordered": (q_text_ordered, ORACLE_TEXT_ORDERED),
@@ -4549,6 +4583,7 @@ _R5_WINDOW = [
     "tfidf_top_terms",
     "split_leakage",
     "expr_suite",
+    "expr_suite_stream",
     "mix_temperature_sample",
     "quality_funnel",
     "quality_funnel_by_lang",
@@ -4596,7 +4631,6 @@ _R5_WINDOW = [
     "hash_sample_stratified",
     "mixture_sample_roles",
     "fixed_k_sample_lang",
-    "clean_corpus",
 ]
 
 

@@ -87,6 +87,24 @@ def row_level_violations_stream(
     )
 
 
+def stream_expr_violations(
+    stream_df: DataFrame,
+    rules: list,
+    keys: tuple[str, str] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Streaming face of the user-declared constraint suite (checks/custom.
+    expr_suite_violations): the suite is a PURE PROJECTION (per-row CASE
+    struct array → filter → explode), so it applies to a streaming frame
+    unchanged — no state, no watermark, append output mode; each micro-batch
+    emits its violations exactly once and the cumulative stream output is
+    row-identical to the batch run over the same data (driver-checked by the
+    ``expr_suite_stream`` query against the SAME oracle SQL as the batch
+    ``expr_suite``)."""
+    from ..checks.custom import expr_suite_violations
+
+    return expr_suite_violations(stream_df, rules, keys=keys)
+
+
 def validation_sink(
     stream_df: DataFrame,
     out_dir: str,

@@ -140,6 +140,8 @@ def run_bench(
         "mix_temperature_sample",
         "quality_funnel",
         "dup_ngram_rate",
+        "tfidf_top_terms",
+        "split_leakage",
     ):
         timed(name, lambda name=name: q[name](spark, sf_dir).count())
 

@@ -280,6 +280,85 @@ FROM (
 )
 
 
+def q_transcripts_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-role Pearson correlation of (turn_idx, length(text)) from exact
+    DECIMAL(38,0) sufficient statistics (checks/correlation.grouped_int_corr)
+    — the joint-structure drift signal no marginal histogram can see. One
+    hash aggregation, shuffle ∝ roles; the fixed double formula over exact
+    integer sums is bit-identical across engines."""
+    from schema_infer_plugin_spark.checks import grouped_int_corr
+
+    return grouped_int_corr(
+        _transcripts(spark, sf_dir),
+        F.col("turn_idx"),
+        F.length("text"),
+        group_by="role",
+    )
+
+
+ORACLE_TRANSCRIPTS_CORR = oracle_cte(
+    """
+SELECT grp, n_rows,
+       CASE WHEN denx > 0 AND deny > 0
+            THEN CAST(round(num / (sqrt(denx) * sqrt(deny)), 6) + 0.0 AS DOUBLE)
+            END AS corr_xy,
+       CAST(round(num / (n * n), 6) + 0.0 AS DOUBLE) AS cov_xy
+FROM (
+  SELECT grp, n_rows, CAST(n_rows AS DOUBLE) AS n,
+         CAST(n_rows AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+         CAST(n_rows AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+         CAST(n_rows AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny
+  FROM (
+    SELECT role AS grp, CAST(count(*) AS BIGINT) AS n_rows,
+           sum(CAST(x AS DECIMAL(19,0))) AS sx,
+           sum(CAST(y AS DECIMAL(19,0))) AS sy,
+           sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS sxy,
+           sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS sxx,
+           sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS syy
+    FROM (SELECT role, turn_idx AS x, length(text) AS y FROM transcripts)
+    WHERE x IS NOT NULL AND y IS NOT NULL
+    GROUP BY role)
+)
+"""
+)
+
+
+def q_conv_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation boundary-role validation (checks/boundaries.py): convs
+    opening outside {user,system} or closing outside {assistant,tool} — the
+    lost-prompt / dangling-question defects no per-turn check can see. One
+    conv_id window exchange (zero on a bucketed table), stable
+    (turn_idx, ts NULLS FIRST, role) boundary order."""
+    from schema_infer_plugin_spark.checks import conv_boundary_violations
+
+    return _viol(conv_boundary_violations(_transcripts(spark, sf_dir)))
+
+
+ORACLE_CONV_BOUNDARIES = oracle_cte(
+    """
+, marked AS (
+  SELECT conv_id, turn_idx, role,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
+                            ts ASC NULLS FIRST, role ASC NULLS FIRST) AS rn_first,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC NULLS LAST,
+                            ts DESC NULLS LAST, role DESC NULLS LAST) AS rn_last
+  FROM transcripts)
+SELECT 'conv_start_role' AS check_name, conv_id, turn_idx, 'role' AS col_name,
+       coalesce(role, 'NULL') AS observed, 'in {system,user}' AS expected
+FROM marked
+WHERE rn_first = 1 AND NOT coalesce(role IN ('user', 'system'), FALSE)
+UNION ALL
+SELECT 'conv_end_role', conv_id, turn_idx, 'role',
+       coalesce(role, 'NULL'), 'in {assistant,tool}'
+FROM marked
+WHERE rn_last = 1 AND NOT coalesce(role IN ('assistant', 'tool'), FALSE)
+"""
+)
+
+
 #: shared rule suite for the batch AND streaming custom-constraint queries —
 #: both must satisfy the same oracle SQL.
 _EXPR_RULES = [
@@ -1344,6 +1423,80 @@ def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.round("cosine", 6).cast("double").alias("cosine")
     )
+
+
+def q_vector_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column sanity validation (checks/vector_sanity.py): NULL /
+    wrong-dim / NaN / Inf / zero-norm vectors as typed violation rows — the
+    defects every downstream vector operator silently assumes away. The clean
+    sandbox table is deterministically corrupted in-query (the
+    _mutated_corpus pattern) so every rule fires; the oracle mirrors the
+    CASE-priority mutation arithmetic exactly. One scan, zero exchanges,
+    output rows ∝ violations."""
+    from schema_infer_plugin_spark.checks.vector_sanity import (
+        vector_sanity_violations,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    vid = F.col("vec_id")
+    nan = F.lit(float("nan")).cast("float")
+    inf = F.lit(float("inf")).cast("float")
+    corrupted = emb.select(
+        "vec_id",
+        F.when(vid % 97 == 0, F.lit(None).cast("array<float>"))
+        .when(vid % 89 == 0, F.slice(v, 1, _EMB_DIM - 3))
+        .when(vid % 83 == 0, F.concat(F.array(nan), F.slice(v, 2, _EMB_DIM - 1)))
+        .when(
+            vid % 79 == 0,
+            F.concat(F.slice(v, 1, 1), F.array(inf), F.slice(v, 3, _EMB_DIM - 2)),
+        )
+        .when(vid % 73 == 0, F.transform(v, lambda x: F.lit(0.0).cast("float")))
+        .otherwise(v)
+        .alias("embedding"),
+    )
+    return vector_sanity_violations(corrupted, "vec_id", "embedding", dim=_EMB_DIM)
+
+
+ORACLE_VECTOR_SANITY = f"""
+WITH corrupted AS (
+  SELECT vec_id,
+    CASE
+      WHEN vec_id % 97 = 0 THEN NULL
+      WHEN vec_id % 89 = 0 THEN embedding[1:{_EMB_DIM - 3}]
+      WHEN vec_id % 83 = 0 THEN ['NaN'::FLOAT] || embedding[2:]
+      WHEN vec_id % 79 = 0 THEN embedding[1:1] || ['Infinity'::FLOAT] || embedding[3:]
+      WHEN vec_id % 73 = 0 THEN list_transform(embedding, x -> 0.0::FLOAT)
+      ELSE embedding
+    END AS v
+  FROM embeddings
+), flags AS (
+  SELECT vec_id, v,
+    v IS NULL AS is_null,
+    v IS NOT NULL AND len(v) <> {_EMB_DIM} AS wrong_dim,
+    v IS NOT NULL AND len(list_filter(v, x -> isnan(x))) > 0 AS has_nan,
+    v IS NOT NULL AND len(list_filter(v, x -> isinf(x))) > 0 AS has_inf
+  FROM corrupted
+)
+SELECT 'vec_null' AS check_name, vec_id AS id, 'embedding' AS col_name,
+       'NULL' AS observed, 'NOT NULL' AS expected FROM flags WHERE is_null
+UNION ALL
+SELECT 'vec_dim', vec_id, 'embedding', CAST(len(v) AS VARCHAR), '{_EMB_DIM}'
+FROM flags WHERE wrong_dim
+UNION ALL
+SELECT 'vec_nan', vec_id, 'embedding',
+       CAST(len(list_filter(v, x -> isnan(x))) AS VARCHAR), '0 NaN elements'
+FROM flags WHERE has_nan
+UNION ALL
+SELECT 'vec_inf', vec_id, 'embedding',
+       CAST(len(list_filter(v, x -> isinf(x))) AS VARCHAR), '0 Inf elements'
+FROM flags WHERE has_inf
+UNION ALL
+SELECT 'vec_zero', vec_id, 'embedding', '0.0', 'norm > 0'
+FROM flags
+WHERE v IS NOT NULL AND len(v) = {_EMB_DIM} AND NOT has_nan AND NOT has_inf
+  AND list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0.0
+"""
 
 
 def _duck_bucket_terms(n_planes: int, seed: int) -> str:
@@ -4497,6 +4650,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "transcripts_null_text": (q_null_text, ORACLE_NULL_TEXT),
     "transcripts_role_alternation": (q_role_alternation, ORACLE_ROLE_ALTERNATION),
     "role_transition_matrix": (q_role_transition, ORACLE_ROLE_TRANSITION),
+    "transcripts_corr": (q_transcripts_corr, ORACLE_TRANSCRIPTS_CORR),
+    "conv_boundary_roles": (q_conv_boundaries, ORACLE_CONV_BOUNDARIES),
     "expr_suite": (q_expr_suite, ORACLE_EXPR_SUITE),
     "expr_suite_stream": (q_expr_suite_stream, ORACLE_EXPR_SUITE),
     "violations_triage": (q_violations_triage, ORACLE_VIOLATIONS_TRIAGE),
@@ -4532,6 +4687,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "simhash_documents": (q_simhash, ORACLE_SIMHASH),
     "dedup_ngram_jaccard_guarded": (q_ngram_jaccard_guarded, ORACLE_NGRAM_JACCARD_GUARDED),
     "dedup_embedding_cosine": (q_embedding_neardup, ORACLE_EMBEDDING_NEARDUP),
+    "vector_sanity": (q_vector_sanity, ORACLE_VECTOR_SANITY),
     "ann_lsh_multitable": (q_ann_lsh_multitable, _oracle_ann_lsh_multitable()),
     "unigram_logprob": (q_unigram_logprob, ORACLE_UNIGRAM_LOGPROB),
     "repetition_stats": (q_repetition_stats, ORACLE_REPETITION),
@@ -4578,6 +4734,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # after this round — they are the next window's priority block.
 _R5_WINDOW = [
     # (a) new in round 5
+    "vector_sanity",
+    "transcripts_corr",
+    "conv_boundary_roles",
     "dup_ngram_rate",
     "role_transition_matrix",
     "tfidf_top_terms",
@@ -4628,9 +4787,6 @@ _R5_WINDOW = [
     "transcripts_ts_monotonic",
     "transcripts_text_ordered",
     "transcripts_verdicts",
-    "hash_sample_stratified",
-    "mixture_sample_roles",
-    "fixed_k_sample_lang",
 ]
 
 

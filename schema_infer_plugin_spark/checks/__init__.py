@@ -28,4 +28,7 @@ from .patterns import pattern_match_rates, pattern_violations  # noqa: F401
 from .freshness import coverage_gaps, freshness  # noqa: F401
 from .entropy import categorical_entropy, mutual_information  # noqa: F401
 from .embedding_drift import centroid_drift  # noqa: F401
+from .vector_sanity import vector_sanity_stats, vector_sanity_violations  # noqa: F401
+from .correlation import grouped_int_corr  # noqa: F401
+from .boundaries import conv_boundary_violations  # noqa: F401
 from .evolution import evolution_verdicts, schema_evolution_check  # noqa: F401

@@ -1,0 +1,150 @@
+"""Unit tests for checks/correlation.py and checks/boundaries.py: hand-built
+frames with known answers, NULL handling, degenerate groups, plan gates."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# grouped_int_corr
+# ---------------------------------------------------------------------------
+
+
+def test_corr_exact_linear(spark):
+    from schema_infer_plugin_spark.checks import grouped_int_corr
+
+    # y = 2x + 1 exactly -> corr 1.0; cov of x={1,2,3}, y={3,5,7}:
+    # E[xy]-E[x]E[y] = (3+10+21)/3 - 2*5 = 34/3 - 10 = 4/3
+    df = spark.createDataFrame([(1, 3), (2, 5), (3, 7)], "x: long, y: long")
+    row = grouped_int_corr(df, "x", "y").collect()[0]
+    assert row["n_rows"] == 3
+    assert row["corr_xy"] == 1.0
+    assert math.isclose(row["cov_xy"], round(4 / 3, 6), abs_tol=1e-9)
+
+
+def test_corr_negative_and_groups(spark):
+    from schema_infer_plugin_spark.checks import grouped_int_corr
+
+    rows = [("a", 1, 10), ("a", 2, 8), ("a", 3, 6), ("b", 1, 1), ("b", 2, 1)]
+    df = spark.createDataFrame(rows, "g: string, x: long, y: long")
+    got = {r["grp"]: r for r in grouped_int_corr(df, "x", "y", group_by="g").collect()}
+    assert got["a"]["corr_xy"] == -1.0
+    # group b: y constant -> zero variance -> NULL corr, cov 0.0
+    assert got["b"]["corr_xy"] is None
+    assert got["b"]["cov_xy"] == 0.0
+
+
+def test_corr_null_pairs_excluded(spark):
+    from schema_infer_plugin_spark.checks import grouped_int_corr
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, None), (None, 7), (3, 9)], "x: long, y: long"
+    )
+    row = grouped_int_corr(df, "x", "y").collect()[0]
+    assert row["n_rows"] == 2  # only complete pairs
+    assert row["corr_xy"] == 1.0
+
+
+def test_corr_single_exchange(spark):
+    from schema_infer_plugin_spark.checks import grouped_int_corr
+
+    df = spark.createDataFrame([("a", 1, 2)], "g: string, x: long, y: long")
+    plan = (
+        grouped_int_corr(df, "x", "y", group_by="g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# conv_boundary_violations
+# ---------------------------------------------------------------------------
+
+
+def _tdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id: string, turn_idx: int, role: string, ts: timestamp_ntz"
+    )
+
+
+def test_boundaries_rules_fire(spark):
+    import datetime as dt
+
+    from schema_infer_plugin_spark.checks import conv_boundary_violations
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # ok: user -> assistant
+        ("c1", 0, "user", t0),
+        ("c1", 1, "assistant", t0),
+        # bad start (assistant first) and bad end (user last)
+        ("c2", 0, "assistant", t0),
+        ("c2", 1, "user", t0),
+        # single-turn conv: user only -> bad END only (start ok)
+        ("c3", 0, "user", t0),
+        # NULL role at both boundaries -> fails both (NULL = FAIL)
+        ("c4", 0, None, t0),
+    ]
+    out = conv_boundary_violations(_tdf(spark, rows))
+    got = {(r["check_name"], r["conv_id"]): (r["observed"], r["expected"]) for r in out.collect()}
+    assert got == {
+        ("conv_start_role", "c2"): ("assistant", "in {system,user}"),
+        ("conv_end_role", "c2"): ("user", "in {assistant,tool}"),
+        ("conv_end_role", "c3"): ("user", "in {assistant,tool}"),
+        ("conv_start_role", "c4"): ("NULL", "in {system,user}"),
+        ("conv_end_role", "c4"): ("NULL", "in {assistant,tool}"),
+    }
+    assert out.columns == ["check_name", "conv_id", "turn_idx", "column", "observed", "expected"]
+
+
+def test_boundaries_deterministic_on_dup_rows(spark):
+    import datetime as dt
+
+    from schema_infer_plugin_spark.checks import conv_boundary_violations
+
+    t0 = dt.datetime(2024, 1, 1)
+    # duplicate (turn_idx, ts) at the start with different roles: the role
+    # tie-breaker must pick 'assistant' (asc) as the boundary row every time
+    rows = [
+        ("c1", 0, "user", t0),
+        ("c1", 0, "assistant", t0),
+        ("c1", 1, "assistant", t0),
+    ]
+    outs = {
+        tuple(sorted((r["check_name"], r["observed"]) for r in
+                     conv_boundary_violations(_tdf(spark, rows)).collect()))
+        for _ in range(3)
+    }
+    assert outs == {(("conv_start_role", "assistant"),)}
+
+
+def test_boundaries_single_exchange(spark):
+    import datetime as dt
+
+    from schema_infer_plugin_spark.checks import conv_boundary_violations
+
+    df = _tdf(spark, [("c1", 0, "user", dt.datetime(2024, 1, 1))])
+    plan = (
+        conv_boundary_violations(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_boundaries_empty_sets_raise(spark):
+    import datetime as dt
+
+    from schema_infer_plugin_spark.checks import conv_boundary_violations
+
+    df = _tdf(spark, [("c1", 0, "user", dt.datetime(2024, 1, 1))])
+    with pytest.raises(ValueError):
+        conv_boundary_violations(df, allowed_first=())

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, assume, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 _SETTINGS = dict(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
@@ -83,6 +83,7 @@ def test_dup_ngram_rate_matches_model(spark, texts):
 def test_chunk_documents_matches_model(spark, texts, max_tokens, overlap):
     from schema_infer_plugin_spark.datapipe.text import chunk_documents
 
+    assume(overlap < max_tokens)  # overlap >= max_tokens raises by contract
     stride = max_tokens - overlap
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
     got = sorted(

@@ -191,6 +191,11 @@ class ValidationConfig:
     #: FILE-config only — the flat env-var overlay can't express nested lists
     #: (a comma-split env string is rejected by validate() below).
     custom_rules: list = field(default_factory=list)
+    #: conversation boundary-role gate (checks/boundaries.py): runs only when
+    #: BOTH lists are set (opt-in); comma-separated env form is accepted.
+    #: Half-set pairs are a config error, not a silent skip.
+    boundary_first_roles: list[str] = field(default_factory=list)
+    boundary_last_roles: list[str] = field(default_factory=list)
 
     def validate(self) -> None:
         if self.n_buckets < 1:
@@ -215,6 +220,11 @@ class ValidationConfig:
             names.append(r[0])
         if len(set(names)) != len(names):
             raise ConfigError(f"validation.custom_rules names must be unique: {names}")
+        if bool(self.boundary_first_roles) != bool(self.boundary_last_roles):
+            raise ConfigError(
+                "validation.boundary_first_roles and boundary_last_roles must be"
+                " set together (the boundary check needs both ends of the rule)"
+            )
 
 
 @dataclass

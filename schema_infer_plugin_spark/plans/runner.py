@@ -83,6 +83,7 @@ def run_validation(
     tool_domain: list[str] | None = None,
     bucket_rows: dict[str, int] | None = None,
     custom_rules: list | None = None,
+    boundary_roles: tuple[list[str], list[str]] | None = None,
 ) -> dict:
     """Pass B over ``transcripts`` with bucket-level checkpoint-resume.
 
@@ -92,6 +93,13 @@ def run_validation(
     Cost when present: ONE extra scan of each batch (the fused plan's
     text-pruned shuffle invariant is pinned — arbitrary rule columns must not
     enter it); zero cost when absent.
+
+    ``boundary_roles``: (allowed_first, allowed_last) role sets for the
+    conversation boundary check (checks/boundaries.py) — same additive
+    posture as custom rules (one extra scan + its own conv_id window per
+    batch when present; conv_start_role / conv_end_role join the verdict
+    grid), deliberately NOT folded into the fused plan (its window set and
+    verdict grid are pinned by tests/test_plans.py).
 
     Returns summary metrics. ``fail_after_batches`` injects a crash after that
     many completed batches (tests prove resumability with it). Domains default
@@ -108,10 +116,11 @@ def run_validation(
     scheme and return None when they can't; counts keyed by any other hash
     (e.g. Iceberg ``bucket(N, conv_id)`` Murmur3) would prune live buckets."""
     custom_rules = list(custom_rules or [])
-    clash = {r[0] for r in custom_rules} & set(CHECK_NAMES)
+    boundary_checks = ["conv_start_role", "conv_end_role"] if boundary_roles else []
+    clash = {r[0] for r in custom_rules} & set(CHECK_NAMES + boundary_checks)
     if clash:
         raise ValueError(f"custom rule names collide with built-in checks: {sorted(clash)}")
-    check_names = CHECK_NAMES + [r[0] for r in custom_rules]
+    check_names = CHECK_NAMES + boundary_checks + [r[0] for r in custom_rules]
     keyed = with_partition_key(transcripts, n_buckets)
     all_keys = [str(i) for i in range(n_buckets)]
     done = completed_keys(spark, out_dir, run_id, PASS_B)
@@ -168,6 +177,16 @@ def run_validation(
         )
         # partition_key is a pure function of conv_id — recompute, don't join.
         checked = validate_transcripts(part, role_domain, tool_domain)
+        if boundary_roles:
+            from schema_infer_plugin_spark.checks.boundaries import (
+                conv_boundary_violations,
+            )
+
+            checked = checked.unionByName(
+                conv_boundary_violations(
+                    part, tuple(boundary_roles[0]), tuple(boundary_roles[1])
+                )
+            )
         if custom_rules:
             from schema_infer_plugin_spark.checks.custom import expr_suite_violations
 
@@ -725,6 +744,11 @@ def main(argv: list[str] | None = None) -> None:
         tool_domain=tool_domain,
         bucket_rows=bucket_rows,
         custom_rules=cfg.validation.custom_rules,
+        boundary_roles=(
+            (cfg.validation.boundary_first_roles, cfg.validation.boundary_last_roles)
+            if cfg.validation.boundary_first_roles and cfg.validation.boundary_last_roles
+            else None
+        ),
     )
     if args.triage_k:
         summary["triage_rows"] = write_triage(

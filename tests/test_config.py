@@ -86,6 +86,28 @@ def test_custom_rules_malformed_rejected(tmp_path):
         load_config(None, env={"SCHEMA_INFER_VALIDATION_CUSTOM_RULES": "a,b,c"})
 
 
+def test_boundary_roles_config(tmp_path):
+    import pytest
+
+    from schema_infer_plugin_spark.config import ConfigError
+
+    # env comma form works (unlike custom_rules, these are flat lists)
+    cfg = load_config(
+        None,
+        env={
+            "SCHEMA_INFER_VALIDATION_BOUNDARY_FIRST_ROLES": "user, system",
+            "SCHEMA_INFER_VALIDATION_BOUNDARY_LAST_ROLES": "assistant,tool",
+        },
+    )
+    assert cfg.validation.boundary_first_roles == ["user", "system"]
+    assert cfg.validation.boundary_last_roles == ["assistant", "tool"]
+    # half-set pair is a config error, never a silent skip
+    p = tmp_path / "half.yaml"
+    p.write_text("validation:\n  boundary_first_roles: [user]\n")
+    with pytest.raises(ConfigError, match="set together"):
+        load_config(str(p), env={})
+
+
 def test_json_file_loads(tmp_path):
     p = tmp_path / "engine.json"
     p.write_text(json.dumps({"inference": {"max_depth": 4}}))

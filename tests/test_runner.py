@@ -110,6 +110,39 @@ def test_custom_rules_ride_validation_run(spark, tmp_path):
         )
 
 
+def test_boundary_check_rides_validation_run(spark, tmp_path):
+    """Opt-in conversation boundary check (checks/boundaries.py) unions with
+    the fused plan's violations and extends the verdict grid — same additive
+    posture as custom rules; name collisions with its check names raise."""
+    from schema_infer_plugin_spark.checks.boundaries import conv_boundary_violations
+
+    t = synth_transcripts(spark, 500)
+    out = str(tmp_path / "run")
+    roles = (["user", "system"], ["assistant", "tool"])
+    run_validation(
+        spark, t, out, n_buckets=4, batch_buckets=2, boundary_roles=roles
+    )
+
+    viol = spark.read.parquet(os.path.join(out, "violations"))
+    bnames = {"conv_start_role", "conv_end_role"}
+    n_boundary = viol.filter(F.col("check_name").isin(*bnames)).count()
+    assert n_boundary == conv_boundary_violations(t).count() > 0
+    assert viol.filter(
+        ~F.col("check_name").isin(*bnames)
+    ).count() == validate_transcripts(t).count()
+
+    verd = spark.read.parquet(os.path.join(out, "verdicts"))
+    assert verd.count() == 4 * (len(CHECK_NAMES) + 2)
+    assert verd.filter(F.col("check_name").isin(*bnames)).count() == 8
+
+    with pytest.raises(ValueError, match="collide"):
+        run_validation(
+            spark, t, str(tmp_path / "run2"), n_buckets=2, batch_buckets=2,
+            boundary_roles=roles,
+            custom_rules=[("conv_start_role", "1=1", "x", "x", "dup name")],
+        )
+
+
 def test_one_input_scan_per_batch(spark, tmp_path):
     """VERDICT r2 #2 acceptance: ledger row counts now ride the violations
     write job as observations — each batch reads its input EXACTLY once. An

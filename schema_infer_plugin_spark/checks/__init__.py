@@ -29,6 +29,10 @@ from .freshness import coverage_gaps, freshness  # noqa: F401
 from .entropy import categorical_entropy, mutual_information  # noqa: F401
 from .embedding_drift import centroid_drift  # noqa: F401
 from .vector_sanity import vector_sanity_stats, vector_sanity_violations  # noqa: F401
-from .correlation import grouped_int_corr  # noqa: F401
+from .correlation import (  # noqa: F401
+    grouped_int_corr,
+    grouped_int_corr_merge,
+    grouped_int_corr_partial,
+)
 from .boundaries import conv_boundary_violations  # noqa: F401
 from .evolution import evolution_verdicts, schema_evolution_check  # noqa: F401

@@ -53,6 +53,22 @@ def grouped_int_corr(
     about observed pairs; NULL-coupling is checks/domains territory). Output:
     (grp?, n_rows, corr_xy, cov_xy).
     """
+    state = grouped_int_corr_partial(df, x, y, group_by=group_by)
+    return _finalize(state, grouped=group_by is not None, round_digits=round_digits)
+
+
+def grouped_int_corr_partial(
+    df: DataFrame,
+    x: "Column | str",
+    y: "Column | str",
+    group_by: str | None = None,
+) -> DataFrame:
+    """The mergeable state behind :func:`grouped_int_corr`: one row per group
+    of exact sufficient statistics (n_rows, Σx, Σy, Σxy, Σx², Σy² as
+    DECIMAL(38,0)) — additive, so "correlation over the last 90 days" is a
+    sum of 90 persisted state rows, zero input rescans (the
+    operators/profile_partial design applied to a PAIR statistic; unlike the
+    HLL/KLL columns there, this merge is EXACT)."""
     xc = _as_col(x).cast("decimal(19,0)")
     yc = _as_col(y).cast("decimal(19,0)")
     base = df.select(
@@ -60,7 +76,7 @@ def grouped_int_corr(
         xc.alias("x"),
         yc.alias("y"),
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
-    agg = base.groupBy(*(["grp"] if group_by else [])).agg(
+    return base.groupBy(*(["grp"] if group_by else [])).agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("x").cast("decimal(38,0)").alias("sx"),
         F.sum("y").cast("decimal(38,0)").alias("sy"),
@@ -68,6 +84,29 @@ def grouped_int_corr(
         F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
         F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
     )
+
+
+def grouped_int_corr_merge(
+    partials: DataFrame,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Merge :func:`grouped_int_corr_partial` state rows (same run or many)
+    into the final (grp?, n_rows, corr_xy, cov_xy) frame. Exact under merge:
+    the statistics are plain sums, so any split of the input produces
+    bit-identical results to the direct computation. Work ∝ state rows."""
+    grouped = "grp" in partials.columns
+    merged = partials.groupBy(*(["grp"] if grouped else [])).agg(
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("sx").cast("decimal(38,0)").alias("sx"),
+        F.sum("sy").cast("decimal(38,0)").alias("sy"),
+        F.sum("sxy").cast("decimal(38,0)").alias("sxy"),
+        F.sum("sxx").cast("decimal(38,0)").alias("sxx"),
+        F.sum("syy").cast("decimal(38,0)").alias("syy"),
+    )
+    return _finalize(merged, grouped=grouped, round_digits=round_digits)
+
+
+def _finalize(state: DataFrame, grouped: bool, round_digits: int) -> DataFrame:
     n = F.col("n_rows").cast("double")
     dbl = lambda c: F.col(c).cast("double")  # noqa: E731
     num = n * dbl("sxy") - dbl("sx") * dbl("sy")
@@ -78,8 +117,8 @@ def grouped_int_corr(
         F.round(num / (F.sqrt(denx) * F.sqrt(deny)), round_digits) + F.lit(0.0),
     ).cast("double")
     cov = (F.round(num / (n * n), round_digits) + F.lit(0.0)).cast("double")
-    return agg.select(
-        *(["grp"] if group_by else []),
+    return state.select(
+        *(["grp"] if grouped else []),
         "n_rows",
         corr.alias("corr_xy"),
         cov.alias("cov_xy"),

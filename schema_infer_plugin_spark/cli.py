@@ -457,6 +457,37 @@ def cmd_audit(args: argparse.Namespace) -> int:
     return 1 if (n_stale or n_gaps) else 0
 
 
+def cmd_vector_sanity(args: argparse.Namespace) -> int:
+    """Embedding-column gate: NULL / wrong-dim / NaN / Inf / zero-norm
+    vectors (checks/vector_sanity.py) — the pre-flight a scheduler runs
+    BEFORE an ANN index build or embedding-dedup pass is worth its scan.
+    Writes ``vector_violations/`` (row-level triage) and ``vector_stats/``
+    (one exact-count row) under --out; exits 1 when any vector fails."""
+    from schema_infer_plugin_spark.checks.vector_sanity import (
+        vector_sanity_stats,
+        vector_sanity_violations,
+    )
+    from schema_infer_plugin_spark.sources.io import load_table
+
+    spark = _spark()
+    df = load_table(spark, args.input, args.table)
+    dim = int(args.dim)
+    viol = vector_sanity_violations(df, args.id_col, args.vec_col, dim=dim)
+    viol.write.mode("overwrite").parquet(os.path.join(args.out, "vector_violations"))
+    stats = vector_sanity_stats(df, args.vec_col, dim=dim)
+    stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(args.out, "vector_stats")
+    )
+    row = spark.read.parquet(os.path.join(args.out, "vector_stats")).collect()[0]
+    n_bad = row["n_rows"] - row["n_ok"]
+    print(
+        f"rows={row['n_rows']} ok={row['n_ok']} null={row['n_null']}"
+        f" wrong_dim={row['n_wrong_dim']} nan={row['n_nan']}"
+        f" inf={row['n_inf']} zero={row['n_zero']}"
+    )
+    return 1 if n_bad else 0
+
+
 def cmd_index(args: argparse.Namespace) -> int:
     """Build + persist a search-index artifact (round-3 VERDICT #3): ``ivf``
     centroids / ``pq`` codebook over an embedding column, or the ``minhash``
@@ -649,6 +680,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--entropy-cols", default=None, help="comma-separated")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_audit)
+
+    p = sub.add_parser(
+        "vector-sanity",
+        help="embedding-column gate: NULL/dim/NaN/Inf/zero-norm violations "
+        "(exit 1 when any vector fails)",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--table", default="embeddings")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--dim", required=True, help="declared dimensionality (contract)")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_vector_sanity)
 
     p = sub.add_parser(
         "index",

@@ -276,3 +276,28 @@ def test_mix_cli_rejects_malformed_budgets(spark, tmp_path):
 
 def test_mix_cli_rejects_negative_budget(spark, tmp_path):
     assert main(["mix", "--input", SF, "--budgets", "src0=-5", "--out", str(tmp_path / "x")]) == 2
+
+
+def test_vector_sanity_cli(spark, tmp_path):
+    """Clean table exits 0; a corrupted copy (one NULL vector) exits 1 and
+    writes the violation row + exact stats."""
+    out = str(tmp_path / "vs_clean")
+    rc = main(["vector-sanity", "--input", SF, "--table", "embeddings",
+               "--dim", "64", "--out", out])
+    assert rc == 0
+    stats = spark.read.parquet(os.path.join(out, "vector_stats")).collect()[0]
+    assert stats["n_ok"] == stats["n_rows"] > 0
+
+    bad_dir = str(tmp_path / "tbl")
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(F.col("embedding")),
+    ).write.parquet(os.path.join(bad_dir, "embeddings.parquet"))
+    out2 = str(tmp_path / "vs_bad")
+    rc = main(["vector-sanity", "--input", bad_dir, "--table", "embeddings",
+               "--dim", "64", "--out", out2])
+    assert rc == 1
+    viol = spark.read.parquet(os.path.join(out2, "vector_violations")).collect()
+    assert [(r["check_name"], r["id"]) for r in viol] == [("vec_null", 0)]

@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 
 # ---------------------------------------------------------------------------
@@ -46,6 +47,37 @@ def test_corr_null_pairs_excluded(spark):
     row = grouped_int_corr(df, "x", "y").collect()[0]
     assert row["n_rows"] == 2  # only complete pairs
     assert row["corr_xy"] == 1.0
+
+
+def test_corr_partial_merge_exact(spark, tmp_path):
+    from schema_infer_plugin_spark.checks import (
+        grouped_int_corr,
+        grouped_int_corr_merge,
+        grouped_int_corr_partial,
+    )
+
+    rows = [("a" if i % 3 else "b", i, (i * 7) % 23) for i in range(200)]
+    df = spark.createDataFrame(rows, "g: string, x: long, y: long")
+    direct = {
+        r["grp"]: (r["n_rows"], r["corr_xy"], r["cov_xy"])
+        for r in grouped_int_corr(df, "x", "y", group_by="g").collect()
+    }
+    # 4-way split, partials persisted and re-read (the artifact path), merged
+    parts = [
+        grouped_int_corr_partial(
+            df.filter(F.col("x") % 4 == k), "x", "y", group_by="g"
+        )
+        for k in range(4)
+    ]
+    path = str(tmp_path / "corr_state")
+    parts[0].unionByName(parts[1]).unionByName(parts[2]).unionByName(
+        parts[3]
+    ).write.parquet(path)
+    merged = {
+        r["grp"]: (r["n_rows"], r["corr_xy"], r["cov_xy"])
+        for r in grouped_int_corr_merge(spark.read.parquet(path)).collect()
+    }
+    assert merged == direct  # bit-identical, not approximately equal
 
 
 def test_corr_single_exchange(spark):

@@ -5,6 +5,8 @@ from schema_infer_plugin_spark.streaming.incremental import (
     row_level_violations_stream,
     session_stats_stream,
     stateful_contiguity_stream,
+    stream_expr_violations,
+    stream_vector_sanity,
     validation_sink,
     windowed_violation_rates,
 )
@@ -14,6 +16,8 @@ __all__ = [
     "row_level_violations_stream",
     "session_stats_stream",
     "stateful_contiguity_stream",
+    "stream_expr_violations",
+    "stream_vector_sanity",
     "validation_sink",
     "windowed_violation_rates",
 ]

@@ -105,6 +105,24 @@ def stream_expr_violations(
     return expr_suite_violations(stream_df, rules, keys=keys)
 
 
+def stream_vector_sanity(
+    stream_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+) -> DataFrame:
+    """Streaming face of the embedding sanity check (checks/vector_sanity.
+    vector_sanity_violations): like the expression suite, the check is a
+    PURE PROJECTION (per-rule CASE structs → filter → explode over built-in
+    higher-order functions), so it applies to a streaming frame unchanged —
+    no state, no watermark, append mode; an embedding ingest pipeline gets
+    per-vector NULL/dim/NaN/Inf/zero-norm violations as they arrive, and the
+    cumulative stream output is row-identical to the batch run."""
+    from ..checks.vector_sanity import vector_sanity_violations
+
+    return vector_sanity_violations(stream_df, id_col, vec_col, dim=dim)
+
+
 def validation_sink(
     stream_df: DataFrame,
     out_dir: str,

@@ -323,3 +323,46 @@ def test_profile_partial_stream_merges_to_batch_profile(spark, tmp_path):
         if gq is not None:
             for g, w in zip(gq, wq):
                 assert abs(g - w) <= 0.1 * max(abs(w), 1.0), (c, gq, wq)
+
+
+def test_vector_sanity_stream_matches_batch(spark, tmp_path):
+    """Stateless projection ⇒ the streamed violation set is row-identical to
+    the batch run over the same staged vectors."""
+    from schema_infer_plugin_spark.checks.vector_sanity import (
+        vector_sanity_violations,
+    )
+    from schema_infer_plugin_spark.streaming.incremental import stream_vector_sanity
+
+    src = str(tmp_path / "vin")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # corrupt deterministically so every rule fires at least once
+    nan = F.lit(float("nan")).cast("float")
+    bad = emb.select(
+        "vec_id",
+        F.when(F.col("vec_id") % 11 == 0, F.lit(None))
+        .when(F.col("vec_id") % 7 == 0, F.slice("embedding", 1, 60))
+        .when(F.col("vec_id") % 5 == 0,
+              F.concat(F.array(nan), F.slice("embedding", 2, 63)))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    bad.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).parquet(src)
+    out = str(tmp_path / "vout")
+    q = (
+        stream_vector_sanity(stream, "vec_id", "embedding", dim=64)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "vckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    want = vector_sanity_violations(
+        spark.read.parquet(src), "vec_id", "embedding", dim=64
+    )
+    assert got.count() == want.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0

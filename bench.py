@@ -142,6 +142,9 @@ def run_bench(
         "dup_ngram_rate",
         "tfidf_top_terms",
         "split_leakage",
+        "vector_sanity",
+        "transcripts_corr",
+        "conv_boundary_roles",
     ):
         timed(name, lambda name=name: q[name](spark, sf_dir).count())
 

@@ -8,7 +8,11 @@ check is one declarative plan with an explicit scale posture documented per
 module.
 """
 
-from .alternation import role_alternation_violations, role_transition_matrix  # noqa: F401
+from .alternation import (  # noqa: F401
+    role_alternation_violations,
+    role_transition_matrix,
+    transition_self_drift,
+)
 from .custom import expr_suite_violations  # noqa: F401
 from .uniqueness import uniqueness_violations  # noqa: F401
 from .contiguity import contiguity_violations  # noqa: F401

@@ -59,6 +59,70 @@ def role_transition_matrix(df: DataFrame) -> DataFrame:
     )
 
 
+def transition_self_drift(
+    df: DataFrame,
+    ts_col: str = "ts",
+    approx: bool = True,
+) -> DataFrame:
+    """Zero-config drift of the TRANSITION distribution: does the
+    (prev_role → role) structure differ between the data's earlier and later
+    half? The sequence-level companion to checks/drift.temporal_self_drift —
+    every per-column histogram can stay flat while the conversational
+    protocol shifts (e.g. tool-chains lengthen, assistant double-turns
+    appear after a producer redeploy); the transition matrix IS that
+    protocol's distribution, and this check diffs it against itself in time.
+
+    Each transition is an event stamped with the ts of its COMPLETING turn
+    (the later one); conversation openers (no previous turn) are excluded —
+    they carry no transition information. The split point is the exact /
+    approx median of the transition timestamps (same opt-in convention as
+    temporal_self_drift); a NULL completing ts sorts into the earlier half
+    (epoch treated as −inf, consistent with the NULLS FIRST turn order).
+
+    Plan: ONE lag window over the conv_id exchange (zero on a bucketed
+    table) → median agg broadcast as one row → per-half hash agg over the
+    ≤|roles|²-bounded transition buckets → drift terms on the joined tiny
+    frames. Output: drift_stats rows with bucket = 'prev->role'.
+    """
+    from .drift import drift_stats, histogram
+
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc(),
+        F.col(ts_col).asc_nulls_first(),
+        F.col("role").asc_nulls_first(),
+    )
+    neg_inf = -(1 << 62)
+    trans = (
+        df.select(
+            F.row_number().over(w).alias("_rn"),
+            F.lag("role").over(w).alias("_prev"),
+            F.col("role").alias("_role"),
+            F.coalesce(
+                F.unix_micros(F.col(ts_col).cast("timestamp")), F.lit(neg_inf)
+            ).alias("_ts_us"),
+        )
+        .filter(F.col("_rn") > 1)
+        .select(
+            F.concat(
+                F.coalesce(F.col("_prev"), F.lit("<null>")),
+                F.lit("->"),
+                F.coalesce(F.col("_role"), F.lit("<null>")),
+            ).alias("bucket"),
+            "_ts_us",
+        )
+    )
+    med_expr = (
+        F.percentile_approx("_ts_us", F.lit(0.5))
+        if approx
+        else F.percentile("_ts_us", F.lit(0.5))
+    )
+    med = trans.agg(med_expr.alias("_med"))
+    with_med = trans.crossJoin(F.broadcast(med))
+    base = histogram(with_med.filter(F.col("_ts_us") < F.col("_med")), "bucket")
+    cur = histogram(with_med.filter(F.col("_ts_us") >= F.col("_med")), "bucket")
+    return drift_stats(cur, base)
+
+
 def role_alternation_violations(df: DataFrame) -> DataFrame:
     """One violation per turn whose role repeats the previous turn's role
     (both non-null, neither 'tool'), ordered by (turn_idx, ts nulls first)."""

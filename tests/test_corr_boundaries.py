@@ -180,3 +180,45 @@ def test_boundaries_empty_sets_raise(spark):
     df = _tdf(spark, [("c1", 0, "user", dt.datetime(2024, 1, 1))])
     with pytest.raises(ValueError):
         conv_boundary_violations(df, allowed_first=())
+
+
+# ---------------------------------------------------------------------------
+# transition_self_drift
+# ---------------------------------------------------------------------------
+
+
+def test_transition_drift_model(spark):
+    import datetime as dt
+
+    from schema_infer_plugin_spark.checks import transition_self_drift
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    # conv a (early): user->assistant, assistant->user transitions at h=1,2
+    # conv b (late): user->tool, tool->tool at h=11,12 — protocol shift
+    rows = [
+        ("a", 0, "user", t(0)),
+        ("a", 1, "assistant", t(1)),
+        ("a", 2, "user", t(2)),
+        ("b", 0, "user", t(10)),
+        ("b", 1, "tool", t(11)),
+        ("b", 2, "tool", t(12)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id: string, turn_idx: int, role: string, ts: timestamp_ntz"
+    )
+    out = {r["bucket"]: r for r in transition_self_drift(df, approx=False).collect()}
+    # 4 transitions (openers excluded); median ts splits 2/2
+    assert set(out) == {"user->assistant", "assistant->user", "user->tool", "tool->tool"}
+    assert sum(r["freq_base"] for r in out.values()) == 1.0
+    assert sum(r["freq_cur"] for r in out.values()) == 1.0
+    # early-only buckets have freq_cur 0, late-only have freq_base 0
+    assert out["user->assistant"]["freq_cur"] == 0.0
+    assert out["tool->tool"]["freq_base"] == 0.0
+    # identical halves -> zero drift everywhere
+    sym = spark.createDataFrame(
+        [("a", 0, "user", t(0)), ("a", 1, "assistant", t(1)),
+         ("b", 0, "user", t(10)), ("b", 1, "assistant", t(11))],
+        "conv_id: string, turn_idx: int, role: string, ts: timestamp_ntz",
+    )
+    for r in transition_self_drift(sym, approx=False).collect():
+        assert abs(r["psi_term"]) < 1e-9 and abs(r["js_term"]) < 1e-9

@@ -39,6 +39,7 @@ BOUNDED_BROADCAST_CROSS = {
     "infer_role_domain",     # single-row non-null-total frame over ≤ max_values rows
     "value_histogram_equidepth",  # single-row quantile-edges frame (checks/drift.py)
     "temporal_self_drift",   # single-row median-ts frame (checks/drift.py)
+    "role_transition_drift",  # single-row median-transition-ts frame (alternation.py)
     "bm25_search",           # single-row corpus-stats frame (datapipe/retrieval.py)
     "wasserstein_value_drift",  # single-row (lo, hi) bounds frame (checks/ksdrift.py)
     "hybrid_search_rrf",     # BM25 leg's single-row corpus-stats frame (retrieval.py)

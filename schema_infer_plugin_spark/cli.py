@@ -604,6 +604,56 @@ def cmd_profile_merge(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_profile_diff(args: argparse.Namespace) -> int:
+    """Period-over-period drift from persisted PARTIAL-profile artifacts
+    alone — zero input rescans: merge each side (profile_merge), emit
+    schema-evolution verdicts (plans/compare.profile_compare: OK/WARN/
+    BREAKING) plus IQR-normalized quantile-shift verdicts
+    (quantile_drift_verdicts, KLL estimates — threshold-gated, not exact).
+    Writes ``compare/`` and ``quantile_drift/`` under --out; exits 1 on any
+    BREAKING column or failed quantile shift."""
+    from functools import reduce
+
+    from schema_infer_plugin_spark.operators.profile_partial import profile_merge
+    from schema_infer_plugin_spark.plans.compare import (
+        profile_compare,
+        quantile_drift_verdicts,
+    )
+
+    spark = _spark()
+
+    def merged(paths: str, run_id: str):
+        parts = reduce(
+            lambda a, b: a.unionByName(b),
+            (spark.read.parquet(p) for p in paths.split(",")),
+        )
+        return profile_merge(parts, run_id=run_id)
+
+    cur = merged(args.current, "cur")
+    base = merged(args.baseline, "base")
+    comp = profile_compare(cur, base)
+    comp.coalesce(1).write.mode("overwrite").parquet(os.path.join(args.out, "compare"))
+    qd = quantile_drift_verdicts(
+        cur, base, shift_threshold=float(args.shift_threshold)
+    )
+    qd.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(args.out, "quantile_drift")
+    )
+    comp_rows = spark.read.parquet(os.path.join(args.out, "compare")).collect()
+    qd_rows = spark.read.parquet(os.path.join(args.out, "quantile_drift")).collect()
+    n_breaking = sum(1 for r in comp_rows if r["verdict"] == "BREAKING")
+    n_shifted = sum(1 for r in qd_rows if not r["pass"])
+    for r in sorted(comp_rows, key=lambda r: (r["partition_key"], r["col_name"])):
+        print(f"{r['partition_key']}/{r['col_name']}: {r['verdict']}")
+    for r in sorted(qd_rows, key=lambda r: (r["partition_key"], r["col_name"])):
+        print(
+            f"{r['partition_key']}/{r['col_name']}: quantile_shift="
+            f"{r['max_shift']:.4f} {'OK' if r['pass'] else 'FAIL'}"
+        )
+    print(f"breaking={n_breaking} quantile_shifts={n_shifted}")
+    return 1 if (n_breaking or n_shifted) else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="schema-infer-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -750,6 +800,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", default="merged")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_profile_merge)
+
+    p = sub.add_parser(
+        "profile-diff",
+        help="schema + quantile drift between two partial-profile artifacts "
+        "(no input rescans; exit 1 on BREAKING or shifted)",
+    )
+    p.add_argument("--current", required=True, help="comma-separated artifact paths")
+    p.add_argument("--baseline", required=True, help="comma-separated artifact paths")
+    p.add_argument("--shift-threshold", default="0.25")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_profile_diff)
 
     p = sub.add_parser("version")
     p.set_defaults(fn=lambda a: (print(f"schema-infer-spark {ENGINE_VERSION}"), 0)[1])

@@ -123,3 +123,66 @@ def profile_compare(
         "distinct_cur",
         verdict.alias("verdict"),
     )
+
+
+def quantile_drift_verdicts(
+    current: DataFrame,
+    baseline: DataFrame,
+    shift_threshold: float = 0.25,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Numeric-SHIFT verdicts from two :func:`~..operators.profile_partial.
+    profile_merge` outputs — the quantile companion to :func:`profile_compare`,
+    and the last leg of the artifacts-only drift composition: period-over-
+    period numeric drift ("did turn lengths shift this week?") answered from
+    persisted partial-profile rows alone, ZERO input rescans.
+
+    Metric: each of the merged [p25, p50, p75] quantiles, shifted by
+    ``|q_cur − q_base| / max(IQR_base, eps)`` — IQR-normalized so the verdict
+    is scale-free; ``max_shift`` is the worst of the three and the row FAILS
+    when it exceeds ``shift_threshold``. A constant baseline (IQR 0) falls
+    back to the raw |Δ| against eps, i.e. any movement fails — a constant
+    column that starts moving is exactly the shift worth flagging.
+
+    CAVEAT (by design, same posture as ``distinct_approx``): the merged
+    quantiles are KLL ESTIMATES within the sketch's rank-error bound, so this
+    check is a pytest-bounded operator, NOT a cross-engine-exact one — keep
+    ``shift_threshold`` comfortably above the sketch noise (the default 0.25
+    is ~10x the k=200 rank error on smooth distributions) and out of
+    hash-exact driver comparisons.
+
+    Plan: a join of two artifact-sized frames on (partition_key, column) —
+    columns with quantiles on only one side (added/removed/non-numeric) are
+    excluded here; :func:`profile_compare` already reports those. Output:
+    (partition_key, col_name, q_base, q_cur, max_shift, pass).
+    """
+    if shift_threshold <= 0:
+        raise ValueError(
+            f"quantile_drift_verdicts: shift_threshold must be > 0: {shift_threshold}"
+        )
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            "partition_key",
+            F.col("column").alias("col_name"),
+            F.col("quantiles").alias(f"q_{tag}"),
+        ).filter(F.col(f"q_{tag}").isNotNull())
+
+    j = side(current, "cur").join(
+        side(baseline, "base"), on=["partition_key", "col_name"], how="inner"
+    )
+    iqr = F.col("q_base")[2] - F.col("q_base")[0]
+    denom = F.greatest(iqr, F.lit(eps))
+    shifts = F.transform(
+        F.sequence(F.lit(0), F.lit(2)),
+        lambda i: F.abs(F.col("q_cur")[i] - F.col("q_base")[i]) / denom,
+    )
+    max_shift = F.array_max(shifts)
+    return j.select(
+        "partition_key",
+        "col_name",
+        "q_base",
+        "q_cur",
+        max_shift.cast("double").alias("max_shift"),
+        (max_shift <= F.lit(shift_threshold)).alias("pass"),
+    )

@@ -301,3 +301,29 @@ def test_vector_sanity_cli(spark, tmp_path):
     assert rc == 1
     viol = spark.read.parquet(os.path.join(out2, "vector_violations")).collect()
     assert [(r["check_name"], r["id"]) for r in viol] == [("vec_null", 0)]
+
+
+def test_profile_diff_cli(spark, tmp_path):
+    """profile-diff: drift verdicts from persisted partial artifacts alone —
+    identical periods exit 0, a shifted numeric column exits 1 via the
+    quantile-shift gate."""
+    from pyspark.sql import functions as F
+
+    from schema_infer_plugin_spark.operators.profile_partial import profile_partial
+
+    base_df = spark.range(2_000).select(
+        (F.col("id") % 100).cast("double").alias("x"),
+        F.concat(F.lit("s"), F.col("id") % 7).alias("s"),
+    )
+    shifted_df = base_df.withColumn("x", F.col("x") + 1_000.0)
+    a = str(tmp_path / "a"); b = str(tmp_path / "b"); c = str(tmp_path / "c")
+    profile_partial(base_df, ["x", "s"], run_id="a").write.parquet(a)
+    profile_partial(base_df, ["x", "s"], run_id="b").write.parquet(b)
+    profile_partial(shifted_df, ["x", "s"], run_id="c").write.parquet(c)
+
+    assert main(["profile-diff", "--current", b, "--baseline", a,
+                 "--out", str(tmp_path / "calm")]) == 0
+    assert main(["profile-diff", "--current", c, "--baseline", a,
+                 "--out", str(tmp_path / "moved")]) == 1
+    qd = spark.read.parquet(str(tmp_path / "moved" / "quantile_drift")).collect()
+    assert [r["col_name"] for r in qd] == ["x"] and not qd[0]["pass"]

@@ -352,3 +352,35 @@ def test_mix_temperature_quotas_and_determinism(spark):
         mix_temperature_sample(
             df.withColumn("source", F.lit(None).cast("string")), 0.5, 10
         )
+
+
+def test_quantile_drift_from_merged_partials(spark):
+    """plans/compare.quantile_drift_verdicts: numeric-shift verdicts from two
+    profile_merge outputs alone (zero rescans) — a large shift fails, an
+    identical period passes, non-numeric columns are excluded."""
+    from schema_infer_plugin_spark.plans.compare import quantile_drift_verdicts
+
+    base_df = spark.range(2_000).select(
+        F.col("id").alias("rid"),
+        (F.col("id") % 100).cast("double").alias("x"),
+        F.concat(F.lit("s"), F.col("id") % 7).alias("s"),
+    )
+    shifted_df = base_df.withColumn("x", F.col("x") + 1_000.0)
+
+    cols = ["x", "s"]
+    base = profile_merge(profile_partial(base_df, cols, run_id="base"))
+    same = profile_merge(profile_partial(base_df, cols, run_id="same"))
+    cur = profile_merge(profile_partial(shifted_df, cols, run_id="cur"))
+
+    moved = {r["col_name"]: r for r in quantile_drift_verdicts(cur, base).collect()}
+    assert set(moved) == {"x"}  # string column has NULL quantiles -> excluded
+    assert moved["x"]["pass"] is False and moved["x"]["max_shift"] > 1.0
+
+    calm = {r["col_name"]: r for r in quantile_drift_verdicts(same, base).collect()}
+    # same data, same sketch inputs -> estimates well under the threshold
+    assert calm["x"]["pass"] is True and calm["x"]["max_shift"] < 0.25
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        quantile_drift_verdicts(cur, base, shift_threshold=0.0)

@@ -11,6 +11,8 @@ module.
 from .alternation import (  # noqa: F401
     role_alternation_violations,
     role_transition_matrix,
+    transition_buckets,
+    transition_histogram,
     transition_self_drift,
 )
 from .custom import expr_suite_violations  # noqa: F401

@@ -59,6 +59,52 @@ def role_transition_matrix(df: DataFrame) -> DataFrame:
     )
 
 
+def transition_buckets(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """One row per adjacent-turn transition: (bucket = 'prev->role', _ts_us).
+
+    The shared core of :func:`transition_self_drift` and the persisted
+    transition drift baseline (plans/runner.write_histograms): openers
+    (no previous turn) are excluded — they carry no transition information;
+    a NULL ts maps to −inf epoch, consistent with the NULLS FIRST turn
+    order. One lag window over the conv_id exchange (zero on a bucketed
+    table)."""
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc(),
+        F.col(ts_col).asc_nulls_first(),
+        F.col("role").asc_nulls_first(),
+    )
+    neg_inf = -(1 << 62)
+    return (
+        df.select(
+            F.row_number().over(w).alias("_rn"),
+            F.lag("role").over(w).alias("_prev"),
+            F.col("role").alias("_role"),
+            F.coalesce(
+                F.unix_micros(F.col(ts_col).cast("timestamp")), F.lit(neg_inf)
+            ).alias("_ts_us"),
+        )
+        .filter(F.col("_rn") > 1)
+        .select(
+            F.concat(
+                F.coalesce(F.col("_prev"), F.lit("<null>")),
+                F.lit("->"),
+                F.coalesce(F.col("_role"), F.lit("<null>")),
+            ).alias("bucket"),
+            "_ts_us",
+        )
+    )
+
+
+def transition_histogram(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Relative-frequency histogram of the transition distribution —
+    (bucket, freq), the persistable drift BASELINE form (what
+    write_histograms stores as the pseudo-column ``__transitions__`` and
+    run_drift compares against with PSI/KL/JS)."""
+    from .drift import histogram
+
+    return histogram(transition_buckets(df, ts_col), "bucket")
+
+
 def transition_self_drift(
     df: DataFrame,
     ts_col: str = "ts",
@@ -86,31 +132,7 @@ def transition_self_drift(
     """
     from .drift import drift_stats, histogram
 
-    w = Window.partitionBy("conv_id").orderBy(
-        F.col("turn_idx").asc(),
-        F.col(ts_col).asc_nulls_first(),
-        F.col("role").asc_nulls_first(),
-    )
-    neg_inf = -(1 << 62)
-    trans = (
-        df.select(
-            F.row_number().over(w).alias("_rn"),
-            F.lag("role").over(w).alias("_prev"),
-            F.col("role").alias("_role"),
-            F.coalesce(
-                F.unix_micros(F.col(ts_col).cast("timestamp")), F.lit(neg_inf)
-            ).alias("_ts_us"),
-        )
-        .filter(F.col("_rn") > 1)
-        .select(
-            F.concat(
-                F.coalesce(F.col("_prev"), F.lit("<null>")),
-                F.lit("->"),
-                F.coalesce(F.col("_role"), F.lit("<null>")),
-            ).alias("bucket"),
-            "_ts_us",
-        )
-    )
+    trans = transition_buckets(df, ts_col)
     med_expr = (
         F.percentile_approx("_ts_us", F.lit(0.5))
         if approx

@@ -316,6 +316,18 @@ def write_histograms(
             .write.mode("overwrite")
             .parquet(os.path.join(hist_dir, c))
         )
+    # sequence-structure baseline: the (prev_role -> role) transition
+    # distribution as a pseudo-column — run_drift diffs it with the same
+    # PSI/KL/JS machinery (checks/alternation.transition_histogram)
+    from schema_infer_plugin_spark.checks.alternation import transition_histogram
+
+    (
+        transition_histogram(transcripts)
+        .withColumn("column", F.lit("__transitions__"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(os.path.join(hist_dir, "__transitions__"))
+    )
     num_dir = os.path.join(out_dir, "histograms_numeric")
     # explicit [] means "no numeric baselines" — only None takes the default
     for c in NUMERIC_DRIFT_COLUMNS if numeric_columns is None else numeric_columns:
@@ -381,6 +393,28 @@ def run_drift(
         rows.append(
             (
                 f"drift_{c}",
+                float(agg["psi"]) <= psi_threshold,
+                {"psi": float(agg["psi"]), "kl": float(agg["kl"]), "js": float(agg["js"])},
+            )
+        )
+    # sequence-structure drift: the persisted transition distribution vs the
+    # current one (lenient like the numeric leg — a baseline run that
+    # predates transition baselines is skipped, never failed)
+    tpath = os.path.join(baseline_dir, "histograms", "__transitions__")
+    try:
+        tbase = spark.read.parquet(tpath).drop("column")
+    except Exception:
+        tbase = None
+    if tbase is not None:
+        from schema_infer_plugin_spark.checks.alternation import transition_histogram
+
+        agg = drift_stats(transition_histogram(transcripts), tbase).agg(
+            F.sum("psi_term").alias("psi"), F.sum("kl_term").alias("kl"),
+            F.sum("js_term").alias("js"),
+        ).collect()[0]
+        rows.append(
+            (
+                "drift_transitions",
                 float(agg["psi"]) <= psi_threshold,
                 {"psi": float(agg["psi"]), "kl": float(agg["kl"]), "js": float(agg["js"])},
             )

@@ -18,12 +18,15 @@ def test_drift_pass_self_vs_shifted(spark, tmp_path):
         base_out = str(tmp_path / "base")
         write_histograms(spark, t, base_out, ["role", "tool"])
 
-        # same data vs itself: PSI ~ 0 -> pass
+        # same data vs itself: PSI ~ 0 -> pass (incl. the transition-matrix
+        # pseudo-column persisted beside the per-column histograms)
         out1 = str(tmp_path / "r1")
         v = run_drift(spark, t, out1, base_out, run_id="r1")
         rows = {r["check_name"]: r for r in v.collect()}
         assert rows["drift_role"]["pass"] and rows["drift_tool"]["pass"]
         assert abs(rows["drift_role"]["metrics"]["psi"]) < 1e-9
+        assert rows["drift_transitions"]["pass"]
+        assert abs(rows["drift_transitions"]["metrics"]["psi"]) < 1e-9
 
         # assistant-heavy slice vs full baseline: role distribution shifts -> fail
         shifted = t.filter(
@@ -34,6 +37,8 @@ def test_drift_pass_self_vs_shifted(spark, tmp_path):
         rows2 = {r["check_name"]: r for r in v2.collect()}
         assert not rows2["drift_role"]["pass"]
         assert rows2["drift_role"]["metrics"]["psi"] > 0.2
+        # the role shift reshapes adjacency too: transition drift must see it
+        assert rows2["drift_transitions"]["metrics"]["psi"] > 0.2
 
         # resume: second call served from disk (ledger short-circuit)
         v3 = run_drift(spark, shifted, out2, base_out, run_id="r2")

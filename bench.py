@@ -145,6 +145,9 @@ def run_bench(
         "vector_sanity",
         "transcripts_corr",
         "conv_boundary_roles",
+        "role_transition_matrix",
+        "role_transition_drift",
+        "expr_suite",
     ):
         timed(name, lambda name=name: q[name](spark, sf_dir).count())
 

@@ -499,6 +499,25 @@ def cmd_index(args: argparse.Namespace) -> int:
 
     spark = _spark()
     df = load_table(spark, args.input, args.table)
+    if args.pre_check_dim is not None and args.kind in ("ivf", "pq"):
+        # fail BEFORE the expensive train pass: a corrupt embedding column
+        # would otherwise bake NaN/short vectors into the persisted artifact
+        from schema_infer_plugin_spark.checks.vector_sanity import (
+            vector_sanity_stats,
+        )
+
+        row = vector_sanity_stats(
+            df, args.vec_col, dim=int(args.pre_check_dim)
+        ).collect()[0]
+        n_bad = row["n_rows"] - row["n_ok"]
+        if n_bad:
+            print(
+                f"index: pre-check FAILED — {n_bad}/{row['n_rows']} bad vectors"
+                f" (null={row['n_null']} wrong_dim={row['n_wrong_dim']}"
+                f" nan={row['n_nan']} inf={row['n_inf']} zero={row['n_zero']});"
+                " run vector-sanity for the row-level triage"
+            )
+            return 1
     manifest = build_vector_index(
         df,
         args.id_col,
@@ -762,6 +781,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--n-codes", default="8", help="pq: codewords per block")
     p.add_argument("--num-hashes", default="16", help="minhash: signature length")
     p.add_argument("--bands", default="4", help="minhash: LSH bands")
+    p.add_argument("--pre-check-dim", default=None,
+                   help="ivf/pq: run the vector-sanity gate at this declared "
+                   "dim before training; abort (exit 1) on any bad vector")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_index)
 

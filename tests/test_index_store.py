@@ -213,3 +213,37 @@ def test_build_ivf_index_with_refinement_roundtrips(spark, tmp_path):
         assert len(lv) == len(dv)
         for a, b in zip(lv, dv):
             assert abs(a - b) <= 1e-9 * max(1.0, abs(b))
+
+
+def test_cli_index_pre_check_gate(tmp_path, spark):
+    """--pre-check-dim aborts an ivf/pq build on a corrupt embedding column
+    BEFORE training; a clean table passes the gate and builds normally."""
+    from pyspark.sql import functions as F
+
+    from schema_infer_plugin_spark.cli import main
+
+    ok_out = str(tmp_path / "gated_ok")
+    rc = main(
+        ["index", "--input", "/root/testdata/sf0.001", "--table", "embeddings",
+         "--kind", "ivf", "--n-cells", "4", "--pre-check-dim", "64",
+         "--out", ok_out]
+    )
+    assert rc == 0 and load_ivf_centroids(spark, ok_out)
+
+    bad_dir = str(tmp_path / "tbl")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 50 == 0, F.slice("embedding", 1, 10))
+        .otherwise(F.col("embedding")),
+    ).write.parquet(bad_dir + "/embeddings.parquet")
+    bad_out = str(tmp_path / "gated_bad")
+    rc = main(
+        ["index", "--input", bad_dir, "--table", "embeddings",
+         "--kind", "ivf", "--n-cells", "4", "--pre-check-dim", "64",
+         "--out", bad_out]
+    )
+    assert rc == 1
+    import os as _os
+
+    assert not _os.path.exists(bad_out)  # nothing trained, nothing persisted

@@ -419,6 +419,52 @@ FROM j
 )
 
 
+#: transition whitelist for the transition-domain query — the legal protocol
+#: edges; everything else (moderator edges, double-turns, system
+#: mid-conversation) becomes a typed violation. Shared by the Spark query and
+#: the oracle text below.
+_ALLOWED_TRANSITIONS = [
+    "user->assistant",
+    "assistant->user",
+    "assistant->tool",
+    "tool->assistant",
+    "tool->tool",
+    "system->user",
+]
+
+
+def q_role_transition_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-declared transition whitelist (checks/alternation.
+    transition_domain_violations): one violation per adjacent-turn
+    (prev_role → role) edge outside the declared legal set — the DOMAIN
+    constraint over the protocol's edge set that role_transition_matrix
+    profiles. One lag window on the conv_id exchange (zero on a bucketed
+    table), output ∝ violations; wired into run_validation additively via
+    validation.allowed_transitions."""
+    from schema_infer_plugin_spark.checks import transition_domain_violations
+
+    return _viol(
+        transition_domain_violations(_transcripts(spark, sf_dir), _ALLOWED_TRANSITIONS)
+    )
+
+
+ORACLE_TRANSITION_DOMAIN = oracle_cte(
+    f"""
+SELECT 'role_transition_domain' AS check_name, conv_id, turn_idx,
+       'role' AS col_name, concat(prev_role, '->', role) AS observed,
+       'in {{{",".join(sorted(set(_ALLOWED_TRANSITIONS)))}}}' AS expected
+FROM (
+  SELECT conv_id, turn_idx, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
+                         ts ASC NULLS FIRST, role ASC NULLS FIRST) AS prev_role
+  FROM transcripts)
+WHERE role IS NOT NULL AND prev_role IS NOT NULL
+  AND concat(prev_role, '->', role) NOT IN
+      ({",".join("'" + a + "'" for a in sorted(set(_ALLOWED_TRANSITIONS)))})
+"""
+)
+
+
 #: shared rule suite for the batch AND streaming custom-constraint queries —
 #: both must satisfy the same oracle SQL.
 _EXPR_RULES = [
@@ -4713,6 +4759,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "transcripts_corr": (q_transcripts_corr, ORACLE_TRANSCRIPTS_CORR),
     "conv_boundary_roles": (q_conv_boundaries, ORACLE_CONV_BOUNDARIES),
     "role_transition_drift": (q_role_transition_drift, ORACLE_TRANSITION_DRIFT),
+    "role_transition_domain": (q_role_transition_domain, ORACLE_TRANSITION_DOMAIN),
     "expr_suite": (q_expr_suite, ORACLE_EXPR_SUITE),
     "expr_suite_stream": (q_expr_suite_stream, ORACLE_EXPR_SUITE),
     "violations_triage": (q_violations_triage, ORACLE_VIOLATIONS_TRIAGE),
@@ -4799,6 +4846,7 @@ _R5_WINDOW = [
     "transcripts_corr",
     "conv_boundary_roles",
     "role_transition_drift",
+    "role_transition_domain",
     "dup_ngram_rate",
     "role_transition_matrix",
     "tfidf_top_terms",
@@ -4847,7 +4895,6 @@ _R5_WINDOW = [
     "transcripts_role_alternation",
     "violations_triage",
     "transcripts_ts_monotonic",
-    "transcripts_verdicts",
 ]
 
 

@@ -12,6 +12,7 @@ from .alternation import (  # noqa: F401
     role_alternation_violations,
     role_transition_matrix,
     transition_buckets,
+    transition_domain_violations,
     transition_histogram,
     transition_self_drift,
 )

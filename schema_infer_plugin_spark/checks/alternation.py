@@ -145,6 +145,65 @@ def transition_self_drift(
     return drift_stats(cur, base)
 
 
+def transition_domain_violations(
+    df: DataFrame, allowed: "list[str] | tuple[str, ...]"
+) -> DataFrame:
+    """Config-declared transition whitelist: one violation per adjacent-turn
+    (prev_role → role) pair outside ``allowed`` — the DOMAIN check over the
+    protocol's edge set, generalizing :func:`role_alternation_violations`
+    (which forbids exactly the repeat edges) to an arbitrary declared machine
+    ("tool may only follow assistant", "system never mid-conversation", …).
+    The matrix (:func:`role_transition_matrix`) profiles the distribution;
+    this emits the typed violation slice against a declared legal set —
+    the same profile/constraint pairing as domains vs infer_domain.
+
+    ``allowed``: 'prev->next' strings (both sides non-empty). Ordering is the
+    engine's stable turn order (turn_idx, ts NULLS FIRST, role) so prev_role
+    is deterministic on full duplicate rows in both engines. Conversation
+    openers carry no transition (prev NULL ⇒ skipped); NULL roles are the
+    null check's job, not this one's — both sides must be non-null to form a
+    judgeable edge.
+
+    Plan: ONE lag window over the conv_id exchange (zero exchanges on a
+    conv_id-bucketed table) → pure filter; output ∝ violations. The whitelist
+    is |roles|²-bounded, inlined as an isin literal list.
+    """
+    allowed = sorted(set(allowed))
+    if not allowed:
+        raise ValueError("transition_domain_violations: allowed set must be non-empty")
+    for a in allowed:
+        head, sep, tail = a.partition("->")
+        if not sep or not head or not tail:
+            raise ValueError(
+                f"transition_domain_violations: entries must be 'prev->next': {a!r}"
+            )
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc(),
+        F.col("ts").asc_nulls_first(),
+        F.col("role").asc_nulls_first(),
+    )
+    expected = "in {" + ",".join(allowed) + "}"
+    pair = F.concat(F.col("prev_role"), F.lit("->"), F.col("role"))
+    return (
+        df.select(
+            "conv_id", "turn_idx", "role", F.lag("role").over(w).alias("prev_role")
+        )
+        .filter(
+            F.col("role").isNotNull()
+            & F.col("prev_role").isNotNull()
+            & ~pair.isin(*allowed)
+        )
+        .select(
+            F.lit("role_transition_domain").alias("check_name"),
+            F.col("conv_id"),
+            F.col("turn_idx"),
+            F.lit("role").alias("column"),
+            pair.alias("observed"),
+            F.lit(expected).alias("expected"),
+        )
+    )
+
+
 def role_alternation_violations(df: DataFrame) -> DataFrame:
     """One violation per turn whose role repeats the previous turn's role
     (both non-null, neither 'tool'), ordered by (turn_idx, ts nulls first)."""

@@ -196,6 +196,10 @@ class ValidationConfig:
     #: Half-set pairs are a config error, not a silent skip.
     boundary_first_roles: list[str] = field(default_factory=list)
     boundary_last_roles: list[str] = field(default_factory=list)
+    #: transition whitelist (checks/alternation.transition_domain_violations):
+    #: 'prev->next' pairs; runs only when non-empty (opt-in). Comma-separated
+    #: env form is accepted ('user->assistant,assistant->user').
+    allowed_transitions: list[str] = field(default_factory=list)
 
     def validate(self) -> None:
         if self.n_buckets < 1:
@@ -225,6 +229,13 @@ class ValidationConfig:
                 "validation.boundary_first_roles and boundary_last_roles must be"
                 " set together (the boundary check needs both ends of the rule)"
             )
+        for a in self.allowed_transitions:
+            head, sep, tail = a.partition("->")
+            if not sep or not head or not tail:
+                raise ConfigError(
+                    "validation.allowed_transitions entries must be"
+                    f" 'prev->next' with both sides non-empty: {a!r}"
+                )
 
 
 @dataclass

@@ -84,6 +84,7 @@ def run_validation(
     bucket_rows: dict[str, int] | None = None,
     custom_rules: list | None = None,
     boundary_roles: tuple[list[str], list[str]] | None = None,
+    allowed_transitions: list[str] | None = None,
 ) -> dict:
     """Pass B over ``transcripts`` with bucket-level checkpoint-resume.
 
@@ -101,6 +102,11 @@ def run_validation(
     grid), deliberately NOT folded into the fused plan (its window set and
     verdict grid are pinned by tests/test_plans.py).
 
+    ``allowed_transitions``: 'prev->next' whitelist for the transition-domain
+    check (checks/alternation.transition_domain_violations) — same additive
+    posture (one extra scan + lag window per batch when present;
+    role_transition_domain joins the verdict grid).
+
     Returns summary metrics. ``fail_after_batches`` injects a crash after that
     many completed batches (tests prove resumability with it). Domains default
     to the schema constants; a config file overrides them (config.py).
@@ -117,6 +123,8 @@ def run_validation(
     (e.g. Iceberg ``bucket(N, conv_id)`` Murmur3) would prune live buckets."""
     custom_rules = list(custom_rules or [])
     boundary_checks = ["conv_start_role", "conv_end_role"] if boundary_roles else []
+    if allowed_transitions:
+        boundary_checks = boundary_checks + ["role_transition_domain"]
     clash = {r[0] for r in custom_rules} & set(CHECK_NAMES + boundary_checks)
     if clash:
         raise ValueError(f"custom rule names collide with built-in checks: {sorted(clash)}")
@@ -186,6 +194,14 @@ def run_validation(
                 conv_boundary_violations(
                     part, tuple(boundary_roles[0]), tuple(boundary_roles[1])
                 )
+            )
+        if allowed_transitions:
+            from schema_infer_plugin_spark.checks.alternation import (
+                transition_domain_violations,
+            )
+
+            checked = checked.unionByName(
+                transition_domain_violations(part, allowed_transitions)
             )
         if custom_rules:
             from schema_infer_plugin_spark.checks.custom import expr_suite_violations
@@ -783,6 +799,7 @@ def main(argv: list[str] | None = None) -> None:
             if cfg.validation.boundary_first_roles and cfg.validation.boundary_last_roles
             else None
         ),
+        allowed_transitions=cfg.validation.allowed_transitions or None,
     )
     if args.triage_k:
         summary["triage_rows"] = write_triage(

@@ -211,6 +211,38 @@ def test_role_transition_matrix_micro(spark):
     }
 
 
+def test_transition_domain_violations_micro(spark):
+    import pytest
+
+    from schema_infer_plugin_spark.checks import transition_domain_violations
+
+    rows = [
+        ("A", 0, "user", "2026-01-01 00:00:00"),
+        ("A", 1, "assistant", "2026-01-01 00:01:00"),
+        ("A", 2, "assistant", "2026-01-01 00:02:00"),  # assistant->assistant: bad
+        ("B", 0, "system", "2026-01-01 00:00:00"),     # opener: no transition
+        ("B", 1, "user", "2026-01-01 00:01:00"),
+        ("B", 2, None, "2026-01-01 00:02:00"),         # NULL role: null check's job
+        ("B", 3, "tool", "2026-01-01 00:03:00"),       # prev NULL: skipped too
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "role", "ts_s"]).select(
+        "conv_id", "turn_idx", "role", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    allowed = ["user->assistant", "assistant->user", "system->user"]
+    got = [
+        (r["conv_id"], r["turn_idx"], r["observed"], r["check_name"])
+        for r in transition_domain_violations(df, allowed).collect()
+    ]
+    assert got == [("A", 2, "assistant->assistant", "role_transition_domain")]
+    exp = transition_domain_violations(df, allowed).collect()[0]["expected"]
+    assert exp == "in {assistant->user,system->user,user->assistant}"
+
+    with pytest.raises(ValueError, match="non-empty"):
+        transition_domain_violations(df, [])
+    with pytest.raises(ValueError, match="prev->next"):
+        transition_domain_violations(df, ["user->"])
+
+
 def test_expr_suite_violations_micro(spark):
     import pytest
 

@@ -108,6 +108,24 @@ def test_boundary_roles_config(tmp_path):
         load_config(str(p), env={})
 
 
+def test_allowed_transitions_config(tmp_path):
+    import pytest
+
+    from schema_infer_plugin_spark.config import ConfigError
+
+    cfg = load_config(
+        None,
+        env={
+            "SCHEMA_INFER_VALIDATION_ALLOWED_TRANSITIONS": "user->assistant, assistant->user"
+        },
+    )
+    assert cfg.validation.allowed_transitions == ["user->assistant", "assistant->user"]
+    p = tmp_path / "bad.yaml"
+    p.write_text("validation:\n  allowed_transitions: ['user->']\n")
+    with pytest.raises(ConfigError, match="prev->next"):
+        load_config(str(p), env={})
+
+
 def test_json_file_loads(tmp_path):
     p = tmp_path / "engine.json"
     p.write_text(json.dumps({"inference": {"max_depth": 4}}))

@@ -143,6 +143,41 @@ def test_boundary_check_rides_validation_run(spark, tmp_path):
         )
 
 
+def test_transition_domain_rides_validation_run(spark, tmp_path):
+    """Opt-in transition-whitelist check (checks/alternation.
+    transition_domain_violations) unions with the fused plan's violations and
+    extends the verdict grid — same additive posture as custom rules and the
+    boundary check."""
+    from schema_infer_plugin_spark.checks import transition_domain_violations
+
+    t = synth_transcripts(spark, 500)
+    out = str(tmp_path / "run")
+    allowed = ["user->assistant", "assistant->user", "assistant->tool",
+               "tool->assistant", "system->user"]
+    run_validation(
+        spark, t, out, n_buckets=4, batch_buckets=2,
+        allowed_transitions=allowed,
+    )
+
+    viol = spark.read.parquet(os.path.join(out, "violations"))
+    n_tr = viol.filter(F.col("check_name") == "role_transition_domain").count()
+    assert n_tr == transition_domain_violations(t, allowed).count() > 0
+    assert viol.filter(
+        F.col("check_name") != "role_transition_domain"
+    ).count() == validate_transcripts(t).count()
+
+    verd = spark.read.parquet(os.path.join(out, "verdicts"))
+    assert verd.count() == 4 * (len(CHECK_NAMES) + 1)
+    assert verd.filter(F.col("check_name") == "role_transition_domain").count() == 4
+
+    with pytest.raises(ValueError, match="collide"):
+        run_validation(
+            spark, t, str(tmp_path / "run2"), n_buckets=2, batch_buckets=2,
+            allowed_transitions=allowed,
+            custom_rules=[("role_transition_domain", "1=1", "x", "x", "dup")],
+        )
+
+
 def test_one_input_scan_per_batch(spark, tmp_path):
     """VERDICT r2 #2 acceptance: ledger row counts now ride the violations
     write job as observations — each batch reads its input EXACTLY once. An

@@ -419,6 +419,77 @@ FROM j
 )
 
 
+def q_transition_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity of the transition distribution between the
+    data's earlier and later half (checks/alternation.transition_chi2 →
+    checks/drift.chi2_terms): per-bucket Pearson terms whose sum is
+    asymptotically χ²(k−1) under "no protocol shift" — the calibrated
+    companion to role_transition_drift's PSI/KL/JS. Exact DECIMAL(19,0)
+    cross products, one fixed double formula per bounded row; exact median
+    opt-in for the oracle."""
+    from schema_infer_plugin_spark.checks import transition_chi2
+
+    d = transition_chi2(_transcripts(spark, sf_dir), approx=False)
+    z = F.lit(0.0)
+    return d.select(
+        "bucket",
+        "o_base",
+        "o_cur",
+        "n_base",
+        "n_cur",
+        (F.round("chi2_term", 6) + z).cast("double").alias("chi2_term"),
+    )
+
+
+ORACLE_TRANSITION_CHI2 = oracle_cte(
+    """
+, seq AS (
+  SELECT role,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
+                            ts ASC NULLS FIRST, role ASC NULLS FIRST) AS rn,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
+                         ts ASC NULLS FIRST, role ASC NULLS FIRST) AS prev,
+         coalesce(epoch_us(ts), -4611686018427387904) AS ts_us
+  FROM transcripts),
+tr AS (
+  SELECT concat(coalesce(prev, '<null>'), '->', coalesce(role, '<null>')) AS bucket,
+         ts_us
+  FROM seq WHERE rn > 1),
+med AS (SELECT quantile_cont(ts_us, 0.5) AS m FROM tr),
+b AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM tr, med WHERE ts_us < m GROUP BY 1),
+c AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM tr, med WHERE ts_us >= m GROUP BY 1),
+j AS (
+  SELECT coalesce(b.bucket, c.bucket) AS bucket,
+         CAST(coalesce(b.cnt, 0) AS BIGINT) AS o_base,
+         CAST(coalesce(c.cnt, 0) AS BIGINT) AS o_cur
+  FROM b FULL OUTER JOIN c ON b.bucket = c.bucket),
+t AS (
+  SELECT bucket, o_base, o_cur,
+         CAST(sum(o_base) OVER () AS BIGINT) AS n_base,
+         CAST(sum(o_cur) OVER () AS BIGINT) AS n_cur
+  FROM j),
+d AS (
+  SELECT bucket, o_base, o_cur, n_base, n_cur,
+         CAST(CAST(o_cur AS DECIMAL(19,0)) * CAST(n_base AS DECIMAL(19,0)) AS DOUBLE)
+         - CAST(CAST(o_base AS DECIMAL(19,0)) * CAST(n_cur AS DECIMAL(19,0)) AS DOUBLE)
+           AS diff
+  FROM t)
+SELECT bucket, o_base, o_cur, n_base, n_cur,
+       CASE WHEN n_cur > 0 AND n_base > 0 THEN
+         CAST(round(
+           diff * diff / (CAST(n_cur AS DOUBLE) * CAST(n_base AS DOUBLE)
+                          * CAST(o_cur + o_base AS DOUBLE)),
+           6) + 0.0 AS DOUBLE)
+       END AS chi2_term
+FROM d
+"""
+)
+
+
 #: transition whitelist for the transition-domain query — the legal protocol
 #: edges; everything else (moderator edges, double-turns, system
 #: mid-conversation) becomes a typed violation. Shared by the Spark query and
@@ -4760,6 +4831,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "conv_boundary_roles": (q_conv_boundaries, ORACLE_CONV_BOUNDARIES),
     "role_transition_drift": (q_role_transition_drift, ORACLE_TRANSITION_DRIFT),
     "role_transition_domain": (q_role_transition_domain, ORACLE_TRANSITION_DOMAIN),
+    "transition_chi2": (q_transition_chi2, ORACLE_TRANSITION_CHI2),
     "expr_suite": (q_expr_suite, ORACLE_EXPR_SUITE),
     "expr_suite_stream": (q_expr_suite_stream, ORACLE_EXPR_SUITE),
     "violations_triage": (q_violations_triage, ORACLE_VIOLATIONS_TRIAGE),
@@ -4847,6 +4919,7 @@ _R5_WINDOW = [
     "conv_boundary_roles",
     "role_transition_drift",
     "role_transition_domain",
+    "transition_chi2",
     "dup_ngram_rate",
     "role_transition_matrix",
     "tfidf_top_terms",
@@ -4894,7 +4967,6 @@ _R5_WINDOW = [
     "transcripts_null_text",
     "transcripts_role_alternation",
     "violations_triage",
-    "transcripts_ts_monotonic",
 ]
 
 

@@ -12,6 +12,7 @@ from .alternation import (  # noqa: F401
     role_alternation_violations,
     role_transition_matrix,
     transition_buckets,
+    transition_chi2,
     transition_domain_violations,
     transition_histogram,
     transition_self_drift,
@@ -26,7 +27,14 @@ from .outliers import iqr_outliers  # noqa: F401
 from .volume import daily_volume_anomalies  # noqa: F401
 from .temporal import conv_latency_stats, ts_monotonic_violations  # noqa: F401
 from .skew import group_size_stats, hot_key_report  # noqa: F401
-from .drift import histogram, histogram_equidepth, drift_stats, temporal_self_drift  # noqa: F401
+from .drift import (  # noqa: F401
+    bucket_counts,
+    chi2_terms,
+    drift_stats,
+    histogram,
+    histogram_equidepth,
+    temporal_self_drift,
+)
 from .ksdrift import ks_statistic, wasserstein_statistic  # noqa: F401
 from .salting import conv_stats, salted_two_phase, with_salt  # noqa: F401
 from .referential import fk_orphans, fk_verdict  # noqa: F401

@@ -204,6 +204,42 @@ def transition_domain_violations(
     )
 
 
+def transition_chi2(
+    df: DataFrame,
+    ts_col: str = "ts",
+    approx: bool = True,
+) -> DataFrame:
+    """Chi-square flavor of :func:`transition_self_drift`: per-bucket Pearson
+    homogeneity terms (checks/drift.chi2_terms) of the (prev_role → role)
+    transition COUNTS between the data's earlier and later half, split at the
+    median transition time. Σ chi2_term is asymptotically χ²(k−1) under "no
+    protocol shift" — the calibrated significance test the PSI/KL/JS terms
+    (folklore thresholds) can't provide, and it needs counts, not
+    frequencies, which is why it isn't a drift_stats column.
+
+    Same plan shape as transition_self_drift: ONE lag window over the conv_id
+    exchange → one-row median broadcast → per-half hash aggs over the
+    |roles|²-bounded buckets → per-row fixed double formula on exact
+    DECIMAL(19,0) cross products (bit-identical across engines).
+    """
+    from .drift import chi2_terms
+
+    trans = transition_buckets(df, ts_col)
+    med_expr = (
+        F.percentile_approx("_ts_us", F.lit(0.5))
+        if approx
+        else F.percentile("_ts_us", F.lit(0.5))
+    )
+    med = trans.agg(med_expr.alias("_med"))
+    with_med = trans.crossJoin(F.broadcast(med))
+    counts = lambda d: d.groupBy("bucket").agg(  # noqa: E731
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    base = counts(with_med.filter(F.col("_ts_us") < F.col("_med")))
+    cur = counts(with_med.filter(F.col("_ts_us") >= F.col("_med")))
+    return chi2_terms(cur, base)
+
+
 def role_alternation_violations(df: DataFrame) -> DataFrame:
     """One violation per turn whose role repeats the previous turn's role
     (both non-null, neither 'tool'), ordered by (turn_idx, ts nulls first)."""

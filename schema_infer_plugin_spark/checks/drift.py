@@ -79,6 +79,79 @@ def drift_stats(current: DataFrame, baseline: DataFrame, eps: float = 1e-6) -> D
     )
 
 
+def bucket_counts(df: DataFrame, column: str) -> DataFrame:
+    """Exact categorical count frame of ``column`` → (bucket string, cnt long).
+
+    The COUNT-preserving sibling of :func:`histogram` (which normalizes to
+    frequencies): :func:`chi2_terms` needs raw counts because the chi-square
+    statistic's magnitude scales with sample size — frequencies alone can't
+    express it. NULL → '<null>'. One hash agg over the bounded bucket domain.
+    """
+    bucket = F.coalesce(F.col(column).cast("string"), F.lit("<null>"))
+    return (
+        df.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def chi2_terms(current: DataFrame, baseline: DataFrame) -> DataFrame:
+    """Per-bucket Pearson chi-square homogeneity terms between two exact
+    count frames (bucket, cnt) — the classical frequentist companion to the
+    PSI/KL/JS terms of :func:`drift_stats`: the total Σ chi2_term is the
+    2×k homogeneity statistic, asymptotically χ²(k−1) under "same
+    distribution", so it carries an actual significance calibration where
+    PSI thresholds are folklore. Because the statistic scales with sample
+    size, inputs are COUNTS (``bucket_counts``), not frequencies.
+
+    Per-bucket algebraic form (no expected-count intermediates):
+    term_k = (o_cur·n_base − o_base·n_cur)² / (n_cur·n_base·(o_cur+o_base)).
+    The cross products are exact DECIMAL(19,0)×DECIMAL(19,0) integer
+    arithmetic (the grouped_int_corr posture — order-independent, safe to
+    ~10^12 totals), then ONE fixed double formula per row, so every term is
+    bit-identical across engines and partitionings; the total is a sum the
+    caller does over k bounded rows. Output NULL term when either side is
+    empty (n=0 — no homogeneity question to ask), never NaN/Inf.
+
+    Plan: full-outer join of two bounded count frames + totals as a window
+    over the joined k-row frame (inside the "bounded rows" exception to the
+    no-unpartitioned-window invariant). Output: (bucket, o_base, o_cur,
+    n_base, n_cur, chi2_term); dof = k−1 with k = output row count.
+    """
+    cur = current.select("bucket", F.col("cnt").alias("o_cur"))
+    base = baseline.select("bucket", F.col("cnt").alias("o_base"))
+    joined = cur.join(base, on="bucket", how="full_outer").select(
+        "bucket",
+        F.coalesce("o_base", F.lit(0)).cast("long").alias("o_base"),
+        F.coalesce("o_cur", F.lit(0)).cast("long").alias("o_cur"),
+    )
+    tot = Window.partitionBy()
+    with_tot = joined.select(
+        "bucket",
+        "o_base",
+        "o_cur",
+        F.sum("o_base").over(tot).alias("n_base"),
+        F.sum("o_cur").over(tot).alias("n_cur"),
+    )
+    # exact DECIMAL(19,0)×DECIMAL(19,0) cross products (fit DECIMAL(38,0)),
+    # each cast to double BEFORE the subtraction — a decimal subtraction
+    # would need precision 39; the double subtraction is the same fixed IEEE
+    # op in both engines (the grouped_int_corr oracle posture)
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    diff = (dec("o_cur") * dec("n_base")).cast("double") - (
+        dec("o_base") * dec("n_cur")
+    ).cast("double")
+    denom = (
+        F.col("n_cur").cast("double")
+        * F.col("n_base").cast("double")
+        * (F.col("o_cur") + F.col("o_base")).cast("double")
+    )
+    term = F.when((F.col("n_cur") > 0) & (F.col("n_base") > 0), diff * diff / denom)
+    return with_tot.select(
+        "bucket", "o_base", "o_cur", "n_base", "n_cur", term.alias("chi2_term")
+    )
+
+
 def histogram_equidepth(
     df: DataFrame,
     column: str,

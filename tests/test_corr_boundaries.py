@@ -222,3 +222,60 @@ def test_transition_drift_model(spark):
     )
     for r in transition_self_drift(sym, approx=False).collect():
         assert abs(r["psi_term"]) < 1e-9 and abs(r["js_term"]) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# chi2_terms / transition_chi2
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_terms_hand_computed(spark):
+    from schema_infer_plugin_spark.checks import chi2_terms
+
+    base = spark.createDataFrame([("a", 10), ("b", 30)], "bucket: string, cnt: long")
+    cur = spark.createDataFrame([("a", 20), ("b", 20)], "bucket: string, cnt: long")
+    out = {r["bucket"]: r for r in chi2_terms(cur, base).collect()}
+    # classic 2x2: chi2 = N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d))
+    #            = 80*(10*20-30*20)^2/(40*40*30*50) = 16/3
+    assert out["a"]["n_base"] == 40 and out["a"]["n_cur"] == 40
+    assert math.isclose(out["a"]["chi2_term"], 400.0**2 / (40 * 40 * 30))
+    assert math.isclose(out["b"]["chi2_term"], 400.0**2 / (40 * 40 * 50))
+    total = sum(r["chi2_term"] for r in out.values())
+    assert math.isclose(total, 80 * 400.0**2 / (40 * 40 * 30 * 50))
+
+    # one-sided bucket contributes a finite term; identical frames -> all 0
+    cur2 = spark.createDataFrame([("a", 10), ("c", 5)], "bucket: string, cnt: long")
+    out2 = {r["bucket"]: r for r in chi2_terms(cur2, base).collect()}
+    assert out2["c"]["o_base"] == 0 and out2["c"]["chi2_term"] > 0
+    same = {r["bucket"]: r for r in chi2_terms(base, base).collect()}
+    assert all(r["chi2_term"] == 0.0 for r in same.values())
+
+    # an empty side has no homogeneity question: NULL terms, never NaN/Inf
+    empty = spark.createDataFrame([], "bucket: string, cnt: long")
+    for r in chi2_terms(cur, empty).collect():
+        assert r["chi2_term"] is None
+
+
+def test_transition_chi2_model(spark):
+    import datetime as dt
+
+    from schema_infer_plugin_spark.checks import transition_chi2
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    rows = [
+        ("a", 0, "user", t(0)),
+        ("a", 1, "assistant", t(1)),
+        ("a", 2, "user", t(2)),
+        ("b", 0, "user", t(10)),
+        ("b", 1, "tool", t(11)),
+        ("b", 2, "tool", t(12)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id: string, turn_idx: int, role: string, ts: timestamp_ntz"
+    )
+    out = {r["bucket"]: r for r in transition_chi2(df, approx=False).collect()}
+    # 4 transitions, median splits 2/2; disjoint halves -> every cell is
+    # one-sided: term = (1*2)^2/(2*2*1) = 1.0 each, total 4 = N (max for 2xk)
+    assert set(out) == {"user->assistant", "assistant->user", "user->tool", "tool->tool"}
+    assert all(r["n_base"] == 2 and r["n_cur"] == 2 for r in out.values())
+    assert all(math.isclose(r["chi2_term"], 1.0) for r in out.values())

@@ -40,6 +40,7 @@ BOUNDED_BROADCAST_CROSS = {
     "value_histogram_equidepth",  # single-row quantile-edges frame (checks/drift.py)
     "temporal_self_drift",   # single-row median-ts frame (checks/drift.py)
     "role_transition_drift",  # single-row median-transition-ts frame (alternation.py)
+    "transition_chi2",       # same single-row median frame (alternation.transition_chi2)
     "bm25_search",           # single-row corpus-stats frame (datapipe/retrieval.py)
     "wasserstein_value_drift",  # single-row (lo, hi) bounds frame (checks/ksdrift.py)
     "hybrid_search_rrf",     # BM25 leg's single-row corpus-stats frame (retrieval.py)

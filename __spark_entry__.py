@@ -29,7 +29,12 @@ from schema_infer_plugin_spark.operators.profile import profile, type_profile
 from schema_infer_plugin_spark.operators.violations import union_violations
 from schema_infer_plugin_spark.schema import ROLE_DOMAIN, TOOL_DOMAIN
 from schema_infer_plugin_spark.sources.io import load_table
-from schema_infer_plugin_spark.sources.views import oracle_cte, transcripts_from_events
+from schema_infer_plugin_spark.plans.validate import CHECK_NAMES
+from schema_infer_plugin_spark.sources.views import (
+    TRANSCRIPTS_FROM_EVENTS_SQL,
+    oracle_cte,
+    transcripts_from_events,
+)
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -875,8 +880,10 @@ WHERE ts < prev_ts
 )
 
 
-ORACLE_VALIDATE_FUSED = oracle_cte(
-    f"""
+#: inner SELECT of the fused-validation oracle (references the
+#: ``transcripts`` view) — kept un-wrapped so the sampled-estimate oracle can
+#: rebind ``transcripts`` to a sampled CTE around the SAME text.
+_FUSED_INNER = f"""
 SELECT 'uniqueness' AS check_name, conv_id, turn_idx, 'conv_id,turn_idx' AS col_name,
        CAST(count(*) AS STRING) AS observed, '1' AS expected
 FROM transcripts GROUP BY conv_id, turn_idx HAVING count(*) > 1
@@ -908,7 +915,82 @@ UNION ALL
 SELECT 'not_null_text', conv_id, turn_idx, 'text', 'NULL', 'NOT NULL'
 FROM transcripts WHERE text IS NULL
 """
-)
+
+ORACLE_VALIDATE_FUSED = oracle_cte(_FUSED_INNER)
+
+
+def q_sampled_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-validation pre-pass (plans/validate.
+    sampled_validation_estimate): the fused checks on a deterministic
+    25% md5 sample of CONVERSATIONS (rate 64/256 — whole conversations, so
+    window checks never see seam artifacts), estimating each check's
+    per-turn violation rate with a Wilson 95% interval from the exact
+    (violations, sampled turns) pair — the "is this batch worth a full
+    Pass B?" answer at 10^12-turn scale. One fixed double formula
+    (z = 1.959964), bit-identical across engines."""
+    from schema_infer_plugin_spark.plans.validate import sampled_validation_estimate
+
+    e = sampled_validation_estimate(_transcripts(spark, sf_dir), rate_num=64)
+    z0 = F.lit(0.0)
+    return e.select(
+        "check_name",
+        "n_turns",
+        "n_violations",
+        (F.round("rate", 6) + z0).cast("double").alias("rate"),
+        (F.round("ci_lo", 6) + z0).cast("double").alias("ci_lo"),
+        (F.round("ci_hi", 6) + z0).cast("double").alias("ci_hi"),
+    )
+
+
+#: Wilson-interval SQL shared shape: z inlined as the same literal product
+#: the Spark side constant-folds; every arithmetic step parenthesized to the
+#: identical IEEE evaluation order.
+ORACLE_SAMPLED_VALIDATION = f"""
+WITH transcripts_full AS ({TRANSCRIPTS_FROM_EVENTS_SQL}),
+transcripts AS (
+  SELECT * FROM transcripts_full WHERE substring(md5(conv_id), 1, 2) < '40'),
+v AS ({_FUSED_INNER}
+UNION ALL
+SELECT 'ts_monotonic', conv_id, turn_idx, 'ts', 'x', 'x'
+FROM (
+  SELECT conv_id, turn_idx, ts,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
+                       ts ASC NULLS FIRST) AS prev_ts
+  FROM transcripts)
+WHERE ts < prev_ts),
+grid AS (
+  SELECT * FROM (VALUES {",".join("(" + repr(c) + ")" for c in CHECK_NAMES)})
+  AS g(check_name)),
+counts AS (
+  SELECT check_name, CAST(count(*) AS BIGINT) AS n_violations FROM v GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_turns FROM transcripts),
+e AS (
+  SELECT g.check_name,
+         CAST(coalesce(c.n_violations, 0) AS BIGINT) AS n_violations, t.n_turns
+  FROM grid g LEFT JOIN counts c USING (check_name) CROSS JOIN tot t),
+w AS (
+  SELECT check_name, n_turns, n_violations,
+         CAST(n_violations AS DOUBLE) / CAST(n_turns AS DOUBLE) AS phat,
+         CAST(n_turns AS DOUBLE) AS n
+  FROM e),
+w2 AS (
+  SELECT *,
+         1.0 + (1.959964 * 1.959964) / n AS denomw,
+         (phat + (1.959964 * 1.959964) / (2.0 * n)) AS cnum,
+         1.959964 * sqrt(phat * (1.0 - phat) / n
+                         + (1.959964 * 1.959964) / (4.0 * (n * n))) AS hnum
+  FROM w)
+SELECT check_name, n_turns, n_violations,
+       CASE WHEN n_turns > 0
+            THEN CAST(round(phat, 6) + 0.0 AS DOUBLE) END AS rate,
+       CASE WHEN n_turns > 0
+            THEN CAST(round(greatest(cnum / denomw - hnum / denomw, 0.0), 6)
+                 + 0.0 AS DOUBLE) END AS ci_lo,
+       CASE WHEN n_turns > 0
+            THEN CAST(round(least(cnum / denomw + hnum / denomw, 1.0), 6)
+                 + 0.0 AS DOUBLE) END AS ci_hi
+FROM w2
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -4800,6 +4882,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "top_values_frequent": (q_top_values, _oracle_top_values()),
     # --- canaries: keep core families continuously driver-verified ---
     "transcripts_validate_fused": (q_validate_fused, ORACLE_VALIDATE_FUSED),
+    "sampled_validation_estimate": (q_sampled_validation, ORACLE_SAMPLED_VALIDATION),
     "transcripts_profile": (q_profile, ORACLE_PROFILE),
     "transcripts_uniqueness": (q_uniqueness, ORACLE_UNIQUENESS),
     "transcripts_contiguity": (q_contiguity, ORACLE_CONTIGUITY),
@@ -4920,6 +5003,7 @@ _R5_WINDOW = [
     "role_transition_drift",
     "role_transition_domain",
     "transition_chi2",
+    "sampled_validation_estimate",
     "dup_ngram_rate",
     "role_transition_matrix",
     "tfidf_top_terms",
@@ -4966,7 +5050,6 @@ _R5_WINDOW = [
     "transcripts_tool_without_role",
     "transcripts_null_text",
     "transcripts_role_alternation",
-    "violations_triage",
 ]
 
 

@@ -193,3 +193,79 @@ def validate_transcripts(
             F.col("v.expected").alias("expected"),
         )
     )
+
+
+def sampled_validation_estimate(
+    df: DataFrame,
+    rate_num: int,
+    width: int = 2,
+    role_domain: list[str] | None = None,
+    tool_domain: list[str] | None = None,
+) -> DataFrame:
+    """Cheap pre-pass for 10^12-turn tables: run the FUSED validation on a
+    deterministic md5 sample of CONVERSATIONS and estimate each check's
+    per-turn violation rate with a Wilson 95% interval — the answer to "is
+    this ingest batch worth a full Pass B?" at a fraction of its cost, and
+    reproducible (content-hash sampling: same sample at any parallelism, in
+    any engine).
+
+    Sampling is conv_id-granular — every window check (uniqueness,
+    contiguity, ts_monotonic) sees whole conversations, so a sampled
+    violation is a REAL violation, never a seam artifact of dropping
+    mid-conversation turns. ``rate_num`` of 16**width buckets (width=2 →
+    1/256 granularity), sources/sampling.deterministic_sample.
+
+    The Wilson interval is ONE fixed double formula (z = 1.959964) on the
+    exact BIGINT (violations, sampled turns) pair — bit-identical across
+    engines, never degenerate at rate 0 or 1 (unlike the Wald interval).
+    Caveat: turns within a conversation are correlated, so under conv-level
+    cluster sampling the interval is the iid-binomial approximation — an
+    honest lower bound on the uncertainty, documented rather than hidden.
+
+    Plan: map-side sample predicate (pushes to the scan) → the fused
+    single-exchange validation → one hash agg on check_name (≤ |checks|
+    rows) joined to the driver-local check grid → one-row sampled-turn
+    total broadcast. Output: (check_name, n_turns, n_violations, rate,
+    ci_lo, ci_hi); NULL estimates when the sample is empty.
+    """
+    from schema_infer_plugin_spark.sources.sampling import deterministic_sample
+
+    sample = deterministic_sample(df, ["conv_id"], rate_num, width)
+    counts = (
+        validate_transcripts(sample, role_domain, tool_domain)
+        .groupBy("check_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+    )
+    grid = df.sparkSession.createDataFrame(
+        [(c,) for c in CHECK_NAMES], ["check_name"]
+    )
+    totals = sample.agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    est = (
+        grid.join(counts, on="check_name", how="left")
+        .select(
+            "check_name",
+            F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    z = F.lit(1.959964)
+    n = F.col("n_turns").cast("double")
+    k = F.col("n_violations").cast("double")
+    phat = k / n
+    z2 = z * z
+    denomw = F.lit(1.0) + z2 / n
+    center = (phat + z2 / (F.lit(2.0) * n)) / denomw
+    half = (
+        z
+        * F.sqrt(phat * (F.lit(1.0) - phat) / n + z2 / (F.lit(4.0) * (n * n)))
+        / denomw
+    )
+    guard = lambda c: F.when(F.col("n_turns") > 0, c)  # noqa: E731
+    return est.select(
+        "check_name",
+        "n_turns",
+        "n_violations",
+        guard(phat).alias("rate"),
+        guard(F.greatest(center - half, F.lit(0.0))).alias("ci_lo"),
+        guard(F.least(center + half, F.lit(1.0))).alias("ci_hi"),
+    )

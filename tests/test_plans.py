@@ -147,3 +147,51 @@ def test_fused_alternation_opt_in(spark):
     base_plan = validate_transcripts(t)._jdf.queryExecution().executedPlan().toString()
     alt_plan = fused._jdf.queryExecution().executedPlan().toString()
     assert alt_plan.count("Exchange") == base_plan.count("Exchange")
+
+
+def test_sampled_validation_estimate(spark):
+    """Wilson estimates must equal the closed-form formula on the exact
+    fused counts of the SAME deterministic sample; the grid covers every
+    check even at zero violations; the sample is conv-granular (partial
+    conversations never appear)."""
+    import math
+
+    from schema_infer_plugin_spark.plans.validate import (
+        CHECK_NAMES,
+        sampled_validation_estimate,
+    )
+    from schema_infer_plugin_spark.sources.sampling import deterministic_sample
+
+    t = synth_transcripts(spark, 2_000)
+    sampled = deterministic_sample(t, ["conv_id"], 64)
+    n = sampled.count()
+    full = {
+        r["check_name"]: r["cnt"]
+        for r in validate_transcripts(sampled).groupBy("check_name").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    est = {
+        r["check_name"]: r
+        for r in sampled_validation_estimate(t, rate_num=64).collect()
+    }
+    assert set(est) == set(CHECK_NAMES)
+    z = 1.959964
+    for name in CHECK_NAMES:
+        row = est[name]
+        k = full.get(name, 0)
+        assert row["n_turns"] == n and row["n_violations"] == k
+        phat = k / n
+        denomw = 1.0 + z * z / n
+        center = (phat + z * z / (2.0 * n)) / denomw
+        half = z * math.sqrt(phat * (1.0 - phat) / n + z * z / (4.0 * n * n)) / denomw
+        assert math.isclose(row["rate"], phat, abs_tol=1e-12)
+        assert math.isclose(row["ci_lo"], max(center - half, 0.0), abs_tol=1e-9)
+        assert math.isclose(row["ci_hi"], min(center + half, 1.0), abs_tol=1e-9)
+        assert row["ci_lo"] <= row["rate"] <= row["ci_hi"]
+
+    # conv-granular sampling: a sampled conversation appears whole
+    per_conv = sampled.groupBy("conv_id").agg(F.count(F.lit(1)).alias("s"))
+    orig = t.groupBy("conv_id").agg(F.count(F.lit(1)).alias("o"))
+    mismatched = per_conv.join(orig, "conv_id").filter("s != o").count()
+    assert mismatched == 0 and 0 < n < t.count()

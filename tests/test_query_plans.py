@@ -45,6 +45,7 @@ BOUNDED_BROADCAST_CROSS = {
     "wasserstein_value_drift",  # single-row (lo, hi) bounds frame (checks/ksdrift.py)
     "hybrid_search_rrf",     # BM25 leg's single-row corpus-stats frame (retrieval.py)
     "tfidf_top_terms",       # single-row N-docs frame (retrieval.py tfidf)
+    "sampled_validation_estimate",  # single-row sampled-turn total × |checks| grid
 }
 
 ALL_QUERIES = sorted(entrymod.queries().keys())

@@ -152,6 +152,62 @@ def chi2_terms(current: DataFrame, baseline: DataFrame) -> DataFrame:
     )
 
 
+def histogram_with_counts(df: DataFrame, column: str) -> DataFrame:
+    """(bucket, freq, cnt) — the richer persistable drift-baseline form:
+    ``freq`` is the same cnt/Σcnt division :func:`histogram` computes (so
+    PSI/KL/JS against old frequency-only baselines are unchanged), and
+    ``cnt`` lets a future run compute the sample-size-aware chi-square
+    against the artifact (:func:`chi2_terms` needs counts)."""
+    counts = bucket_counts(df, column)
+    total = Window.partitionBy()
+    return counts.select(
+        "bucket",
+        (F.col("cnt") / F.sum("cnt").over(total)).alias("freq"),
+        "cnt",
+    )
+
+
+def drift_and_chi2_terms(
+    current_counts: DataFrame, baseline_counts: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """Per-bucket PSI/KL/JS terms AND chi-square terms from two exact count
+    frames in ONE plan (one scan of the current side): frequencies derive as
+    o/n — the same division :func:`histogram` persists — so the PSI/KL/JS
+    totals are bit-identical to :func:`drift_stats` over the equivalent
+    frequency frames (parity-tested), while the chi2 column adds the
+    calibrated homogeneity statistic the frequency form cannot express.
+
+    Output: drift_stats columns + (o_base, o_cur, n_base, n_cur, chi2_term).
+    An empty side yields freq 0.0 (drift terms stay finite via eps) and NULL
+    chi2 terms — same posture as :func:`chi2_terms`.
+    """
+    j = chi2_terms(current_counts, baseline_counts)
+    fb = F.when(
+        F.col("n_base") > 0, F.col("o_base") / F.col("n_base")
+    ).otherwise(F.lit(0.0))
+    fc = F.when(
+        F.col("n_cur") > 0, F.col("o_cur") / F.col("n_cur")
+    ).otherwise(F.lit(0.0))
+    j = j.select("*", fb.alias("freq_base"), fc.alias("freq_cur"))
+    p = F.col("freq_cur") + eps
+    q = F.col("freq_base") + eps
+    m = (p + q) / 2
+    ratio = F.log(p / q)
+    return j.select(
+        "bucket",
+        "freq_base",
+        "freq_cur",
+        ((F.col("freq_cur") - F.col("freq_base")) * ratio).alias("psi_term"),
+        (F.col("freq_cur") * ratio).alias("kl_term"),
+        (0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)).alias("js_term"),
+        "o_base",
+        "o_cur",
+        "n_base",
+        "n_cur",
+        "chi2_term",
+    )
+
+
 def histogram_equidepth(
     df: DataFrame,
     column: str,

@@ -320,13 +320,16 @@ def write_histograms(
     histograms (categorical → PSI/KL/JS) and fixed-grid numeric counts
     (→ two-sample KS). The numeric grid is [min, max] of THIS run's data —
     future runs clamp onto it (checks/ksdrift.py fixed-grid notes)."""
-    from schema_infer_plugin_spark.checks.drift import histogram
+    from schema_infer_plugin_spark.checks.drift import histogram_with_counts
     from schema_infer_plugin_spark.checks.ksdrift import grid_counts
 
     hist_dir = os.path.join(out_dir, "histograms")
+    # (bucket, freq, cnt): freq is the same division histogram() computes
+    # (PSI/KL/JS unchanged); cnt makes the artifact chi-square-capable
+    # (run_drift's sample-size-aware leg). Old freq-only baselines still read.
     for c in columns or DRIFT_COLUMNS:
         (
-            histogram(transcripts, c)
+            histogram_with_counts(transcripts, c)
             .withColumn("column", F.lit(c))
             .coalesce(1)
             .write.mode("overwrite")
@@ -335,10 +338,10 @@ def write_histograms(
     # sequence-structure baseline: the (prev_role -> role) transition
     # distribution as a pseudo-column — run_drift diffs it with the same
     # PSI/KL/JS machinery (checks/alternation.transition_histogram)
-    from schema_infer_plugin_spark.checks.alternation import transition_histogram
+    from schema_infer_plugin_spark.checks.alternation import transition_buckets
 
     (
-        transition_histogram(transcripts)
+        histogram_with_counts(transition_buckets(transcripts), "bucket")
         .withColumn("column", F.lit("__transitions__"))
         .coalesce(1)
         .write.mode("overwrite")
@@ -385,7 +388,11 @@ def run_drift(
     Thresholds follow the conventional readings: PSI <0.1 stable, 0.1-0.2
     moderate, >0.2 drifted (default 0.2); KS two-sample flags at ~0.1 for
     large same-source samples (default 0.1)."""
-    from schema_infer_plugin_spark.checks.drift import drift_stats, histogram
+    from schema_infer_plugin_spark.checks.drift import (
+        bucket_counts,
+        drift_and_chi2_terms,
+        drift_stats,
+    )
     from schema_infer_plugin_spark.checks.ksdrift import grid_counts, ks_w1_from_counts
 
     done = completed_keys(spark, out_dir, run_id, PASS_DRIFT)
@@ -395,24 +402,43 @@ def run_drift(
     t0 = time.time()
     cols = DRIFT_COLUMNS if columns is None else columns
     num_cols = NUMERIC_DRIFT_COLUMNS if numeric_columns is None else numeric_columns
+
+    def _cat_metrics(cur_counts, base) -> dict[str, float]:
+        """PSI/KL/JS (+ chi2/dof when the baseline artifact carries counts)
+        in ONE aggregation job. The pass criterion stays PSI — chi2 rides as
+        calibrated evidence (asymptotically χ²(dof) under 'no drift'), only
+        computable against count-bearing (post-r5) baselines; frequency-only
+        baselines take the legacy drift_stats path, never fail."""
+        if "cnt" in base.columns:
+            terms = drift_and_chi2_terms(cur_counts, base.select("bucket", "cnt"))
+            agg = terms.agg(
+                F.sum("psi_term").alias("psi"), F.sum("kl_term").alias("kl"),
+                F.sum("js_term").alias("js"), F.sum("chi2_term").alias("chi2"),
+                F.count(F.lit(1)).alias("k"),
+            ).collect()[0]
+        else:
+            total = cur_counts.agg(F.sum("cnt").alias("_n"))
+            cur = cur_counts.crossJoin(F.broadcast(total)).select(
+                "bucket", (F.col("cnt") / F.col("_n")).alias("freq")
+            )
+            agg = drift_stats(cur, base.select("bucket", "freq")).agg(
+                F.sum("psi_term").alias("psi"), F.sum("kl_term").alias("kl"),
+                F.sum("js_term").alias("js"),
+            ).collect()[0]
+        m = {"psi": float(agg["psi"]), "kl": float(agg["kl"]), "js": float(agg["js"])}
+        if "chi2" in agg.asDict() and agg["chi2"] is not None:
+            m["chi2"] = float(agg["chi2"])
+            m["dof"] = float(agg["k"] - 1)
+        return m
+
     # (check_name, pass, metrics) — one row per column either way
     rows: list[tuple[str, bool, dict[str, float]]] = []
     for c in cols:
         base = spark.read.parquet(os.path.join(baseline_dir, "histograms", c)).drop(
             "column"
         )
-        cur = histogram(transcripts, c)
-        agg = drift_stats(cur, base).agg(
-            F.sum("psi_term").alias("psi"), F.sum("kl_term").alias("kl"),
-            F.sum("js_term").alias("js"),
-        ).collect()[0]
-        rows.append(
-            (
-                f"drift_{c}",
-                float(agg["psi"]) <= psi_threshold,
-                {"psi": float(agg["psi"]), "kl": float(agg["kl"]), "js": float(agg["js"])},
-            )
-        )
+        m = _cat_metrics(bucket_counts(transcripts, c), base)
+        rows.append((f"drift_{c}", m["psi"] <= psi_threshold, m))
     # sequence-structure drift: the persisted transition distribution vs the
     # current one (lenient like the numeric leg — a baseline run that
     # predates transition baselines is skipped, never failed)
@@ -422,19 +448,12 @@ def run_drift(
     except Exception:
         tbase = None
     if tbase is not None:
-        from schema_infer_plugin_spark.checks.alternation import transition_histogram
+        from schema_infer_plugin_spark.checks.alternation import transition_buckets
 
-        agg = drift_stats(transition_histogram(transcripts), tbase).agg(
-            F.sum("psi_term").alias("psi"), F.sum("kl_term").alias("kl"),
-            F.sum("js_term").alias("js"),
-        ).collect()[0]
-        rows.append(
-            (
-                "drift_transitions",
-                float(agg["psi"]) <= psi_threshold,
-                {"psi": float(agg["psi"]), "kl": float(agg["kl"]), "js": float(agg["js"])},
-            )
+        m = _cat_metrics(
+            bucket_counts(transition_buckets(transcripts), "bucket"), tbase
         )
+        rows.append(("drift_transitions", m["psi"] <= psi_threshold, m))
     for c in num_cols:
         path = os.path.join(baseline_dir, "histograms_numeric", c)
         try:

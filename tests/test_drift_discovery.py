@@ -27,6 +27,10 @@ def test_drift_pass_self_vs_shifted(spark, tmp_path):
         assert abs(rows["drift_role"]["metrics"]["psi"]) < 1e-9
         assert rows["drift_transitions"]["pass"]
         assert abs(rows["drift_transitions"]["metrics"]["psi"]) < 1e-9
+        # count-bearing baseline -> chi2/dof ride the metrics; self-drift = 0
+        assert rows["drift_role"]["metrics"]["chi2"] == 0.0
+        assert rows["drift_role"]["metrics"]["dof"] >= 1.0
+        assert rows["drift_transitions"]["metrics"]["chi2"] == 0.0
 
         # assistant-heavy slice vs full baseline: role distribution shifts -> fail
         shifted = t.filter(
@@ -39,10 +43,53 @@ def test_drift_pass_self_vs_shifted(spark, tmp_path):
         assert rows2["drift_role"]["metrics"]["psi"] > 0.2
         # the role shift reshapes adjacency too: transition drift must see it
         assert rows2["drift_transitions"]["metrics"]["psi"] > 0.2
+        # a real shift at this n dwarfs any chi2 critical value at small dof
+        dof = rows2["drift_role"]["metrics"]["dof"]
+        assert rows2["drift_role"]["metrics"]["chi2"] > 10 * (dof + 1)
 
         # resume: second call served from disk (ledger short-circuit)
         v3 = run_drift(spark, shifted, out2, base_out, run_id="r2")
         assert v3.count() == v2.count()
+    finally:
+        t.unpersist()
+
+
+def test_drift_legacy_freq_only_baseline(spark, tmp_path):
+    """A pre-r5 baseline artifact (freq column only, no cnt): the drift pass
+    takes the legacy drift_stats path with IDENTICAL psi/kl/js (freqs are the
+    same cnt/Σcnt division) and simply omits the chi2/dof metrics."""
+    import os
+
+    from schema_infer_plugin_spark.checks.drift import histogram
+
+    t = synth_transcripts(spark, 1_000).persist()
+    try:
+        base_new = str(tmp_path / "new")
+        write_histograms(spark, t, base_new, ["role"], numeric_columns=[])
+        base_old = str(tmp_path / "old")
+        (
+            histogram(t, "role")
+            .withColumn("column", F.lit("role"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(base_old, "histograms", "role"))
+        )
+        shifted = t.filter(
+            (F.col("role") == "assistant") | (F.pmod(F.xxhash64("conv_id"), 4) == 0)
+        )
+        v_new = run_drift(
+            spark, shifted, str(tmp_path / "rn"), base_new, run_id="rn",
+            columns=["role"], numeric_columns=[],
+        ).collect()
+        v_old = run_drift(
+            spark, shifted, str(tmp_path / "ro"), base_old, run_id="ro",
+            columns=["role"], numeric_columns=[],
+        ).collect()
+        m_new = dict(v_new[0]["metrics"])
+        m_old = dict(v_old[0]["metrics"])
+        assert "chi2" in m_new and "chi2" not in m_old
+        for k in ("psi", "kl", "js"):
+            assert m_new[k] == m_old[k]  # bit-identical across the two paths
     finally:
         t.unpersist()
 

@@ -457,6 +457,54 @@ def cmd_audit(args: argparse.Namespace) -> int:
     return 1 if (n_stale or n_gaps) else 0
 
 
+def cmd_estimate(args: argparse.Namespace) -> int:
+    """Sampled-validation pre-pass (plans/validate.
+    sampled_validation_estimate): the fused checks on a deterministic md5
+    sample of whole conversations, each check's per-turn violation rate
+    with a Wilson 95% interval — "is this ingest batch worth a full Pass
+    B?" at a fraction of its scan. Writes ``estimate/`` under --out and
+    prints one line per check; with --fail-above R, exits 1 when any
+    check's ci_lo exceeds R (statistically confident the true rate does)."""
+    from schema_infer_plugin_spark.plans.runner import resolve_transcripts_input
+    from schema_infer_plugin_spark.plans.validate import sampled_validation_estimate
+
+    cfg = _load_cfg(args)
+    try:
+        num, den = (int(x) for x in args.rate.split("/"))
+    except ValueError:
+        raise SystemExit("--rate must look like NUM/DEN, e.g. 16/256")
+    width = {16: 1, 256: 2, 4096: 3}.get(den)
+    if width is None:
+        raise SystemExit("--rate denominator must be 16, 256 or 4096")
+    if not 0 < num < den:
+        raise SystemExit(f"--rate numerator must be in 1..{den - 1} (a full-rate"
+                         " 'sample' is just the validate command)")
+    spark = _spark(cfg)
+    t, _ = resolve_transcripts_input(spark, args.input)
+    est = sampled_validation_estimate(
+        t, num, width,
+        role_domain=cfg.validation.role_domain or None,
+        tool_domain=cfg.validation.tool_domain or None,
+    )
+    est.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(args.out, "estimate")
+    )
+    rows = spark.read.parquet(os.path.join(args.out, "estimate")).collect()
+    threshold = None if args.fail_above is None else float(args.fail_above)
+    confident_bad = []
+    for r in sorted(rows, key=lambda r: r["check_name"]):
+        print(
+            f"{r['check_name']}: rate={r['rate']} ci=[{r['ci_lo']}, {r['ci_hi']}]"
+            f" violations={r['n_violations']}/{r['n_turns']} sampled turns"
+        )
+        if threshold is not None and r["ci_lo"] is not None and r["ci_lo"] > threshold:
+            confident_bad.append(r["check_name"])
+    if confident_bad:
+        print(f"estimate: FAILED --fail-above {threshold}: {','.join(confident_bad)}")
+        return 1
+    return 0
+
+
 def cmd_vector_sanity(args: argparse.Namespace) -> int:
     """Embedding-column gate: NULL / wrong-dim / NaN / Inf / zero-norm
     vectors (checks/vector_sanity.py) — the pre-flight a scheduler runs
@@ -749,6 +797,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--entropy-cols", default=None, help="comma-separated")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_audit)
+
+    p = sub.add_parser(
+        "estimate",
+        help="sampled-validation pre-pass: per-check violation-rate Wilson "
+        "estimates from a deterministic conversation sample "
+        "(exit 1 with --fail-above when a rate is confidently above it)",
+    )
+    p.add_argument("--config", default=None)
+    p.add_argument("--input", required=True,
+                   help="sf dir, iceberg:ns, synth:N, or bucketed:DIR")
+    p.add_argument("--rate", default="16/256",
+                   help="conversation sample rate NUM/DEN (DEN in 16/256/4096)")
+    p.add_argument("--fail-above", default=None,
+                   help="exit 1 if any check's ci_lo exceeds this per-turn rate")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_estimate)
 
     p = sub.add_parser(
         "vector-sanity",

@@ -692,10 +692,52 @@ def write_scorecard(spark: SparkSession, out_dir: str, run_id: str = "run0") -> 
     return spark.read.parquet(card_dir).count()
 
 
-def main(argv: list[str] | None = None) -> None:
-    from schema_infer_plugin_spark.session import get_spark
+def resolve_transcripts_input(
+    spark: SparkSession, input_str: str, n_buckets: int | None = None
+) -> tuple[DataFrame, dict[str, int] | None]:
+    """Shared input resolution for the validation-family CLI faces:
+    ``sf dir`` / ``synth:N`` / ``bucketed:DIR`` / ``iceberg:ns`` →
+    (transcripts DataFrame, bucket_rows). bucket_rows (metadata-verified
+    per-partition counts for empty-bucket pruning) is only non-None for
+    bucketed:/iceberg: inputs whose persisted scheme verifies against
+    ``n_buckets`` — any other dir scans in full."""
     from schema_infer_plugin_spark.sources.io import load_table
     from schema_infer_plugin_spark.sources.views import transcripts_from_events
+
+    bucket_rows = None
+    if input_str.startswith("synth:"):
+        from schema_infer_plugin_spark.sources.synth import synth_transcripts
+
+        t = synth_transcripts(spark, int(input_str.split(":", 1)[1]))
+    elif input_str.startswith("bucketed:"):
+        # production layout: the table was written by write_bucketed —
+        # partitioned on partition_key WITH the scheme sidecar. Footer metadata
+        # feeds empty-bucket pruning only when the sidecar proves the values
+        # came from with_partition_key at THIS n_buckets; any other dir
+        # (external tool, different bucket count, no sidecar) scans in full.
+        from schema_infer_plugin_spark.sources.metadata import verified_partition_counts
+
+        bdir = input_str.split(":", 1)[1]
+        if n_buckets is not None:
+            bucket_rows = verified_partition_counts(bdir, n_buckets)
+        t = spark.read.parquet(bdir).drop("partition_key")
+    elif input_str.startswith("iceberg:"):
+        from schema_infer_plugin_spark.sources.metadata import iceberg_verified_counts
+
+        table = f"{input_str.split(':', 1)[1]}.events"
+        # manifest-only counts; only when the table's TBLPROPERTIES declare
+        # the engine's own transform + n_buckets (identity partition on a
+        # precomputed partition_key — never bucket(N, conv_id))
+        if n_buckets is not None:
+            bucket_rows = iceberg_verified_counts(spark, table, n_buckets)
+        t = transcripts_from_events(spark, load_table(spark, input_str, "events"))
+    else:
+        t = transcripts_from_events(spark, load_table(spark, input_str, "events"))
+    return t, bucket_rows
+
+
+def main(argv: list[str] | None = None) -> None:
+    from schema_infer_plugin_spark.session import get_spark
 
     from schema_infer_plugin_spark.config import ConfigError, load_config
 
@@ -760,33 +802,7 @@ def main(argv: list[str] | None = None) -> None:
             "spark.sql.files.maxPartitionBytes": cfg.performance.max_partition_bytes,
         },
     )
-    bucket_rows = None
-    if args.input.startswith("synth:"):
-        from schema_infer_plugin_spark.sources.synth import synth_transcripts
-
-        t = synth_transcripts(spark, int(args.input.split(":", 1)[1]))
-    elif args.input.startswith("bucketed:"):
-        # production layout: the table was written by write_bucketed —
-        # partitioned on partition_key WITH the scheme sidecar. Footer metadata
-        # feeds empty-bucket pruning only when the sidecar proves the values
-        # came from with_partition_key at THIS n_buckets; any other dir
-        # (external tool, different bucket count, no sidecar) scans in full.
-        from schema_infer_plugin_spark.sources.metadata import verified_partition_counts
-
-        bdir = args.input.split(":", 1)[1]
-        bucket_rows = verified_partition_counts(bdir, n_buckets)
-        t = spark.read.parquet(bdir).drop("partition_key")
-    elif args.input.startswith("iceberg:"):
-        from schema_infer_plugin_spark.sources.metadata import iceberg_verified_counts
-
-        table = f"{args.input.split(':', 1)[1]}.events"
-        # manifest-only counts; only when the table's TBLPROPERTIES declare
-        # the engine's own transform + n_buckets (identity partition on a
-        # precomputed partition_key — never bucket(N, conv_id))
-        bucket_rows = iceberg_verified_counts(spark, table, n_buckets)
-        t = transcripts_from_events(spark, load_table(spark, args.input, "events"))
-    else:
-        t = transcripts_from_events(spark, load_table(spark, args.input, "events"))
+    t, bucket_rows = resolve_transcripts_input(spark, args.input, n_buckets)
     if bucket_rows is not None and set(bucket_rows) != {str(i) for i in range(n_buckets)}:
         # belt-and-braces behind the verified_* gates: pruning requires an
         # explicit count for EVERY bucket of this run's scheme — a key set

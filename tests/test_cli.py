@@ -327,3 +327,37 @@ def test_profile_diff_cli(spark, tmp_path):
                  "--out", str(tmp_path / "moved")]) == 1
     qd = spark.read.parquet(str(tmp_path / "moved" / "quantile_drift")).collect()
     assert [r["col_name"] for r in qd] == ["x"] and not qd[0]["pass"]
+
+
+def test_estimate_cli(spark, tmp_path, capsys):
+    """estimate: Wilson rate estimates from a deterministic conversation
+    sample — full check grid persisted, exit 0 without a gate, exit 1 when
+    --fail-above sits below a confidently-exceeded rate, rate validated."""
+    import pytest
+
+    from schema_infer_plugin_spark.plans.validate import CHECK_NAMES
+
+    out = str(tmp_path / "est")
+    rc = main(["estimate", "--input", "synth:2000", "--rate", "64/256",
+               "--out", out])
+    assert rc == 0
+    rows = {r["check_name"]: r for r in
+            spark.read.parquet(os.path.join(out, "estimate")).collect()}
+    assert set(rows) == set(CHECK_NAMES)
+    assert all(r["n_turns"] > 0 for r in rows.values())
+    max_lo = max(r["ci_lo"] for r in rows.values())
+    assert max_lo > 0  # synth corpus injects violations; the sample sees some
+
+    rc = main(["estimate", "--input", "synth:2000", "--rate", "64/256",
+               "--fail-above", str(max_lo / 2), "--out", str(tmp_path / "e2")])
+    assert rc == 1
+    assert "FAILED --fail-above" in capsys.readouterr().out
+
+    rc = main(["estimate", "--input", "synth:2000", "--rate", "64/256",
+               "--fail-above", "1.0", "--out", str(tmp_path / "e3")])
+    assert rc == 0
+
+    with pytest.raises(SystemExit, match="denominator"):
+        main(["estimate", "--input", "synth:100", "--rate", "1/100", "--out", out])
+    with pytest.raises(SystemExit, match="numerator"):
+        main(["estimate", "--input", "synth:100", "--rate", "256/256", "--out", out])

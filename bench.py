@@ -148,6 +148,9 @@ def run_bench(
         "role_transition_matrix",
         "role_transition_drift",
         "expr_suite",
+        "role_transition_domain",
+        "transition_chi2",
+        "sampled_validation_estimate",
     ):
         timed(name, lambda name=name: q[name](spark, sf_dir).count())
 

@@ -429,6 +429,16 @@ def run_drift(
         if "chi2" in agg.asDict() and agg["chi2"] is not None:
             m["chi2"] = float(agg["chi2"])
             m["dof"] = float(agg["k"] - 1)
+            if m["dof"] > 0:
+                # Wilson–Hilferty: (χ²/k)^(1/3) is ≈ normal with mean
+                # 1 − 2/(9k), var 2/(9k) — turns the statistic into an
+                # approximate z-score so one threshold works at ANY dof.
+                # Driver-side float math on already-collected metrics
+                # (reported evidence, not a hash-compared value).
+                k9 = 2.0 / (9.0 * m["dof"])
+                m["chi2_z"] = ((m["chi2"] / m["dof"]) ** (1.0 / 3.0) - (1.0 - k9)) / (
+                    k9**0.5
+                )
         return m
 
     # (check_name, pass, metrics) — one row per column either way

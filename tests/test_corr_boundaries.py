@@ -279,3 +279,57 @@ def test_transition_chi2_model(spark):
     assert set(out) == {"user->assistant", "assistant->user", "user->tool", "tool->tool"}
     assert all(r["n_base"] == 2 and r["n_cur"] == 2 for r in out.values())
     assert all(math.isclose(r["chi2_term"], 1.0) for r in out.values())
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(list("abcdefgh")),
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_chi2_terms_matches_python_model(spark, counts):
+    """chi2_terms on arbitrary count frames == a pure-Python model of the
+    per-bucket algebraic form, and the summed statistic equals the textbook
+    expected-count chi-square (algebraic identity)."""
+    from schema_infer_plugin_spark.checks import chi2_terms
+
+    base = {b: v[0] for b, v in counts.items() if v[0] > 0}
+    cur = {b: v[1] for b, v in counts.items() if v[1] > 0}
+    mk = lambda d: spark.createDataFrame(  # noqa: E731
+        [(b, c) for b, c in sorted(d.items())], "bucket: string, cnt: long"
+    )
+    got = {r["bucket"]: r for r in chi2_terms(mk(cur), mk(base)).collect()}
+    n_b, n_c = sum(base.values()), sum(cur.values())
+    want_buckets = set(base) | set(cur)
+    assert set(got) == want_buckets
+    for b in want_buckets:
+        o_b, o_c = base.get(b, 0), cur.get(b, 0)
+        r = got[b]
+        assert (r["o_base"], r["o_cur"], r["n_base"], r["n_cur"]) == (o_b, o_c, n_b, n_c)
+        if n_b > 0 and n_c > 0:
+            diff = float(o_c * n_b) - float(o_b * n_c)
+            want = diff * diff / (float(n_c) * float(n_b) * float(o_c + o_b))
+            assert r["chi2_term"] == want  # identical fixed double formula
+        else:
+            assert r["chi2_term"] is None
+    if n_b > 0 and n_c > 0:
+        total = sum(r["chi2_term"] for r in got.values())
+        classic = 0.0
+        grand = n_b + n_c
+        for b in want_buckets:
+            col = base.get(b, 0) + cur.get(b, 0)
+            for o, n_g in ((base.get(b, 0), n_b), (cur.get(b, 0), n_c)):
+                e = n_g * col / grand
+                classic += (o - e) ** 2 / e
+        assert math.isclose(total, classic, rel_tol=1e-9, abs_tol=1e-12)

@@ -2821,6 +2821,135 @@ FROM s GROUP BY user_id, session_start_us
 """
 
 
+def q_windowed_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous drift monitoring, streaming half + batch half: Structured
+    Streaming maintains per-day role counts (streaming/incremental.
+    windowed_histogram_stream — watermark-bounded state, counts emitted on
+    window close), then checks/drift.windowed_drift_report joins the emitted
+    rows against the full-corpus baseline for per-window PSI/KL/JS AND the
+    sample-size-aware chi-square — "which day drifted" without re-scanning
+    the stream. Far-future NULL-role sentinel advances the global watermark
+    so every real window closes (single-file staging, the
+    session_stats_stream guard); its own window never closes and a
+    2099 filter belts-and-braces it out."""
+    import os
+    import tempfile
+
+    from schema_infer_plugin_spark.checks.drift import (
+        bucket_counts,
+        windowed_drift_report,
+    )
+    from schema_infer_plugin_spark.streaming.incremental import (
+        windowed_histogram_stream,
+    )
+
+    t = _transcripts(spark, sf_dir).select(
+        "role", F.col("ts").cast("timestamp").alias("ts")
+    )
+    work = tempfile.mkdtemp(prefix="wdrift_stream_")
+    in_dir, out_dir, ckpt = (os.path.join(work, d) for d in ("in", "out", "ckpt"))
+    sentinel = (
+        t.limit(1)
+        .withColumn("role", F.lit(None).cast("string"))
+        .withColumn("ts", F.to_timestamp(F.lit("2100-01-01 00:00:00")))
+    )
+    t.unionByName(sentinel).coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(t.schema).parquet(in_dir)
+    counts = windowed_histogram_stream(
+        stream, "role", "ts", window_duration="1 day", watermark_delay="1 second"
+    )
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(out_dir).filter(
+        F.col("window_start") < F.to_timestamp(F.lit("2099-01-01 00:00:00"))
+    )
+    base = bucket_counts(_transcripts(spark, sf_dir), "role")
+    rep = windowed_drift_report(emitted, base)
+    z = F.lit(0.0)
+    return rep.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "bucket",
+        F.round("freq_base", 6).cast("double").alias("freq_base"),
+        F.round("freq_cur", 6).cast("double").alias("freq_cur"),
+        (F.round("psi_term", 6) + z).cast("double").alias("psi_term"),
+        (F.round("kl_term", 6) + z).cast("double").alias("kl_term"),
+        (F.round("js_term", 6) + z).cast("double").alias("js_term"),
+        "o_base",
+        "o_cur",
+        "n_base",
+        "n_cur",
+        F.round("chi2_term", 6).cast("double").alias("chi2_term"),
+    )
+
+
+ORACLE_WINDOWED_DRIFT = oracle_cte(
+    """
+, wc AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS ws,
+         epoch_us(date_trunc('day', ts)) + 86400000000 AS we,
+         coalesce(CAST(role AS STRING), '<null>') AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM transcripts GROUP BY 1, 2, 3),
+base AS (
+  SELECT coalesce(CAST(role AS STRING), '<null>') AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM transcripts GROUP BY 1),
+wins AS (SELECT DISTINCT ws, we FROM wc),
+buckets AS (
+  SELECT bucket FROM base UNION SELECT bucket FROM wc),
+grid AS (
+  SELECT w.ws, w.we, b.bucket,
+         CAST(coalesce(bs.cnt, 0) AS BIGINT) AS o_base,
+         CAST(coalesce(c.cnt, 0) AS BIGINT) AS o_cur
+  FROM wins w CROSS JOIN buckets b
+  LEFT JOIN base bs ON bs.bucket = b.bucket
+  LEFT JOIN wc c ON c.ws = w.ws AND c.bucket = b.bucket
+  WHERE coalesce(bs.cnt, 0) > 0 OR coalesce(c.cnt, 0) > 0),
+tot AS (
+  SELECT *, CAST(sum(o_base) OVER (PARTITION BY ws) AS BIGINT) AS n_base,
+            CAST(sum(o_cur) OVER (PARTITION BY ws) AS BIGINT) AS n_cur
+  FROM grid),
+d AS (
+  SELECT *,
+         CASE WHEN n_base > 0
+              THEN CAST(o_base AS DOUBLE) / CAST(n_base AS DOUBLE)
+              ELSE 0.0 END AS fb,
+         CASE WHEN n_cur > 0
+              THEN CAST(o_cur AS DOUBLE) / CAST(n_cur AS DOUBLE)
+              ELSE 0.0 END AS fc,
+         CAST(CAST(o_cur AS DECIMAL(19,0)) * CAST(n_base AS DECIMAL(19,0)) AS DOUBLE)
+         - CAST(CAST(o_base AS DECIMAL(19,0)) * CAST(n_cur AS DECIMAL(19,0)) AS DOUBLE)
+           AS diff
+  FROM tot)
+SELECT ws AS window_start_us, we AS window_end_us, bucket,
+       CAST(round(fb, 6) AS DOUBLE) AS freq_base,
+       CAST(round(fc, 6) AS DOUBLE) AS freq_cur,
+       CAST(round((fc - fb) * ln((fc + 1e-6) / (fb + 1e-6)), 6) + 0.0 AS DOUBLE) AS psi_term,
+       CAST(round(fc * ln((fc + 1e-6) / (fb + 1e-6)), 6) + 0.0 AS DOUBLE) AS kl_term,
+       CAST(round(
+         0.5 * (fc + 1e-6) * ln((fc + 1e-6) / (((fc + 1e-6) + (fb + 1e-6)) / 2))
+         + 0.5 * (fb + 1e-6) * ln((fb + 1e-6) / (((fc + 1e-6) + (fb + 1e-6)) / 2)),
+         6) + 0.0 AS DOUBLE) AS js_term,
+       o_base, o_cur, n_base, n_cur,
+       CASE WHEN n_cur > 0 AND n_base > 0 THEN
+         CAST(round(
+           diff * diff / (CAST(n_cur AS DOUBLE) * CAST(n_base AS DOUBLE)
+                          * CAST(o_cur + o_base AS DOUBLE)),
+           6) AS DOUBLE)
+       END AS chi2_term
+FROM d
+"""
+)
+
+
 def q_windowed_rates_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed violation rates driver-green (streaming/
     incremental.windowed_violation_rates): the stateless Pass-B subset
@@ -4869,6 +4998,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "delimiter_scores": (q_delimiter_scores, ORACLE_DELIMITER_SCORES),
     "session_stats_stream": (q_session_stats_stream, ORACLE_SESSION_STREAM),
     "windowed_rates_stream": (q_windowed_rates_stream, ORACLE_WINDOWED_RATES_STREAM),
+    "windowed_drift_stream": (q_windowed_drift_stream, ORACLE_WINDOWED_DRIFT),
     "dedup_stream_content": (q_dedup_stream, ORACLE_DEDUP_STREAM),
     "ann_ivfpq_topk": (q_ann_ivfpq, _oracle_ann_ivfpq()),
     "mix_token_budget": (q_mix_token_budget, _oracle_mix()),
@@ -5004,6 +5134,7 @@ _R5_WINDOW = [
     "role_transition_domain",
     "transition_chi2",
     "sampled_validation_estimate",
+    "windowed_drift_stream",
     "dup_ngram_rate",
     "role_transition_matrix",
     "tfidf_top_terms",
@@ -5049,7 +5180,6 @@ _R5_WINDOW = [
     "transcripts_tool_domain",
     "transcripts_tool_without_role",
     "transcripts_null_text",
-    "transcripts_role_alternation",
 ]
 
 

@@ -133,10 +133,17 @@ def chi2_terms(current: DataFrame, baseline: DataFrame) -> DataFrame:
         F.sum("o_base").over(tot).alias("n_base"),
         F.sum("o_cur").over(tot).alias("n_cur"),
     )
-    # exact DECIMAL(19,0)×DECIMAL(19,0) cross products (fit DECIMAL(38,0)),
-    # each cast to double BEFORE the subtraction — a decimal subtraction
-    # would need precision 39; the double subtraction is the same fixed IEEE
-    # op in both engines (the grouped_int_corr oracle posture)
+    return with_tot.select(
+        "bucket", "o_base", "o_cur", "n_base", "n_cur", _chi2_expr().alias("chi2_term")
+    )
+
+
+def _chi2_expr() -> "F.Column":
+    """Per-bucket chi-square term from (o_base, o_cur, n_base, n_cur)
+    columns. Exact DECIMAL(19,0)×DECIMAL(19,0) cross products (fit
+    DECIMAL(38,0)), each cast to double BEFORE the subtraction — a decimal
+    subtraction would need precision 39; the double subtraction is the same
+    fixed IEEE op in both engines (the grouped_int_corr oracle posture)."""
     dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     diff = (dec("o_cur") * dec("n_base")).cast("double") - (
         dec("o_base") * dec("n_cur")
@@ -146,10 +153,7 @@ def chi2_terms(current: DataFrame, baseline: DataFrame) -> DataFrame:
         * F.col("n_base").cast("double")
         * (F.col("o_cur") + F.col("o_base")).cast("double")
     )
-    term = F.when((F.col("n_cur") > 0) & (F.col("n_base") > 0), diff * diff / denom)
-    return with_tot.select(
-        "bucket", "o_base", "o_cur", "n_base", "n_cur", term.alias("chi2_term")
-    )
+    return F.when((F.col("n_cur") > 0) & (F.col("n_base") > 0), diff * diff / denom)
 
 
 def histogram_with_counts(df: DataFrame, column: str) -> DataFrame:
@@ -182,18 +186,31 @@ def drift_and_chi2_terms(
     chi2 terms — same posture as :func:`chi2_terms`.
     """
     j = chi2_terms(current_counts, baseline_counts)
+    return _terms_from_counts(j, eps=eps)
+
+
+def _terms_from_counts(
+    j: DataFrame, extra: tuple[str, ...] = (), eps: float = 1e-6
+) -> DataFrame:
+    """Project the full drift-term row from a joined count frame carrying
+    (bucket, o_base, o_cur, n_base, n_cur [, chi2_term]) — the shared tail
+    of :func:`drift_and_chi2_terms` and :func:`windowed_drift_report`.
+    ``extra`` columns (e.g. window bounds) lead the output."""
     fb = F.when(
         F.col("n_base") > 0, F.col("o_base") / F.col("n_base")
     ).otherwise(F.lit(0.0))
     fc = F.when(
         F.col("n_cur") > 0, F.col("o_cur") / F.col("n_cur")
     ).otherwise(F.lit(0.0))
+    if "chi2_term" not in j.columns:
+        j = j.select("*", _chi2_expr().alias("chi2_term"))
     j = j.select("*", fb.alias("freq_base"), fc.alias("freq_cur"))
     p = F.col("freq_cur") + eps
     q = F.col("freq_base") + eps
     m = (p + q) / 2
     ratio = F.log(p / q)
     return j.select(
+        *extra,
         "bucket",
         "freq_base",
         "freq_cur",
@@ -206,6 +223,66 @@ def drift_and_chi2_terms(
         "n_cur",
         "chi2_term",
     )
+
+
+def windowed_drift_report(
+    window_counts: DataFrame, baseline_counts: DataFrame, eps: float = 1e-6
+) -> DataFrame:
+    """Per-WINDOW drift terms vs one baseline count frame — the batch half of
+    continuous drift monitoring: a stream maintains the windowed categorical
+    counts (streaming/incremental.windowed_histogram_stream — watermark-
+    bounded state, counts are mergeable), and this report joins the emitted
+    (window_start, window_end, bucket, cnt) rows against a persisted
+    baseline, yielding drift_and_chi2_terms rows PER WINDOW. Summing
+    psi_term/chi2_term within a window gives that window's drift verdict —
+    "which day drifted", not just "did the batch drift".
+
+    Plan: both inputs are bounded (windows × |bucket domain|); the bucket
+    grid is windows ⨯ (baseline ∪ observed buckets) via a broadcast cross of
+    two bounded frames, totals are windows-partitioned sums over the grid
+    (bounded-rows window exception). A bucket absent from a window counts 0
+    there; a window with no rows never appears (streams emit only non-empty
+    windows).
+    """
+    wins = window_counts.select("window_start", "window_end").distinct()
+    buckets = (
+        baseline_counts.select("bucket")
+        .union(window_counts.select("bucket"))
+        .distinct()
+    )
+    grid = (
+        wins.crossJoin(broadcast(buckets))
+        .join(
+            baseline_counts.select("bucket", F.col("cnt").alias("o_base")),
+            on="bucket",
+            how="left",
+        )
+        .join(
+            window_counts.select(
+                "window_start", "window_end", "bucket", F.col("cnt").alias("o_cur")
+            ),
+            on=["window_start", "window_end", "bucket"],
+            how="left",
+        )
+        .select(
+            "window_start",
+            "window_end",
+            "bucket",
+            F.coalesce("o_base", F.lit(0)).cast("long").alias("o_base"),
+            F.coalesce("o_cur", F.lit(0)).cast("long").alias("o_cur"),
+        )
+        # a bucket observed only in OTHER windows is a phantom here: both
+        # sides 0 would make the chi2 term 0/0; dropping the row restores
+        # exactly chi2_terms' full-outer-join semantics per window
+        .filter((F.col("o_base") > 0) | (F.col("o_cur") > 0))
+    )
+    per_win = Window.partitionBy("window_start", "window_end")
+    with_tot = grid.select(
+        "*",
+        F.sum("o_base").over(per_win).alias("n_base"),
+        F.sum("o_cur").over(per_win).alias("n_cur"),
+    )
+    return _terms_from_counts(with_tot, extra=("window_start", "window_end"), eps=eps)
 
 
 def histogram_equidepth(

@@ -183,6 +183,45 @@ def windowed_violation_rates(
     )
 
 
+def windowed_histogram_stream(
+    stream_df: DataFrame,
+    column: str = "role",
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Event-time windowed categorical counts — the STREAMING half of
+    continuous drift monitoring: the stream maintains one (window, bucket)
+    counter per open window (watermark bounds state to O(open windows ×
+    |bucket domain|), never O(stream)), and closed windows emit exact
+    counts in append mode. The batch half
+    (checks/drift.windowed_drift_report) joins the emitted rows against a
+    persisted baseline for per-window PSI/KL/JS/chi2 — "which day drifted",
+    computed without ever re-scanning the stream. Counts (not frequencies)
+    are what's emitted precisely so the chi-square leg stays computable —
+    the same reason write_histograms persists cnt.
+
+    Output: (window_start, window_end, bucket, cnt). NULL values bucket as
+    '<null>'; rows later than the watermark are dropped from the MONITORING
+    counts only (same posture as windowed_violation_rates — the validation
+    path never watermarks violations away).
+    """
+    bucket = F.coalesce(F.col(column).cast("string"), F.lit("<null>"))
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration), bucket.alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "bucket",
+            "cnt",
+        )
+    )
+
+
 #: Output schema of the stateful cross-batch check.
 _STATEFUL_OUT = (
     "check_name string, conv_id string, turn_idx int, column string,"

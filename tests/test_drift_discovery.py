@@ -200,3 +200,47 @@ def test_schema_evolution_pass(spark, tmp_path):
     bad = run_schema_evolution(spark, cur2, base, mode="FORWARD")
     rows = bad.collect()
     assert any(not r["pass"] and r["field"] == "conv_id" for r in rows)
+
+
+def test_windowed_drift_report_matches_per_window(spark):
+    """windowed_drift_report rows for each window are EXACTLY
+    drift_and_chi2_terms(that window's counts, baseline) — the windowed grid
+    (with the phantom-bucket filter) reproduces the per-window full-outer
+    join bit for bit, including buckets unseen in a window (o_cur=0) and
+    window-only buckets (o_base=0)."""
+    import datetime as dt
+
+    from schema_infer_plugin_spark.checks.drift import (
+        drift_and_chi2_terms,
+        windowed_drift_report,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 10), ("b", 30), ("c", 5)], "bucket: string, cnt: long"
+    )
+    w1 = (dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))
+    w2 = (dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3))
+    wc = spark.createDataFrame(
+        [(w1[0], w1[1], "a", 5), (w1[0], w1[1], "b", 5),
+         (w2[0], w2[1], "b", 2), (w2[0], w2[1], "d", 3)],
+        "window_start: timestamp, window_end: timestamp, bucket: string, cnt: long",
+    )
+    rep = windowed_drift_report(wc, base).collect()
+    got = {}
+    for r in rep:
+        got.setdefault(r["window_start"], {})[r["bucket"]] = tuple(
+            r[c] for c in ("freq_base", "freq_cur", "psi_term", "kl_term",
+                           "js_term", "o_base", "o_cur", "n_base", "n_cur",
+                           "chi2_term")
+        )
+    for win, rows in ((w1, [("a", 5), ("b", 5)]), (w2, [("b", 2), ("d", 3)])):
+        cur = spark.createDataFrame(rows, "bucket: string, cnt: long")
+        want = {
+            r["bucket"]: tuple(
+                r[c] for c in ("freq_base", "freq_cur", "psi_term", "kl_term",
+                               "js_term", "o_base", "o_cur", "n_base", "n_cur",
+                               "chi2_term")
+            )
+            for r in drift_and_chi2_terms(cur, base).collect()
+        }
+        assert got[win[0]] == want  # bit-identical per window

@@ -46,6 +46,7 @@ BOUNDED_BROADCAST_CROSS = {
     "hybrid_search_rrf",     # BM25 leg's single-row corpus-stats frame (retrieval.py)
     "tfidf_top_terms",       # single-row N-docs frame (retrieval.py tfidf)
     "sampled_validation_estimate",  # single-row sampled-turn total × |checks| grid
+    "windowed_drift_stream",  # bounded windows × bucket-domain grid (drift.py)
 }
 
 ALL_QUERIES = sorted(entrymod.queries().keys())

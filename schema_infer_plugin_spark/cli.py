@@ -505,6 +505,77 @@ def cmd_estimate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_window_drift(args: argparse.Namespace) -> int:
+    """Per-WINDOW drift report ("which day drifted"): event-time windowed
+    categorical counts of --column joined against a validate run's persisted
+    count-bearing histogram baseline (checks/drift.windowed_drift_report —
+    the batch face of the streaming windowed_histogram_stream). Writes
+    ``window_drift/`` under --out, prints one line per window, and exits 1
+    when any window's summed PSI exceeds --psi-threshold. Requires a
+    baseline written by this engine version (freq-only artifacts carry no
+    counts and are rejected here, unlike run_drift's lenient whole-batch
+    path, because the chi-square column is part of this report)."""
+    from schema_infer_plugin_spark.checks.drift import windowed_drift_report
+    from schema_infer_plugin_spark.plans.runner import resolve_transcripts_input
+
+    cfg = _load_cfg(args)
+    spark = _spark(cfg)
+    t, _ = resolve_transcripts_input(spark, args.input)
+    base = spark.read.parquet(
+        os.path.join(args.baseline, "histograms", args.column)
+    )
+    if "cnt" not in base.columns:
+        raise SystemExit(
+            "window-drift needs a count-bearing baseline (re-run validate /"
+            " write_histograms with this engine version)"
+        )
+    from pyspark.sql import functions as F
+
+    bucket = F.coalesce(F.col(args.column).cast("string"), F.lit("<null>"))
+    counts = (
+        t.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.window(F.col("ts").cast("timestamp"), args.window),
+            bucket.alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "bucket",
+            "cnt",
+        )
+    )
+    rep = windowed_drift_report(counts, base.select("bucket", "cnt"))
+    rep.write.mode("overwrite").parquet(os.path.join(args.out, "window_drift"))
+    per_win = (
+        spark.read.parquet(os.path.join(args.out, "window_drift"))
+        .groupBy("window_start", "window_end")
+        .agg(
+            F.sum("psi_term").alias("psi"),
+            F.sum("chi2_term").alias("chi2"),
+            (F.count(F.lit(1)) - 1).alias("dof"),
+        )
+        .orderBy("window_start")
+        .collect()
+    )
+    threshold = float(args.psi_threshold)
+    drifted = []
+    for r in per_win:
+        flag = r["psi"] > threshold
+        print(
+            f"{r['window_start']} .. {r['window_end']}: psi={r['psi']:.6f}"
+            f" chi2={r['chi2']:.3f} dof={r['dof']}{' DRIFTED' if flag else ''}"
+        )
+        if flag:
+            drifted.append(str(r["window_start"]))
+    if drifted:
+        print(f"window-drift: {len(drifted)}/{len(per_win)} windows above"
+              f" psi {threshold}")
+        return 1
+    return 0
+
+
 def cmd_vector_sanity(args: argparse.Namespace) -> int:
     """Embedding-column gate: NULL / wrong-dim / NaN / Inf / zero-norm
     vectors (checks/vector_sanity.py) — the pre-flight a scheduler runs
@@ -813,6 +884,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="exit 1 if any check's ci_lo exceeds this per-turn rate")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_estimate)
+
+    p = sub.add_parser(
+        "window-drift",
+        help="per-window drift report vs a validate run's histogram baseline "
+        "(exit 1 when any window's PSI exceeds the threshold)",
+    )
+    p.add_argument("--config", default=None)
+    p.add_argument("--input", required=True,
+                   help="sf dir, iceberg:ns, synth:N, or bucketed:DIR")
+    p.add_argument("--baseline", required=True,
+                   help="a validate run's --out dir (histograms/<column> with counts)")
+    p.add_argument("--column", default="role")
+    p.add_argument("--window", default="1 day", help="event-time window duration")
+    p.add_argument("--psi-threshold", default="0.2")
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_window_drift)
 
     p = sub.add_parser(
         "vector-sanity",

@@ -361,3 +361,50 @@ def test_estimate_cli(spark, tmp_path, capsys):
         main(["estimate", "--input", "synth:100", "--rate", "1/100", "--out", out])
     with pytest.raises(SystemExit, match="numerator"):
         main(["estimate", "--input", "synth:100", "--rate", "256/256", "--out", out])
+
+
+def test_window_drift_cli(spark, tmp_path, capsys):
+    """window-drift: self vs own baseline exits 0 (every window within PSI);
+    an assistant-heavy slice drifts every window and exits 1; a freq-only
+    baseline is rejected with a clear error."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from schema_infer_plugin_spark.plans.runner import write_histograms
+    from schema_infer_plugin_spark.sources.synth import synth_transcripts
+
+    t = synth_transcripts(spark, 1_000)
+    base_out = str(tmp_path / "base")
+    write_histograms(spark, t, base_out, ["role"], numeric_columns=[])
+    # synth: is resolved by resolve_transcripts_input — same generator, so
+    # the same frame serves as both baseline source and current input
+    rc = main(["window-drift", "--input", "synth:1000", "--baseline", base_out,
+               "--out", str(tmp_path / "w1")])
+    assert rc == 0
+    rep = spark.read.parquet(os.path.join(str(tmp_path / "w1"), "window_drift"))
+    assert rep.count() > 0 and rep.filter(F.col("chi2_term").isNull()).count() == 0
+
+    # shifted current: role distribution differs in every window
+    shifted_base = str(tmp_path / "shifted_base")
+    write_histograms(
+        spark,
+        t.filter(F.col("role") == "assistant"),
+        shifted_base,
+        ["role"],
+        numeric_columns=[],
+    )
+    rc = main(["window-drift", "--input", "synth:1000", "--baseline", shifted_base,
+               "--out", str(tmp_path / "w2")])
+    assert rc == 1
+    assert "DRIFTED" in capsys.readouterr().out
+
+    # freq-only baseline rejected
+    old = str(tmp_path / "old")
+    from schema_infer_plugin_spark.checks.drift import histogram
+
+    histogram(t, "role").coalesce(1).write.parquet(
+        os.path.join(old, "histograms", "role")
+    )
+    with pytest.raises(SystemExit, match="count-bearing"):
+        main(["window-drift", "--input", "synth:1000", "--baseline", old,
+              "--out", str(tmp_path / "w3")])

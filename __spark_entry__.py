@@ -932,13 +932,19 @@ def q_sampled_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = sampled_validation_estimate(_transcripts(spark, sf_dir), rate_num=64)
     z0 = F.lit(0.0)
+    rd = lambda c: (F.round(c, 6) + z0).cast("double").alias(c)  # noqa: E731
     return e.select(
         "check_name",
         "n_turns",
         "n_violations",
-        (F.round("rate", 6) + z0).cast("double").alias("rate"),
-        (F.round("ci_lo", 6) + z0).cast("double").alias("ci_lo"),
-        (F.round("ci_hi", 6) + z0).cast("double").alias("ci_hi"),
+        rd("rate"),
+        rd("ci_lo"),
+        rd("ci_hi"),
+        "n_convs",
+        "conv_violations",
+        rd("conv_rate"),
+        rd("conv_ci_lo"),
+        rd("conv_ci_hi"),
     )
 
 
@@ -962,33 +968,55 @@ grid AS (
   SELECT * FROM (VALUES {",".join("(" + repr(c) + ")" for c in CHECK_NAMES)})
   AS g(check_name)),
 counts AS (
-  SELECT check_name, CAST(count(*) AS BIGINT) AS n_violations FROM v GROUP BY 1),
-tot AS (SELECT CAST(count(*) AS BIGINT) AS n_turns FROM transcripts),
+  SELECT check_name, CAST(count(*) AS BIGINT) AS n_violations,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS conv_violations
+  FROM v GROUP BY 1),
+tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+  FROM transcripts),
 e AS (
   SELECT g.check_name,
-         CAST(coalesce(c.n_violations, 0) AS BIGINT) AS n_violations, t.n_turns
+         CAST(coalesce(c.n_violations, 0) AS BIGINT) AS n_violations,
+         CAST(coalesce(c.conv_violations, 0) AS BIGINT) AS conv_violations,
+         t.n_turns, t.n_convs
   FROM grid g LEFT JOIN counts c USING (check_name) CROSS JOIN tot t),
 w AS (
-  SELECT check_name, n_turns, n_violations,
+  SELECT check_name, n_turns, n_violations, n_convs, conv_violations,
          CAST(n_violations AS DOUBLE) / CAST(n_turns AS DOUBLE) AS phat,
-         CAST(n_turns AS DOUBLE) AS n
+         CAST(n_turns AS DOUBLE) AS n,
+         CAST(conv_violations AS DOUBLE) / CAST(n_convs AS DOUBLE) AS cphat,
+         CAST(n_convs AS DOUBLE) AS cn
   FROM e),
 w2 AS (
   SELECT *,
          1.0 + (1.959964 * 1.959964) / n AS denomw,
          (phat + (1.959964 * 1.959964) / (2.0 * n)) AS cnum,
          1.959964 * sqrt(phat * (1.0 - phat) / n
-                         + (1.959964 * 1.959964) / (4.0 * (n * n))) AS hnum
+                         + (1.959964 * 1.959964) / (4.0 * (n * n))) AS hnum,
+         1.0 + (1.959964 * 1.959964) / cn AS cdenomw,
+         (cphat + (1.959964 * 1.959964) / (2.0 * cn)) AS ccnum,
+         1.959964 * sqrt(cphat * (1.0 - cphat) / cn
+                         + (1.959964 * 1.959964) / (4.0 * (cn * cn))) AS chnum
   FROM w)
 SELECT check_name, n_turns, n_violations,
        CASE WHEN n_turns > 0
             THEN CAST(round(phat, 6) + 0.0 AS DOUBLE) END AS rate,
        CASE WHEN n_turns > 0
-            THEN CAST(round(greatest(cnum / denomw - hnum / denomw, 0.0), 6)
+            THEN CAST(round(greatest(least(cnum / denomw - hnum / denomw, phat), 0.0), 6)
                  + 0.0 AS DOUBLE) END AS ci_lo,
        CASE WHEN n_turns > 0
-            THEN CAST(round(least(cnum / denomw + hnum / denomw, 1.0), 6)
-                 + 0.0 AS DOUBLE) END AS ci_hi
+            THEN CAST(round(least(greatest(cnum / denomw + hnum / denomw, phat), 1.0), 6)
+                 + 0.0 AS DOUBLE) END AS ci_hi,
+       n_convs, conv_violations,
+       CASE WHEN n_convs > 0
+            THEN CAST(round(cphat, 6) + 0.0 AS DOUBLE) END AS conv_rate,
+       CASE WHEN n_convs > 0
+            THEN CAST(round(greatest(least(ccnum / cdenomw - chnum / cdenomw, cphat), 0.0), 6)
+                 + 0.0 AS DOUBLE) END AS conv_ci_lo,
+       CASE WHEN n_convs > 0
+            THEN CAST(round(least(greatest(ccnum / cdenomw + chnum / cdenomw, cphat), 1.0), 6)
+                 + 0.0 AS DOUBLE) END AS conv_ci_hi
 FROM w2
 """
 

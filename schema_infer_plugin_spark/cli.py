@@ -495,7 +495,9 @@ def cmd_estimate(args: argparse.Namespace) -> int:
     for r in sorted(rows, key=lambda r: r["check_name"]):
         print(
             f"{r['check_name']}: rate={r['rate']} ci=[{r['ci_lo']}, {r['ci_hi']}]"
-            f" violations={r['n_violations']}/{r['n_turns']} sampled turns"
+            f" violations={r['n_violations']}/{r['n_turns']} sampled turns;"
+            f" conv_rate={r['conv_rate']} ci=[{r['conv_ci_lo']},"
+            f" {r['conv_ci_hi']}] ({r['conv_violations']}/{r['n_convs']} convs)"
         )
         if threshold is not None and r["ci_lo"] is not None and r["ci_lo"] > threshold:
             confident_bad.append(r["check_name"])

@@ -215,18 +215,27 @@ def sampled_validation_estimate(
     mid-conversation turns. ``rate_num`` of 16**width buckets (width=2 →
     1/256 granularity), sources/sampling.deterministic_sample.
 
-    The Wilson interval is ONE fixed double formula (z = 1.959964) on the
-    exact BIGINT (violations, sampled turns) pair — bit-identical across
-    engines, never degenerate at rate 0 or 1 (unlike the Wald interval).
-    Caveat: turns within a conversation are correlated, so under conv-level
-    cluster sampling the interval is the iid-binomial approximation — an
-    honest lower bound on the uncertainty, documented rather than hidden.
+    The Wilson interval is ONE fixed double formula (z = 1.959964) on an
+    exact BIGINT (successes, trials) pair — bit-identical across engines,
+    never degenerate at rate 0 or 1 (unlike the Wald interval). TWO units
+    are estimated side by side:
+
+    * per-TURN (rate/ci_lo/ci_hi over n_turns): the operational number, but
+      turns within a conversation are correlated, so under conv-level
+      cluster sampling this interval is the iid-binomial approximation — an
+      honest lower bound on the uncertainty, documented rather than hidden;
+    * per-CONVERSATION (conv_rate/conv_ci_lo/conv_ci_hi: conversations with
+      ≥1 violation over n_convs): the sampling unit IS the conversation, so
+      here the iid assumption holds exactly — the design-consistent
+      interval to gate on when the caveat matters.
 
     Plan: map-side sample predicate (pushes to the scan) → the fused
     single-exchange validation → one hash agg on check_name (≤ |checks|
-    rows) joined to the driver-local check grid → one-row sampled-turn
-    total broadcast. Output: (check_name, n_turns, n_violations, rate,
-    ci_lo, ci_hi); NULL estimates when the sample is empty.
+    rows, count + distinct-conv count together) joined to the driver-local
+    check grid → one-row sampled-totals broadcast. Output: (check_name,
+    n_turns, n_violations, rate, ci_lo, ci_hi, n_convs, conv_violations,
+    conv_rate, conv_ci_lo, conv_ci_hi); NULL estimates when the sample is
+    empty.
     """
     from schema_infer_plugin_spark.sources.sampling import deterministic_sample
 
@@ -234,38 +243,67 @@ def sampled_validation_estimate(
     counts = (
         validate_transcripts(sample, role_domain, tool_domain)
         .groupBy("check_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_violations"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+            F.count_distinct(F.col("conv_id")).cast("long").alias("conv_violations"),
+        )
     )
     grid = df.sparkSession.createDataFrame(
         [(c,) for c in CHECK_NAMES], ["check_name"]
     )
-    totals = sample.agg(F.count(F.lit(1)).cast("long").alias("n_turns"))
+    totals = sample.agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.count_distinct(F.col("conv_id")).cast("long").alias("n_convs"),
+    )
     est = (
         grid.join(counts, on="check_name", how="left")
         .select(
             "check_name",
             F.coalesce("n_violations", F.lit(0)).cast("long").alias("n_violations"),
+            F.coalesce("conv_violations", F.lit(0)).cast("long").alias(
+                "conv_violations"
+            ),
         )
         .crossJoin(F.broadcast(totals))
     )
-    z = F.lit(1.959964)
-    n = F.col("n_turns").cast("double")
-    k = F.col("n_violations").cast("double")
-    phat = k / n
-    z2 = z * z
-    denomw = F.lit(1.0) + z2 / n
-    center = (phat + z2 / (F.lit(2.0) * n)) / denomw
-    half = (
-        z
-        * F.sqrt(phat * (F.lit(1.0) - phat) / n + z2 / (F.lit(4.0) * (n * n)))
-        / denomw
-    )
-    guard = lambda c: F.when(F.col("n_turns") > 0, c)  # noqa: E731
+
+    def wilson(k_col: str, n_col: str) -> tuple:
+        """(rate, ci_lo, ci_hi) Wilson-95% expressions from exact counts —
+        the identical fixed double formula at both units and in the oracle."""
+        z = F.lit(1.959964)
+        n = F.col(n_col).cast("double")
+        k = F.col(k_col).cast("double")
+        phat = k / n
+        z2 = z * z
+        denomw = F.lit(1.0) + z2 / n
+        center = (phat + z2 / (F.lit(2.0) * n)) / denomw
+        half = (
+            z
+            * F.sqrt(phat * (F.lit(1.0) - phat) / n + z2 / (F.lit(4.0) * (n * n)))
+            / denomw
+        )
+        guard = lambda c: F.when(F.col(n_col) > 0, c)  # noqa: E731
+        # the least/greatest-vs-phat clamp enforces ci_lo <= rate <= ci_hi,
+        # true analytically for Wilson but violable by ~1e-19 of float dust
+        # at k=0 / k=n (center−half is exactly 0 only in real arithmetic)
+        return (
+            guard(phat),
+            guard(F.greatest(F.least(center - half, phat), F.lit(0.0))),
+            guard(F.least(F.greatest(center + half, phat), F.lit(1.0))),
+        )
+
+    t_rate, t_lo, t_hi = wilson("n_violations", "n_turns")
+    c_rate, c_lo, c_hi = wilson("conv_violations", "n_convs")
     return est.select(
         "check_name",
         "n_turns",
         "n_violations",
-        guard(phat).alias("rate"),
-        guard(F.greatest(center - half, F.lit(0.0))).alias("ci_lo"),
-        guard(F.least(center + half, F.lit(1.0))).alias("ci_hi"),
+        t_rate.alias("rate"),
+        t_lo.alias("ci_lo"),
+        t_hi.alias("ci_hi"),
+        "n_convs",
+        "conv_violations",
+        c_rate.alias("conv_rate"),
+        c_lo.alias("conv_ci_lo"),
+        c_hi.alias("conv_ci_hi"),
     )

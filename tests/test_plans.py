@@ -165,10 +165,13 @@ def test_sampled_validation_estimate(spark):
     t = synth_transcripts(spark, 2_000)
     sampled = deterministic_sample(t, ["conv_id"], 64)
     n = sampled.count()
+    n_convs = sampled.select("conv_id").distinct().count()
+    sviol = validate_transcripts(sampled)
     full = {
-        r["check_name"]: r["cnt"]
-        for r in validate_transcripts(sampled).groupBy("check_name").agg(
-            F.count(F.lit(1)).alias("cnt")
+        r["check_name"]: (r["cnt"], r["convs"])
+        for r in sviol.groupBy("check_name").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count_distinct("conv_id").alias("convs"),
         ).collect()
     }
     est = {
@@ -177,18 +180,28 @@ def test_sampled_validation_estimate(spark):
     }
     assert set(est) == set(CHECK_NAMES)
     z = 1.959964
+
+    def wilson(k, nn):
+        phat = k / nn
+        denomw = 1.0 + z * z / nn
+        center = (phat + z * z / (2.0 * nn)) / denomw
+        half = z * math.sqrt(
+            phat * (1.0 - phat) / nn + z * z / (4.0 * nn * nn)
+        ) / denomw
+        # clamped to contain phat (float dust at k=0 / k=n)
+        return phat, max(min(center - half, phat), 0.0), min(max(center + half, phat), 1.0)
+
     for name in CHECK_NAMES:
         row = est[name]
-        k = full.get(name, 0)
+        k, kc = full.get(name, (0, 0))
         assert row["n_turns"] == n and row["n_violations"] == k
-        phat = k / n
-        denomw = 1.0 + z * z / n
-        center = (phat + z * z / (2.0 * n)) / denomw
-        half = z * math.sqrt(phat * (1.0 - phat) / n + z * z / (4.0 * n * n)) / denomw
-        assert math.isclose(row["rate"], phat, abs_tol=1e-12)
-        assert math.isclose(row["ci_lo"], max(center - half, 0.0), abs_tol=1e-9)
-        assert math.isclose(row["ci_hi"], min(center + half, 1.0), abs_tol=1e-9)
-        assert row["ci_lo"] <= row["rate"] <= row["ci_hi"]
+        assert row["n_convs"] == n_convs and row["conv_violations"] == kc
+        for kk, nn, pre in ((k, n, ""), (kc, n_convs, "conv_")):
+            phat, lo, hi = wilson(kk, nn)
+            assert math.isclose(row[f"{pre}rate"], phat, abs_tol=1e-12)
+            assert math.isclose(row[f"{pre}ci_lo"], lo, abs_tol=1e-9)
+            assert math.isclose(row[f"{pre}ci_hi"], hi, abs_tol=1e-9)
+        assert row["conv_ci_lo"] <= row["conv_rate"] <= row["conv_ci_hi"]
 
     # conv-granular sampling: a sampled conversation appears whole
     per_conv = sampled.groupBy("conv_id").agg(F.count(F.lit(1)).alias("s"))

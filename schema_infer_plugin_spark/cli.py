@@ -491,6 +491,10 @@ def cmd_estimate(args: argparse.Namespace) -> int:
     )
     rows = spark.read.parquet(os.path.join(args.out, "estimate")).collect()
     threshold = None if args.fail_above is None else float(args.fail_above)
+    # gate on the chosen unit's LOWER bound: per-turn is the operational
+    # rate (iid-approximate under conv-cluster sampling); per-conv is the
+    # design-consistent unit where the Wilson iid assumption holds exactly
+    lo_col = "ci_lo" if args.unit == "turn" else "conv_ci_lo"
     confident_bad = []
     for r in sorted(rows, key=lambda r: r["check_name"]):
         print(
@@ -499,10 +503,13 @@ def cmd_estimate(args: argparse.Namespace) -> int:
             f" conv_rate={r['conv_rate']} ci=[{r['conv_ci_lo']},"
             f" {r['conv_ci_hi']}] ({r['conv_violations']}/{r['n_convs']} convs)"
         )
-        if threshold is not None and r["ci_lo"] is not None and r["ci_lo"] > threshold:
+        if threshold is not None and r[lo_col] is not None and r[lo_col] > threshold:
             confident_bad.append(r["check_name"])
     if confident_bad:
-        print(f"estimate: FAILED --fail-above {threshold}: {','.join(confident_bad)}")
+        print(
+            f"estimate: FAILED --fail-above {threshold} (per-{args.unit}):"
+            f" {','.join(confident_bad)}"
+        )
         return 1
     return 0
 
@@ -883,7 +890,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--rate", default="16/256",
                    help="conversation sample rate NUM/DEN (DEN in 16/256/4096)")
     p.add_argument("--fail-above", default=None,
-                   help="exit 1 if any check's ci_lo exceeds this per-turn rate")
+                   help="exit 1 if any check's ci_lo exceeds this rate")
+    p.add_argument("--unit", default="turn", choices=["turn", "conv"],
+                   help="gate unit: per-turn rate (operational) or "
+                   "per-conversation rate (design-consistent; the sampling "
+                   "unit, so the Wilson iid assumption holds exactly)")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_estimate)
 

@@ -357,6 +357,15 @@ def test_estimate_cli(spark, tmp_path, capsys):
                "--fail-above", "1.0", "--out", str(tmp_path / "e3")])
     assert rc == 0
 
+    # per-conversation gate: the design-consistent unit
+    max_conv_lo = max(r["conv_ci_lo"] for r in rows.values())
+    assert max_conv_lo > 0
+    rc = main(["estimate", "--input", "synth:2000", "--rate", "64/256",
+               "--unit", "conv", "--fail-above", str(max_conv_lo / 2),
+               "--out", str(tmp_path / "e4")])
+    assert rc == 1
+    assert "per-conv" in capsys.readouterr().out
+
     with pytest.raises(SystemExit, match="denominator"):
         main(["estimate", "--input", "synth:100", "--rate", "1/100", "--out", out])
     with pytest.raises(SystemExit, match="numerator"):

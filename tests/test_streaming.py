@@ -366,3 +366,42 @@ def test_vector_sanity_stream_matches_batch(spark, tmp_path):
     )
     assert got.count() == want.count() > 0
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_windowed_histogram_stream_matches_batch(spark, tmp_path):
+    """Windowed categorical counts (complete mode for determinism) equal the
+    batch window() groupBy of the same column; the watermark is actually in
+    the plan (bounded state, not a silent no-op)."""
+    from schema_infer_plugin_spark.streaming.incremental import (
+        windowed_histogram_stream,
+    )
+
+    t, stream = _staged_input(spark, tmp_path)
+    q = (
+        windowed_histogram_stream(stream, "role", "ts", "1 minute", "2 minutes")
+        .writeStream.format("memory")
+        .queryName("winhist")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("winhist")
+    want = (
+        t.groupBy(
+            F.window("ts", "1 minute"),
+            F.coalesce(F.col("role").cast("string"), F.lit("<null>")).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "bucket",
+            "cnt",
+        )
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    plan = (
+        windowed_histogram_stream(stream)._jdf.queryExecution().logical().toString()
+    )
+    assert "EventTimeWatermark" in plan

@@ -120,10 +120,17 @@ def chi2_terms(current: DataFrame, baseline: DataFrame) -> DataFrame:
     """
     cur = current.select("bucket", F.col("cnt").alias("o_cur"))
     base = baseline.select("bucket", F.col("cnt").alias("o_base"))
-    joined = cur.join(base, on="bucket", how="full_outer").select(
-        "bucket",
-        F.coalesce("o_base", F.lit(0)).cast("long").alias("o_base"),
-        F.coalesce("o_cur", F.lit(0)).cast("long").alias("o_cur"),
+    joined = (
+        cur.join(base, on="bucket", how="full_outer")
+        .select(
+            "bucket",
+            F.coalesce("o_base", F.lit(0)).cast("long").alias("o_base"),
+            F.coalesce("o_cur", F.lit(0)).cast("long").alias("o_cur"),
+        )
+        # bucket_counts never emits 0-count rows, but a caller-built frame
+        # might: a both-zero row would make the term 0/0 — drop it (it
+        # carries no information and must not count toward dof either)
+        .filter((F.col("o_base") > 0) | (F.col("o_cur") > 0))
     )
     tot = Window.partitionBy()
     with_tot = joined.select(

@@ -232,7 +232,9 @@ def ks_from_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
     return _ks_over_counts(_merge_counts(a_counts, b_counts))
 
 
-def ks_w1_from_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
+def ks_w1_from_counts(
+    a_counts: DataFrame, b_counts: DataFrame, with_chi2: bool = False
+) -> DataFrame:
     """KS *and* Wasserstein-1 between two same-grid ``grid_counts`` frames in
     ONE plan — the runner's drift pass uses this so the current run's counts
     (a full table scan) feed both statistics from a single job instead of
@@ -240,6 +242,13 @@ def ks_w1_from_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
 
     Output, one row: (ks_stat, ks_at, w1, n_a, n_b) — KS fields as
     :func:`ks_statistic`, ``w1`` as :func:`wasserstein_statistic`.
+
+    ``with_chi2=True`` appends (chi2, dof): the Pearson homogeneity
+    statistic over the SAME binned grid counts (the drift.chi2_terms
+    formula per grid point, summed) — still the one job, zero extra scans.
+    Opt-in so the default output schema (which driver-query oracles pin)
+    never changes; the chi2 total is a double sum over grid points, a drift
+    METRIC (reported evidence), not a hash-compared value.
     """
     counts = _merge_counts(a_counts, b_counts)
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -247,6 +256,8 @@ def ks_w1_from_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
     o = Window.orderBy("v")
     cdf = counts.select(
         "v",
+        "ca",
+        "cb",
         F.try_divide(F.sum("ca").over(w), F.sum("ca").over(tot)).alias("cdf_a"),
         F.try_divide(F.sum("cb").over(w), F.sum("cb").over(tot)).alias("cdf_b"),
         F.sum("ca").over(tot).alias("n_a"),
@@ -255,6 +266,27 @@ def ks_w1_from_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
     ).withColumn("d", F.abs(F.col("cdf_a") - F.col("cdf_b")))
     tagged = cdf.withColumn("dmx", F.max("d").over(tot))
     term = (F.col("nxt") - F.col("v")) * F.col("d")
+    chi2_cols = []
+    if with_chi2:
+        dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+        diff = (dec("ca") * dec("n_b")).cast("double") - (
+            dec("cb") * dec("n_a")
+        ).cast("double")
+        denom = (
+            F.col("n_a").cast("double")
+            * F.col("n_b").cast("double")
+            * (F.col("ca") + F.col("cb")).cast("double")
+        )
+        occupied = (F.col("ca") + F.col("cb")) > 0
+        chi2_cols = [
+            F.when(
+                (F.max("n_a") > 0) & (F.max("n_b") > 0),
+                F.sum(F.when(occupied, diff * diff / denom)),
+            )
+            .cast("double")
+            .alias("chi2"),
+            (F.sum(occupied.cast("long")) - 1).cast("long").alias("dof"),
+        ]
     return tagged.agg(
         F.round(F.max("d"), 6).cast("double").alias("ks_stat"),
         F.min(F.when(F.col("d") == F.col("dmx"), F.col("v")))
@@ -268,4 +300,5 @@ def ks_w1_from_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
         .alias("w1"),
         F.max("n_a").cast("long").alias("n_a"),
         F.max("n_b").cast("long").alias("n_b"),
+        *chi2_cols,
     )

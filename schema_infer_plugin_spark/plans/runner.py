@@ -403,6 +403,13 @@ def run_drift(
     cols = DRIFT_COLUMNS if columns is None else columns
     num_cols = NUMERIC_DRIFT_COLUMNS if numeric_columns is None else numeric_columns
 
+    def _chi2_z(chi2: float, dof: float) -> float:
+        """Wilson–Hilferty: (χ²/k)^(1/3) is ≈ normal with mean 1 − 2/(9k),
+        var 2/(9k) — one z-threshold works at ANY dof. Driver-side float
+        math on collected metrics (reported evidence, never hash-compared)."""
+        k9 = 2.0 / (9.0 * dof)
+        return ((chi2 / dof) ** (1.0 / 3.0) - (1.0 - k9)) / (k9**0.5)
+
     def _cat_metrics(cur_counts, base) -> dict[str, float]:
         """PSI/KL/JS (+ chi2/dof when the baseline artifact carries counts)
         in ONE aggregation job. The pass criterion stays PSI — chi2 rides as
@@ -430,15 +437,7 @@ def run_drift(
             m["chi2"] = float(agg["chi2"])
             m["dof"] = float(agg["k"] - 1)
             if m["dof"] > 0:
-                # Wilson–Hilferty: (χ²/k)^(1/3) is ≈ normal with mean
-                # 1 − 2/(9k), var 2/(9k) — turns the statistic into an
-                # approximate z-score so one threshold works at ANY dof.
-                # Driver-side float math on already-collected metrics
-                # (reported evidence, not a hash-compared value).
-                k9 = 2.0 / (9.0 * m["dof"])
-                m["chi2_z"] = ((m["chi2"] / m["dof"]) ** (1.0 / 3.0) - (1.0 - k9)) / (
-                    k9**0.5
-                )
+                m["chi2_z"] = _chi2_z(m["chi2"], m["dof"])
         return m
 
     # (check_name, pass, metrics) — one row per column either way
@@ -477,19 +476,19 @@ def run_drift(
         )
         # KS + Wasserstein-1 from the SAME single-job plan (ks_w1_from_counts)
         # — the current run's grid_counts scan feeds both statistics at once
-        ks = ks_w1_from_counts(base.select("v", "cnt"), cur).collect()[0]
+        ks = ks_w1_from_counts(base.select("v", "cnt"), cur, with_chi2=True).collect()[0]
         stat = float(ks["ks_stat"]) if ks["ks_stat"] is not None else 1.0
-        rows.append(
-            (
-                f"ks_{c}",
-                stat <= ks_threshold,
-                {
-                    "ks": stat,
-                    "ks_at": float(ks["ks_at"]) if ks["ks_at"] is not None else 0.0,
-                    "w1": float(ks["w1"]) if ks["w1"] is not None else 0.0,
-                },
-            )
-        )
+        m = {
+            "ks": stat,
+            "ks_at": float(ks["ks_at"]) if ks["ks_at"] is not None else 0.0,
+            "w1": float(ks["w1"]) if ks["w1"] is not None else 0.0,
+        }
+        # binned chi2 rides the SAME single job (pass criterion stays KS)
+        if ks["chi2"] is not None and ks["dof"] is not None and ks["dof"] > 0:
+            m["chi2"] = float(ks["chi2"])
+            m["dof"] = float(ks["dof"])
+            m["chi2_z"] = _chi2_z(m["chi2"], m["dof"])
+        rows.append((f"ks_{c}", stat <= ks_threshold, m))
     verd = spark.createDataFrame(
         [(run_id, "__all__", name, ok, 0, metrics) for name, ok, metrics in rows],
         "run_id string, partition_key string, check_name string, pass boolean,"

@@ -112,6 +112,9 @@ def test_numeric_ks_drift_pass(spark, tmp_path):
         assert rows["ks_turn_idx"]["pass"]
         assert rows["ks_turn_idx"]["metrics"]["ks"] < 1e-9
         assert rows["ks_turn_idx"]["metrics"]["w1"] < 1e-9
+        # binned chi2 rides the same job: identical data -> exactly 0
+        assert rows["ks_turn_idx"]["metrics"]["chi2"] == 0.0
+        assert rows["ks_turn_idx"]["metrics"]["dof"] >= 1.0
 
         # keep only early turns (turn_idx < 3) + clamp probe: +1000 outliers
         shifted = t.filter(F.col("turn_idx") < 3).union(
@@ -126,6 +129,8 @@ def test_numeric_ks_drift_pass(spark, tmp_path):
         assert not rows2["ks_turn_idx"]["pass"]
         assert rows2["ks_turn_idx"]["metrics"]["ks"] > 0.1
         assert rows2["ks_turn_idx"]["metrics"]["w1"] > 0.0
+        # the CDF shift is also a count shift: chi2_z far beyond any z gate
+        assert rows2["ks_turn_idx"]["metrics"]["chi2_z"] > 10.0
     finally:
         t.unpersist()
 

@@ -2580,7 +2580,7 @@ def q_value_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_VALUE_HISTOGRAM = """
 WITH nn AS (SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL),
 st AS (
-  SELECT [{probs}] AS edges, min(v) AS lo, max(v) AS hi
+  SELECT [{probs}] AS edges, round(min(v), 6) AS lo, round(max(v), 6) AS hi
   FROM nn),
 b AS (
   SELECT len(list_filter(edges, e -> v > e)) AS bucket, edges, lo, hi
@@ -2591,7 +2591,10 @@ SELECT CAST(bucket AS INT) AS bucket,
        CAST(count(*) AS BIGINT) AS cnt
 FROM b GROUP BY bucket, edges, lo, hi
 """.format(
-    probs=", ".join(f"quantile_cont(v, {i}.0/8)" for i in range(1, 8))
+    # round(edge, 6) BEFORE assignment on both sides: interpolated quantiles
+    # differ by an ulp between engines, and a value exactly on an edge would
+    # flip buckets on that invisible difference (checks/drift.histogram_equidepth)
+    probs=", ".join(f"round(quantile_cont(v, {i}.0/8), 6)" for i in range(1, 8))
 )
 
 

@@ -311,6 +311,11 @@ def histogram_equidepth(
     path) uses the percentile_approx sketch; ``approx=False`` is the exact
     opt-in whose edges match DuckDB ``quantile_cont`` for the oracle.
 
+    Edges are rounded to ``round_digits`` BEFORE bucket assignment (the
+    iqr_outliers convention): interpolated quantiles differ by an ulp
+    between engines, and a data value sitting exactly on an edge would
+    otherwise flip buckets on that invisible difference.
+
     Output: (bucket int, edge_lo double, edge_hi double, cnt long) — edge_lo
     of bucket 0 and edge_hi of the last bucket are the column min/max;
     NULLs are excluded.
@@ -320,7 +325,9 @@ def histogram_equidepth(
     quant = F.percentile_approx(c, probs) if approx else F.percentile(c, probs)
     nn = df.filter(c.isNotNull())
     stats = nn.agg(
-        quant.alias("_edges"), F.min(c).alias("_lo"), F.max(c).alias("_hi")
+        F.transform(quant, lambda e: F.round(e, round_digits)).alias("_edges"),
+        F.round(F.min(c), round_digits).alias("_lo"),
+        F.round(F.max(c), round_digits).alias("_hi"),
     )
     x = c
     bucket = F.aggregate(

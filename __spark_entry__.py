@@ -2981,6 +2981,97 @@ FROM d
 )
 
 
+def q_windowed_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window NUMERIC drift (checks/ksdrift.windowed_grid_counts +
+    windowed_ks_report): each day's turn_idx distribution two-sample-KS-
+    tested against the full-corpus fixed-grid baseline — the numeric half of
+    continuous drift monitoring ("which day's conversation-length
+    distribution shifted"), completing the matrix whose categorical half is
+    windowed_drift_stream. The [0,64]×16 grid stands in for the persisted
+    artifact's lo/hi/n_buckets (fixed at baseline time, clamp semantics —
+    out-of-range values collapse conservatively into the edge buckets).
+    Output keeps the hash-comparable fields: KS derives from exact-count
+    CDFs (order-independent max/min), dof and totals are exact longs; the
+    report's w1/chi2 columns stay engine-side evidence — double SUMS whose
+    accumulation order is engine-dependent (the ks_drift_turn_idx posture
+    of omitting w1 from the compared row)."""
+    from schema_infer_plugin_spark.checks.ksdrift import (
+        grid_counts,
+        windowed_grid_counts,
+        windowed_ks_report,
+    )
+
+    t = _transcripts(spark, sf_dir)
+    base = grid_counts(t, "turn_idx", 0.0, 64.0, 16)
+    cur = windowed_grid_counts(
+        t, "turn_idx", 0.0, 64.0, 16, ts_col="ts", window_duration="1 day"
+    )
+    rep = windowed_ks_report(cur, base.select("v", "cnt"))
+    return rep.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "ks_stat",
+        "ks_at",
+        "dof",
+        "n_cur",
+        "n_base",
+    )
+
+
+#: grid_quantize([0,64]×16) in the shared dialect: (hi-lo)/n_buckets Python-
+#: folds to 4.0 on the Spark side, and the output edge is lo + (bkt*64.0)/16
+#: in that exact association — mirror both or ulp ties flip buckets.
+_KSQ = (
+    "0.0 + (least(floor((greatest(least(CAST(turn_idx AS DOUBLE), 64.0), 0.0)"
+    " - 0.0) / 4.0), 15) * 64.0) / 16"
+)
+
+ORACLE_WINDOWED_KS = oracle_cte(
+    f"""
+, base AS (
+  SELECT {_KSQ} AS v, CAST(count(*) AS BIGINT) AS cb
+  FROM transcripts WHERE turn_idx IS NOT NULL
+  GROUP BY 1),
+wc AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS ws,
+         epoch_us(date_trunc('day', ts)) + 86400000000 AS we,
+         {_KSQ} AS v,
+         CAST(count(*) AS BIGINT) AS ca
+  FROM transcripts WHERE turn_idx IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1, 2, 3),
+wins AS (SELECT DISTINCT ws, we FROM wc),
+vs AS (SELECT v FROM base UNION SELECT v FROM wc),
+grid AS (
+  SELECT w.ws, w.we, x.v,
+         CAST(coalesce(c.ca, 0) AS BIGINT) AS ca,
+         CAST(coalesce(b.cb, 0) AS BIGINT) AS cb
+  FROM wins w CROSS JOIN vs x
+  LEFT JOIN base b ON b.v = x.v
+  LEFT JOIN wc c ON c.ws = w.ws AND c.v = x.v
+  WHERE coalesce(c.ca, 0) > 0 OR coalesce(b.cb, 0) > 0),
+cdf AS (
+  SELECT ws, we, v, ca, cb,
+         CAST(sum(ca) OVER cw AS DOUBLE) / CAST(sum(ca) OVER pw AS DOUBLE) AS cdf_cur,
+         CAST(sum(cb) OVER cw AS DOUBLE) / CAST(sum(cb) OVER pw AS DOUBLE) AS cdf_base,
+         sum(ca) OVER pw AS n_cur,
+         sum(cb) OVER pw AS n_base
+  FROM grid
+  WINDOW pw AS (PARTITION BY ws),
+         cw AS (PARTITION BY ws ORDER BY v NULLS FIRST
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+d AS (SELECT *, abs(cdf_cur - cdf_base) AS d FROM cdf),
+m AS (SELECT *, max(d) OVER (PARTITION BY ws) AS dmx FROM d)
+SELECT ws AS window_start_us, we AS window_end_us,
+       CAST(round(max(d), 6) AS DOUBLE) AS ks_stat,
+       CAST(min(CASE WHEN d = dmx THEN v END) AS DOUBLE) AS ks_at,
+       CAST(count(*) - 1 AS BIGINT) AS dof,
+       CAST(max(n_cur) AS BIGINT) AS n_cur,
+       CAST(max(n_base) AS BIGINT) AS n_base
+FROM m GROUP BY ws, we
+"""
+)
+
+
 def q_windowed_rates_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time windowed violation rates driver-green (streaming/
     incremental.windowed_violation_rates): the stateless Pass-B subset
@@ -5030,6 +5121,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "session_stats_stream": (q_session_stats_stream, ORACLE_SESSION_STREAM),
     "windowed_rates_stream": (q_windowed_rates_stream, ORACLE_WINDOWED_RATES_STREAM),
     "windowed_drift_stream": (q_windowed_drift_stream, ORACLE_WINDOWED_DRIFT),
+    "windowed_ks_drift": (q_windowed_ks_drift, ORACLE_WINDOWED_KS),
     "dedup_stream_content": (q_dedup_stream, ORACLE_DEDUP_STREAM),
     "ann_ivfpq_topk": (q_ann_ivfpq, _oracle_ann_ivfpq()),
     "mix_token_budget": (q_mix_token_budget, _oracle_mix()),
@@ -5166,6 +5258,7 @@ _R5_WINDOW = [
     "transition_chi2",
     "sampled_validation_estimate",
     "windowed_drift_stream",
+    "windowed_ks_drift",
     "dup_ngram_rate",
     "role_transition_matrix",
     "tfidf_top_terms",
@@ -5210,7 +5303,6 @@ _R5_WINDOW = [
     "transcripts_role_domain",
     "transcripts_tool_domain",
     "transcripts_tool_without_role",
-    "transcripts_null_text",
 ]
 
 

@@ -151,6 +151,7 @@ def run_bench(
         "role_transition_domain",
         "transition_chi2",
         "sampled_validation_estimate",
+        "windowed_ks_drift",
     ):
         timed(name, lambda name=name: q[name](spark, sf_dir).count())
 

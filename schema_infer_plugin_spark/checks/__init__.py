@@ -35,7 +35,12 @@ from .drift import (  # noqa: F401
     histogram_equidepth,
     temporal_self_drift,
 )
-from .ksdrift import ks_statistic, wasserstein_statistic  # noqa: F401
+from .ksdrift import (  # noqa: F401
+    ks_statistic,
+    wasserstein_statistic,
+    windowed_grid_counts,
+    windowed_ks_report,
+)
 from .salting import conv_stats, salted_two_phase, with_salt  # noqa: F401
 from .referential import fk_orphans, fk_verdict  # noqa: F401
 from .snapshot_diff import snapshot_diff  # noqa: F401

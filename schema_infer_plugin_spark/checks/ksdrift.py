@@ -214,6 +214,149 @@ def grid_counts(
     )
 
 
+def windowed_grid_counts(
+    df: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 1000,
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+) -> DataFrame:
+    """Per-event-time-window fixed-grid counts — the NUMERIC twin of the
+    windowed categorical histogram (streaming/incremental.
+    windowed_histogram_stream): each tumbling window's values quantized onto
+    a grid fixed at BASELINE time (``grid_quantize`` clamp semantics — see
+    the fixed-grid notes above), one (window, v) counter per occupied cell.
+
+    Output: (window_start timestamp, window_end timestamp, v double,
+    cnt long). NULL values and NULL timestamps are excluded (a windowed
+    count is a statement about timestamped values; missingness is the
+    profile's job). Batch form — the streaming face with identical output
+    is streaming/incremental.windowed_grid_counts_stream.
+
+    Plan: one map-side projection (window + quantize are both per-row
+    expressions) and one hash agg bounded by windows × n_buckets.
+    """
+    vals = df.select(
+        F.col(ts_col).cast("timestamp").alias("_wts"),
+        F.col(column).cast("double").alias("raw"),
+    ).filter(F.col("raw").isNotNull() & F.col("_wts").isNotNull())
+    return (
+        vals.select(
+            F.window("_wts", window_duration).alias("w"),
+            grid_quantize(F.col("raw"), lo, hi, n_buckets).alias("v"),
+        )
+        .groupBy("w", "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "v",
+            "cnt",
+        )
+    )
+
+
+def windowed_ks_report(
+    window_counts: DataFrame, baseline_counts: DataFrame
+) -> DataFrame:
+    """Per-WINDOW KS / Wasserstein-1 / chi-square vs ONE same-grid baseline —
+    the numeric half of continuous drift monitoring ("which day's length
+    distribution shifted"), completing the matrix whose categorical half is
+    checks/drift.windowed_drift_report: each window's empirical distribution
+    is two-sample-tested against the persisted ``grid_counts`` artifact
+    without re-scanning history.
+
+    Output, one row per window: (window_start, window_end, ks_stat, ks_at,
+    w1, chi2, dof, n_cur, n_base) — KS/W1 fields exactly as
+    :func:`ks_w1_from_counts` with the baseline as side *a* and the window
+    as side *b*; empty sides yield NULL stats per the module contract.
+    ks_stat/ks_at/dof/counts derive from order-independent exact-count
+    arithmetic (hash-comparable cross-engine); w1 and chi2 are double SUMS
+    whose accumulation order is engine-dependent — report them as metrics,
+    never in exact comparisons (the ks_drift_turn_idx posture).
+
+    Plan: windows ⨯ (baseline ∪ observed grid points) via a broadcast cross
+    of two bounded frames; a grid point unoccupied on both sides in a window
+    is dropped — the CDFs don't move there, its W1 interval merges into the
+    neighbor's constant-d term, and its chi-square term would be 0/0 — so
+    the per-window statistics equal the unwindowed ones on the same counts
+    (parity-tested). CDFs are windows-partitioned cumulative sums over the
+    bounded grid (the bounded-rows window exception).
+    """
+    wins = window_counts.select("window_start", "window_end").distinct()
+    vs = baseline_counts.select("v").union(window_counts.select("v")).distinct()
+    grid = (
+        wins.crossJoin(broadcast(vs))
+        .join(
+            baseline_counts.select("v", F.col("cnt").alias("cb")),
+            on="v",
+            how="left",
+        )
+        .join(
+            window_counts.select(
+                "window_start", "window_end", "v", F.col("cnt").alias("ca")
+            ),
+            on=["window_start", "window_end", "v"],
+            how="left",
+        )
+        .select(
+            "window_start",
+            "window_end",
+            "v",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+        .filter((F.col("ca") > 0) | (F.col("cb") > 0))
+    )
+    pw = Window.partitionBy("window_start", "window_end")
+    cum = pw.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o = Window.partitionBy("window_start", "window_end").orderBy("v")
+    cdf = grid.select(
+        "window_start",
+        "window_end",
+        "v",
+        "ca",
+        "cb",
+        F.try_divide(F.sum("ca").over(cum), F.sum("ca").over(pw)).alias("cdf_cur"),
+        F.try_divide(F.sum("cb").over(cum), F.sum("cb").over(pw)).alias("cdf_base"),
+        F.sum("ca").over(pw).alias("n_cur"),
+        F.sum("cb").over(pw).alias("n_base"),
+        F.lead("v", 1).over(o).alias("nxt"),
+    ).withColumn("d", F.abs(F.col("cdf_cur") - F.col("cdf_base")))
+    tagged = cdf.withColumn("dmx", F.max("d").over(pw))
+    term = (F.col("nxt") - F.col("v")) * F.col("d")
+    # chi2: same DECIMAL(19,0)-cross-products-cast-to-double-BEFORE-the-
+    # subtraction shape as drift.chi2_terms / ks_w1_from_counts
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    diff = (dec("ca") * dec("n_base")).cast("double") - (
+        dec("cb") * dec("n_cur")
+    ).cast("double")
+    denom = (
+        F.col("n_cur").cast("double")
+        * F.col("n_base").cast("double")
+        * (F.col("ca") + F.col("cb")).cast("double")
+    )
+    occupied = (F.col("ca") + F.col("cb")) > 0
+    both = (F.max("n_cur") > 0) & (F.max("n_base") > 0)
+    return tagged.groupBy("window_start", "window_end").agg(
+        F.round(F.max("d"), 6).cast("double").alias("ks_stat"),
+        F.min(F.when(F.col("d") == F.col("dmx"), F.col("v")))
+        .cast("double")
+        .alias("ks_at"),
+        F.when(both, F.coalesce(F.round(F.sum(term), 6) + F.lit(0.0), F.lit(0.0)))
+        .cast("double")
+        .alias("w1"),
+        F.when(both, F.sum(F.when(occupied, diff * diff / denom)))
+        .cast("double")
+        .alias("chi2"),
+        (F.sum(occupied.cast("long")) - 1).cast("long").alias("dof"),
+        F.max("n_cur").cast("long").alias("n_cur"),
+        F.max("n_base").cast("long").alias("n_base"),
+    )
+
+
 def _merge_counts(a_counts: DataFrame, b_counts: DataFrame) -> DataFrame:
     return (
         a_counts.select("v", F.col("cnt").alias("ca"), F.lit(0).cast("long").alias("cb"))

@@ -530,6 +530,8 @@ def cmd_window_drift(args: argparse.Namespace) -> int:
     cfg = _load_cfg(args)
     spark = _spark(cfg)
     t, _ = resolve_transcripts_input(spark, args.input)
+    if args.numeric_column is not None:
+        return _window_drift_numeric(spark, t, args)
     base = spark.read.parquet(
         os.path.join(args.baseline, "histograms", args.column)
     )
@@ -581,6 +583,68 @@ def cmd_window_drift(args: argparse.Namespace) -> int:
     if drifted:
         print(f"window-drift: {len(drifted)}/{len(per_win)} windows above"
               f" psi {threshold}")
+        return 1
+    return 0
+
+
+def _window_drift_numeric(spark, t, args: argparse.Namespace) -> int:
+    """Numeric leg of ``window-drift``: per-window two-sample KS of
+    --numeric-column against the validate run's persisted
+    ``histograms_numeric/<col>`` grid baseline (checks/ksdrift.
+    windowed_grid_counts + windowed_ks_report). The grid (lo/hi/n_buckets)
+    comes from the artifact itself — fixed at baseline time, clamp
+    semantics, so out-of-range drift collapses conservatively into the edge
+    buckets. Writes ``window_ks/`` under --out; exits 1 when any window's
+    KS exceeds --ks-threshold. W1/chi2 ride as evidence (the run_drift
+    posture: pass criterion stays KS)."""
+    from pyspark.sql import functions as F
+
+    from schema_infer_plugin_spark.checks.ksdrift import (
+        windowed_grid_counts,
+        windowed_ks_report,
+    )
+
+    c = args.numeric_column
+    base = spark.read.parquet(
+        os.path.join(args.baseline, "histograms_numeric", c)
+    )
+    # bounded driver collect: the artifact is ≤ n_buckets rows, its row count
+    # fixed at BUILD time (index_store posture); one row carries the grid
+    meta = base.select("lo", "hi", "n_buckets").first()
+    if meta is None:
+        raise SystemExit(f"window-drift: empty numeric baseline for {c!r}")
+    cur = windowed_grid_counts(
+        t,
+        c,
+        float(meta["lo"]),
+        float(meta["hi"]),
+        int(meta["n_buckets"]),
+        ts_col="ts",
+        window_duration=args.window,
+    )
+    rep = windowed_ks_report(cur, base.select("v", "cnt"))
+    rep.write.mode("overwrite").parquet(os.path.join(args.out, "window_ks"))
+    per_win = (
+        spark.read.parquet(os.path.join(args.out, "window_ks"))
+        .orderBy("window_start")
+        .collect()
+    )
+    threshold = float(args.ks_threshold)
+    drifted = []
+    for r in per_win:
+        flag = r["ks_stat"] is not None and r["ks_stat"] > threshold
+        print(
+            f"{r['window_start']} .. {r['window_end']}: ks={r['ks_stat']}"
+            f" at={r['ks_at']} w1={r['w1']} chi2={r['chi2']} dof={r['dof']}"
+            f" n={r['n_cur']}{' DRIFTED' if flag else ''}"
+        )
+        if flag:
+            drifted.append(str(r["window_start"]))
+    if drifted:
+        print(
+            f"window-drift: {len(drifted)}/{len(per_win)} windows above"
+            f" ks {threshold} on {c}"
+        )
         return 1
     return 0
 
@@ -909,8 +973,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--baseline", required=True,
                    help="a validate run's --out dir (histograms/<column> with counts)")
     p.add_argument("--column", default="role")
+    p.add_argument("--numeric-column", default=None,
+                   help="numeric mode: per-window KS vs the validate run's "
+                   "histograms_numeric/<col> grid baseline (overrides --column)")
     p.add_argument("--window", default="1 day", help="event-time window duration")
     p.add_argument("--psi-threshold", default="0.2")
+    p.add_argument("--ks-threshold", default="0.2",
+                   help="numeric mode: exit 1 when any window's KS exceeds this")
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_window_drift)
 

@@ -8,6 +8,7 @@ from schema_infer_plugin_spark.streaming.incremental import (
     stream_expr_violations,
     stream_vector_sanity,
     validation_sink,
+    windowed_grid_counts_stream,
     windowed_violation_rates,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "stream_expr_violations",
     "stream_vector_sanity",
     "validation_sink",
+    "windowed_grid_counts_stream",
     "windowed_violation_rates",
 ]

@@ -222,6 +222,52 @@ def windowed_histogram_stream(
     )
 
 
+def windowed_grid_counts_stream(
+    stream_df: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    n_buckets: int = 1000,
+    ts_col: str = "ts",
+    window_duration: str = "1 day",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Numeric twin of :func:`windowed_histogram_stream`: per-event-time-
+    window counts of ``column`` quantized onto a fixed grid
+    (checks/ksdrift.grid_quantize — the grid comes from the persisted
+    baseline artifact, clamp semantics as documented there). Quantization is
+    a pure per-row projection, so the same watermark/append mechanics apply
+    unchanged; state is O(open windows × n_buckets). The batch face with
+    identical output is checks/ksdrift.windowed_grid_counts, and
+    checks/ksdrift.windowed_ks_report turns the emitted rows into per-window
+    KS/W1/chi2 against the baseline — continuous numeric drift monitoring
+    with zero stream re-scans.
+
+    Output: (window_start, window_end, v double, cnt long). NULL values are
+    dropped (a grid count is a statement about values); NULL event times are
+    dropped by the watermark operator as in every windowed aggregation here.
+    """
+    from schema_infer_plugin_spark.checks.ksdrift import grid_quantize
+
+    vals = stream_df.select(
+        F.col(ts_col).alias(ts_col), F.col(column).cast("double").alias("raw")
+    ).filter(F.col("raw").isNotNull())
+    return (
+        vals.withWatermark(ts_col, watermark_delay)
+        .groupBy(
+            F.window(F.col(ts_col), window_duration),
+            grid_quantize(F.col("raw"), lo, hi, n_buckets).alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "v",
+            "cnt",
+        )
+    )
+
+
 #: Output schema of the stateful cross-batch check.
 _STATEFUL_OUT = (
     "check_name string, conv_id string, turn_idx int, column string,"

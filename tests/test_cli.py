@@ -417,3 +417,43 @@ def test_window_drift_cli(spark, tmp_path, capsys):
     with pytest.raises(SystemExit, match="count-bearing"):
         main(["window-drift", "--input", "synth:1000", "--baseline", old,
               "--out", str(tmp_path / "w3")])
+
+
+def test_window_drift_numeric_cli(spark, tmp_path, capsys):
+    """window-drift --numeric-column: self vs own grid baseline exits 0 at a
+    threshold above the per-day sampling variation (a window holding a few
+    hundred turns of a 30-day corpus legitimately KS-fluctuates ~0.3 vs the
+    global baseline — that's the sample, not drift); a baseline built from a
+    low-turn_idx slice (its own tight grid — current data clamps onto it)
+    exceeds even that and exits 1 (the +100 shift puts the whole current
+    distribution below the baseline grid: everything clamps to the bottom
+    edge where the baseline has almost no mass — KS ≈ 1)."""
+    from pyspark.sql import functions as F
+
+    from schema_infer_plugin_spark.plans.runner import write_histograms
+    from schema_infer_plugin_spark.sources.synth import synth_transcripts
+
+    t = synth_transcripts(spark, 1_000)
+    base_out = str(tmp_path / "nbase")
+    write_histograms(spark, t, base_out, [], numeric_columns=["turn_idx"])
+    rc = main(["window-drift", "--input", "synth:1000", "--baseline", base_out,
+               "--numeric-column", "turn_idx", "--ks-threshold", "0.5",
+               "--out", str(tmp_path / "n1")])
+    assert rc == 0
+    rep = spark.read.parquet(os.path.join(str(tmp_path / "n1"), "window_ks"))
+    assert rep.count() > 0
+    assert rep.filter(F.col("ks_stat").isNull()).count() == 0
+
+    shifted = str(tmp_path / "nshift")
+    write_histograms(
+        spark,
+        t.withColumn("turn_idx", F.col("turn_idx") + 100),
+        shifted,
+        [],
+        numeric_columns=["turn_idx"],
+    )
+    rc = main(["window-drift", "--input", "synth:1000", "--baseline", shifted,
+               "--numeric-column", "turn_idx", "--ks-threshold", "0.5",
+               "--out", str(tmp_path / "n2")])
+    assert rc == 1
+    assert "DRIFTED" in capsys.readouterr().out

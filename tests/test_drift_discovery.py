@@ -249,3 +249,45 @@ def test_windowed_drift_report_matches_per_window(spark):
             for r in drift_and_chi2_terms(cur, base).collect()
         }
         assert got[win[0]] == want  # bit-identical per window
+
+
+def test_windowed_ks_report_matches_per_window(spark):
+    """windowed_ks_report rows for each window equal ks_w1_from_counts(
+    baseline, that window's counts, with_chi2=True) — the windowed grid with
+    the unoccupied-point filter reproduces the unwindowed statistics per
+    window, including W1 interval merging across dropped grid points and the
+    chi2/dof pair; n_cur/n_base map to the unwindowed n_b/n_a."""
+    import datetime as dt
+
+    import pytest
+
+    from schema_infer_plugin_spark.checks.ksdrift import (
+        ks_w1_from_counts,
+        windowed_ks_report,
+    )
+
+    base = spark.createDataFrame(
+        [(0.0, 10), (4.0, 30), (8.0, 5), (12.0, 4)], "v: double, cnt: long"
+    )
+    wa = (dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2))
+    wb = (dt.datetime(2024, 1, 2), dt.datetime(2024, 1, 3))
+    wc = spark.createDataFrame(
+        [(*wa, 0.0, 5), (*wa, 8.0, 7),
+         # 16.0 exists in this window ONLY: in the other window the
+         # (window, 16.0) grid point is unoccupied on both sides and dropped
+         (*wb, 4.0, 2), (*wb, 16.0, 3)],
+        "window_start: timestamp, window_end: timestamp, v: double, cnt: long",
+    )
+    rep = {r["window_start"]: r for r in windowed_ks_report(wc, base).collect()}
+    assert set(rep) == {wa[0], wb[0]}
+    for win, rows in ((wa, [(0.0, 5), (8.0, 7)]), (wb, [(4.0, 2), (16.0, 3)])):
+        cur = spark.createDataFrame(rows, "v: double, cnt: long")
+        want = ks_w1_from_counts(base, cur, with_chi2=True).collect()[0]
+        got = rep[win[0]]
+        assert got["ks_stat"] == want["ks_stat"]
+        assert got["ks_at"] == want["ks_at"]
+        assert got["dof"] == want["dof"]
+        assert (got["n_cur"], got["n_base"]) == (want["n_b"], want["n_a"])
+        # double SUMS: same terms, possibly different accumulation order
+        assert got["w1"] == pytest.approx(want["w1"], rel=1e-12)
+        assert got["chi2"] == pytest.approx(want["chi2"], rel=1e-12)

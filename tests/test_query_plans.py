@@ -47,6 +47,7 @@ BOUNDED_BROADCAST_CROSS = {
     "tfidf_top_terms",       # single-row N-docs frame (retrieval.py tfidf)
     "sampled_validation_estimate",  # single-row sampled-turn total × |checks| grid
     "windowed_drift_stream",  # bounded windows × bucket-domain grid (drift.py)
+    "windowed_ks_drift",     # bounded windows × grid-point cross (ksdrift.py)
 }
 
 ALL_QUERIES = sorted(entrymod.queries().keys())

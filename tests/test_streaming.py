@@ -405,3 +405,37 @@ def test_windowed_histogram_stream_matches_batch(spark, tmp_path):
         windowed_histogram_stream(stream)._jdf.queryExecution().logical().toString()
     )
     assert "EventTimeWatermark" in plan
+
+
+def test_windowed_grid_counts_stream_matches_batch(spark, tmp_path):
+    """Windowed numeric grid counts (complete mode for determinism) equal the
+    batch windowed_grid_counts on the same grid; the watermark is actually in
+    the plan (bounded state, not a silent no-op)."""
+    from schema_infer_plugin_spark.checks.ksdrift import windowed_grid_counts
+    from schema_infer_plugin_spark.streaming.incremental import (
+        windowed_grid_counts_stream,
+    )
+
+    t, stream = _staged_input(spark, tmp_path)
+    q = (
+        windowed_grid_counts_stream(
+            stream, "turn_idx", 0.0, 64.0, 16, "ts", "1 minute", "2 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("wingrid")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("wingrid")
+    want = windowed_grid_counts(t, "turn_idx", 0.0, 64.0, 16, "ts", "1 minute")
+    assert got.count() > 0
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    plan = (
+        windowed_grid_counts_stream(stream, "turn_idx", 0.0, 64.0, 16)
+        ._jdf.queryExecution()
+        .logical()
+        .toString()
+    )
+    assert "EventTimeWatermark" in plan

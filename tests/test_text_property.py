@@ -102,3 +102,47 @@ def test_chunk_documents_matches_model(spark, texts, max_tokens, overlap):
     # invariants the model restates: every doc represented, full coverage in
     # order with exactly `overlap` tokens shared between adjacent full chunks
     assert {w[0] for w in want} == set(range(len(texts)))
+
+
+def _grid_quantize_model(v: float, lo: float, hi: float, n: int) -> float:
+    """Pure-Python mirror of checks/ksdrift.grid_quantize — SAME float ops in
+    the SAME association: step is Python-folded (hi-lo)/n, the output edge is
+    lo + (bkt*(hi-lo))/n, clamp before bucket."""
+    import math
+
+    if hi <= lo:
+        return float(lo)
+    clamped = max(min(v, float(hi)), float(lo))
+    # math.floor of the IEEE division — NOT //, which floors the exact
+    # rational quotient and can differ by 1 when the division rounds up
+    # to an integer
+    bkt = min(math.floor((clamped - lo) / ((hi - lo) / n)), n - 1)
+    return float(lo) + (bkt * (hi - lo)) / n
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=20,
+    ),
+    st.sampled_from([(0.0, 64.0, 16), (-5.0, 5.0, 7), (0.03, 327.53, 1000), (2.0, 2.0, 10)]),
+)
+def test_grid_quantize_matches_model(spark, values, grid):
+    """grid_quantize (the fixed-grid numeric-drift quantizer) matches the
+    Python model bit-for-bit on finite doubles, including out-of-range clamps
+    onto the edge buckets and the degenerate hi<=lo single-point grid."""
+    from pyspark.sql import functions as F
+
+    from schema_infer_plugin_spark.checks.ksdrift import grid_quantize
+
+    lo, hi, n = grid
+    df = spark.createDataFrame([(v,) for v in values], "v: double")
+    got = [
+        r["q"]
+        for r in df.select(grid_quantize(F.col("v"), lo, hi, n).alias("q"))
+        .collect()
+    ]
+    want = [_grid_quantize_model(v, lo, hi, n) for v in values]
+    assert got == want

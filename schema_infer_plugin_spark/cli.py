@@ -605,9 +605,14 @@ def _window_drift_numeric(spark, t, args: argparse.Namespace) -> int:
     )
 
     c = args.numeric_column
-    base = spark.read.parquet(
-        os.path.join(args.baseline, "histograms_numeric", c)
-    )
+    path = os.path.join(args.baseline, "histograms_numeric", c)
+    try:
+        base = spark.read.parquet(path)
+    except Exception as exc:  # AnalysisException: path does not exist
+        raise SystemExit(
+            f"window-drift: no numeric baseline at {path} — re-run validate /"
+            f" write_histograms with {c!r} in numeric_columns ({exc})"
+        )
     # bounded driver collect: the artifact is ≤ n_buckets rows, its row count
     # fixed at BUILD time (index_store posture); one row carries the grid
     meta = base.select("lo", "hi", "n_buckets").first()

@@ -457,3 +457,14 @@ def test_window_drift_numeric_cli(spark, tmp_path, capsys):
                "--out", str(tmp_path / "n2")])
     assert rc == 1
     assert "DRIFTED" in capsys.readouterr().out
+
+
+def test_window_drift_numeric_missing_baseline(spark, tmp_path):
+    """A baseline dir without the histograms_numeric/<col> artifact exits
+    with a clear SystemExit, not a raw AnalysisException."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="no numeric baseline"):
+        main(["window-drift", "--input", "synth:200",
+              "--baseline", str(tmp_path / "nowhere"),
+              "--numeric-column", "turn_idx", "--out", str(tmp_path / "o")])

@@ -3018,6 +3018,72 @@ def q_windowed_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_ks_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming face of the numeric windowed drift, driver-green:
+    streaming/incremental.windowed_grid_counts_stream maintains per-day
+    fixed-grid turn_idx counts (watermark-bounded state, exact counts on
+    window close), replayed with the far-future-sentinel single-file staging
+    (the session_stats_stream guard — here the sentinel carries turn_idx 0,
+    NOT NULL, because the grid stream drops NULL values BEFORE the watermark
+    operator and a dropped sentinel would advance nothing); then checks/
+    ksdrift.windowed_ks_report joins the EMITTED rows against the same
+    full-corpus baseline as q_windowed_ks_drift. Per-window exact counts ⇒
+    the report is row-identical to the batch face, so the SAME oracle text
+    verifies the whole stream→report path end to end."""
+    import os
+    import tempfile
+
+    from schema_infer_plugin_spark.checks.ksdrift import (
+        grid_counts,
+        windowed_ks_report,
+    )
+    from schema_infer_plugin_spark.streaming.incremental import (
+        windowed_grid_counts_stream,
+    )
+
+    full = _transcripts(spark, sf_dir)
+    t = full.select(
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    work = tempfile.mkdtemp(prefix="wks_stream_")
+    in_dir, out_dir, ckpt = (os.path.join(work, d) for d in ("in", "out", "ckpt"))
+    sentinel = (
+        t.limit(1)
+        .withColumn("turn_idx", F.lit(0).cast("int"))
+        .withColumn("ts", F.to_timestamp(F.lit("2100-01-01 00:00:00")))
+    )
+    t.unionByName(sentinel).coalesce(1).write.parquet(in_dir)
+    stream = spark.readStream.schema(t.schema).parquet(in_dir)
+    counts = windowed_grid_counts_stream(
+        stream, "turn_idx", 0.0, 64.0, 16,
+        ts_col="ts", window_duration="1 day", watermark_delay="1 second",
+    )
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.read.parquet(out_dir).filter(
+        F.col("window_start") < F.to_timestamp(F.lit("2099-01-01 00:00:00"))
+    )
+    base = grid_counts(full, "turn_idx", 0.0, 64.0, 16)
+    rep = windowed_ks_report(emitted, base.select("v", "cnt"))
+    return rep.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "ks_stat",
+        "ks_at",
+        "dof",
+        "n_cur",
+        "n_base",
+    )
+
+
 #: grid_quantize([0,64]×16) in the shared dialect: (hi-lo)/n_buckets Python-
 #: folds to 4.0 on the Spark side, and the output edge is lo + (bkt*64.0)/16
 #: in that exact association — mirror both or ulp ties flip buckets.
@@ -5122,6 +5188,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "windowed_rates_stream": (q_windowed_rates_stream, ORACLE_WINDOWED_RATES_STREAM),
     "windowed_drift_stream": (q_windowed_drift_stream, ORACLE_WINDOWED_DRIFT),
     "windowed_ks_drift": (q_windowed_ks_drift, ORACLE_WINDOWED_KS),
+    "windowed_ks_stream": (q_windowed_ks_stream, ORACLE_WINDOWED_KS),
     "dedup_stream_content": (q_dedup_stream, ORACLE_DEDUP_STREAM),
     "ann_ivfpq_topk": (q_ann_ivfpq, _oracle_ann_ivfpq()),
     "mix_token_budget": (q_mix_token_budget, _oracle_mix()),
@@ -5259,6 +5326,7 @@ _R5_WINDOW = [
     "sampled_validation_estimate",
     "windowed_drift_stream",
     "windowed_ks_drift",
+    "windowed_ks_stream",
     "dup_ngram_rate",
     "role_transition_matrix",
     "tfidf_top_terms",
@@ -5302,7 +5370,6 @@ _R5_WINDOW = [
     "infer_role_domain",
     "transcripts_role_domain",
     "transcripts_tool_domain",
-    "transcripts_tool_without_role",
 ]
 
 

@@ -145,22 +145,34 @@ def chi2_terms(current: DataFrame, baseline: DataFrame) -> DataFrame:
     )
 
 
-def _chi2_expr() -> "F.Column":
-    """Per-bucket chi-square term from (o_base, o_cur, n_base, n_cur)
-    columns. Exact DECIMAL(19,0)×DECIMAL(19,0) cross products (fit
+def _chi2_expr(
+    o_cur: str = "o_cur",
+    o_base: str = "o_base",
+    n_cur: str = "n_cur",
+    n_base: str = "n_base",
+    guard_totals: bool = True,
+) -> "F.Column":
+    """Per-bucket chi-square term from two (observed, total) count column
+    pairs. Exact DECIMAL(19,0)×DECIMAL(19,0) cross products (fit
     DECIMAL(38,0)), each cast to double BEFORE the subtraction — a decimal
     subtraction would need precision 39; the double subtraction is the same
-    fixed IEEE op in both engines (the grouped_int_corr oracle posture)."""
+    fixed IEEE op in both engines (the grouped_int_corr oracle posture).
+    The ONE definition of this shape — ksdrift's grid/windowed forms reuse
+    it with their own column names (``guard_totals=False`` when the caller
+    already gates on both totals in its aggregate)."""
     dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    diff = (dec("o_cur") * dec("n_base")).cast("double") - (
-        dec("o_base") * dec("n_cur")
+    diff = (dec(o_cur) * dec(n_base)).cast("double") - (
+        dec(o_base) * dec(n_cur)
     ).cast("double")
     denom = (
-        F.col("n_cur").cast("double")
-        * F.col("n_base").cast("double")
-        * (F.col("o_cur") + F.col("o_base")).cast("double")
+        F.col(n_cur).cast("double")
+        * F.col(n_base).cast("double")
+        * (F.col(o_cur) + F.col(o_base)).cast("double")
     )
-    return F.when((F.col("n_cur") > 0) & (F.col("n_base") > 0), diff * diff / denom)
+    term = diff * diff / denom
+    if not guard_totals:
+        return term
+    return F.when((F.col(n_cur) > 0) & (F.col(n_base) > 0), term)
 
 
 def histogram_with_counts(df: DataFrame, column: str) -> DataFrame:

@@ -327,16 +327,14 @@ def windowed_ks_report(
     ).withColumn("d", F.abs(F.col("cdf_cur") - F.col("cdf_base")))
     tagged = cdf.withColumn("dmx", F.max("d").over(pw))
     term = (F.col("nxt") - F.col("v")) * F.col("d")
-    # chi2: same DECIMAL(19,0)-cross-products-cast-to-double-BEFORE-the-
-    # subtraction shape as drift.chi2_terms / ks_w1_from_counts
-    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-    diff = (dec("ca") * dec("n_base")).cast("double") - (
-        dec("cb") * dec("n_cur")
-    ).cast("double")
-    denom = (
-        F.col("n_cur").cast("double")
-        * F.col("n_base").cast("double")
-        * (F.col("ca") + F.col("cb")).cast("double")
+    # chi2: the one definition of the decimal-cross-product shape
+    # (drift._chi2_expr); the per-window `when(max(n)>0)` aggregate guard
+    # replaces its per-row totals guard
+    from schema_infer_plugin_spark.checks.drift import _chi2_expr
+
+    term_chi2 = _chi2_expr(
+        o_cur="ca", o_base="cb", n_cur="n_cur", n_base="n_base",
+        guard_totals=False,
     )
     occupied = (F.col("ca") + F.col("cb")) > 0
     both = (F.max("n_cur") > 0) & (F.max("n_base") > 0)
@@ -348,7 +346,7 @@ def windowed_ks_report(
         F.when(both, F.coalesce(F.round(F.sum(term), 6) + F.lit(0.0), F.lit(0.0)))
         .cast("double")
         .alias("w1"),
-        F.when(both, F.sum(F.when(occupied, diff * diff / denom)))
+        F.when(both, F.sum(F.when(occupied, term_chi2)))
         .cast("double")
         .alias("chi2"),
         (F.sum(occupied.cast("long")) - 1).cast("long").alias("dof"),
@@ -411,20 +409,22 @@ def ks_w1_from_counts(
     term = (F.col("nxt") - F.col("v")) * F.col("d")
     chi2_cols = []
     if with_chi2:
-        dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
-        diff = (dec("ca") * dec("n_b")).cast("double") - (
-            dec("cb") * dec("n_a")
-        ).cast("double")
-        denom = (
-            F.col("n_a").cast("double")
-            * F.col("n_b").cast("double")
-            * (F.col("ca") + F.col("cb")).cast("double")
+        # the one definition of the decimal-cross-product chi2 shape lives
+        # in drift._chi2_expr; the aggregate's `when(max(n)>0)` replaces its
+        # per-row totals guard (chi2 is NULL when either side is empty, and
+        # the squared diff is sign-symmetric so the a/b → cur/base column
+        # mapping is bit-irrelevant)
+        from schema_infer_plugin_spark.checks.drift import _chi2_expr
+
+        term_chi2 = _chi2_expr(
+            o_cur="ca", o_base="cb", n_cur="n_a", n_base="n_b",
+            guard_totals=False,
         )
         occupied = (F.col("ca") + F.col("cb")) > 0
         chi2_cols = [
             F.when(
                 (F.max("n_a") > 0) & (F.max("n_b") > 0),
-                F.sum(F.when(occupied, diff * diff / denom)),
+                F.sum(F.when(occupied, term_chi2)),
             )
             .cast("double")
             .alias("chi2"),

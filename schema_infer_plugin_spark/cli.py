@@ -606,13 +606,14 @@ def _window_drift_numeric(spark, t, args: argparse.Namespace) -> int:
 
     c = args.numeric_column
     path = os.path.join(args.baseline, "histograms_numeric", c)
-    try:
-        base = spark.read.parquet(path)
-    except Exception as exc:  # AnalysisException: path does not exist
+    # MISSING (no artifact — actionable advice) ≠ INACCESSIBLE (corrupt /
+    # unreadable — surface the real error): the validate-tables posture
+    if not os.path.exists(path):
         raise SystemExit(
             f"window-drift: no numeric baseline at {path} — re-run validate /"
-            f" write_histograms with {c!r} in numeric_columns ({exc})"
+            f" write_histograms with {c!r} in numeric_columns"
         )
+    base = spark.read.parquet(path)
     # bounded driver collect: the artifact is ≤ n_buckets rows, its row count
     # fixed at BUILD time (index_store posture); one row carries the grid
     meta = base.select("lo", "hi", "n_buckets").first()

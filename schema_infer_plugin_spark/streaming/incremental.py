@@ -208,7 +208,10 @@ def windowed_histogram_stream(
     """
     bucket = F.coalesce(F.col(column).cast("string"), F.lit("<null>"))
     return (
-        stream_df.withWatermark(ts_col, watermark_delay)
+        # cast like the batch faces so window bounds are the same parquet
+        # type whatever the stream input's timestamp flavor (NTZ vs LTZ)
+        stream_df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark_delay)
         .groupBy(
             F.window(F.col(ts_col), window_duration), bucket.alias("bucket")
         )
@@ -246,11 +249,16 @@ def windowed_grid_counts_stream(
     Output: (window_start, window_end, v double, cnt long). NULL values are
     dropped (a grid count is a statement about values); NULL event times are
     dropped by the watermark operator as in every windowed aggregation here.
+    The event-time column is cast to TIMESTAMP exactly like the batch face,
+    so the two faces' window bounds are the same parquet type (an NTZ stream
+    input would otherwise emit isAdjustedToUTC=false columns that clash with
+    batch-face backfills of the same dataset).
     """
     from schema_infer_plugin_spark.checks.ksdrift import grid_quantize
 
     vals = stream_df.select(
-        F.col(ts_col).alias(ts_col), F.col(column).cast("double").alias("raw")
+        F.col(ts_col).cast("timestamp").alias(ts_col),
+        F.col(column).cast("double").alias("raw"),
     ).filter(F.col("raw").isNotNull())
     return (
         vals.withWatermark(ts_col, watermark_delay)

@@ -201,6 +201,10 @@ def test_sampled_validation_estimate(spark):
             assert math.isclose(row[f"{pre}rate"], phat, abs_tol=1e-12)
             assert math.isclose(row[f"{pre}ci_lo"], lo, abs_tol=1e-9)
             assert math.isclose(row[f"{pre}ci_hi"], hi, abs_tol=1e-9)
+        # EXACT containment at both units — the property the least/greatest
+        # clamp guarantees (isclose's 1e-9 tolerance can't catch the ~1e-19
+        # float dust at k=0 / k=n that the clamp exists for)
+        assert row["ci_lo"] <= row["rate"] <= row["ci_hi"]
         assert row["conv_ci_lo"] <= row["conv_rate"] <= row["conv_ci_hi"]
 
     # conv-granular sampling: a sampled conversation appears whole

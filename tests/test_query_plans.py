@@ -48,6 +48,7 @@ BOUNDED_BROADCAST_CROSS = {
     "sampled_validation_estimate",  # single-row sampled-turn total × |checks| grid
     "windowed_drift_stream",  # bounded windows × bucket-domain grid (drift.py)
     "windowed_ks_drift",     # bounded windows × grid-point cross (ksdrift.py)
+    "windowed_ks_stream",    # same report tail over stream-emitted counts
 }
 
 ALL_QUERIES = sorted(entrymod.queries().keys())

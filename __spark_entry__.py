@@ -58,6 +58,8 @@ _INT_RE = "^[+-]?[0-9]+$"
 # Python float() grammar — mirrors functions/typeladder.FLOAT_RE. The oracle
 # must NOT use TRY_CAST(.. AS DOUBLE): Java/Spark cast accepts trailing D/d/F/f
 # suffixes ('0D', '1f') that the reference's Python float() rejects → string.
+# Both numeric rungs test trim(v): Python int()/float() strip surrounding
+# whitespace (padded values reach the reference ladder via the KV quote path).
 _FLOAT_RE = "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?$"
 
 
@@ -71,7 +73,7 @@ def _duck_type_profile_sql(source_sql: str, cols: list[str]) -> str:
         t = (
             f"CASE WHEN {v} IS NULL THEN 'null' "
             f"WHEN lower({v}) IN ('true','false') THEN 'boolean' "
-            f"WHEN regexp_matches({v}, '{_INT_RE}') THEN 'int' "
+            f"WHEN regexp_matches(trim({v}), '{_INT_RE}') THEN 'int' "
             f"WHEN regexp_matches(trim({v}), '{_FLOAT_RE}') THEN 'float' "
             f"ELSE 'string' END"
         )
@@ -1258,7 +1260,7 @@ SELECT event_id,
        concat('user=', CAST(user_id AS STRING), ', type=', event_type,
               ', active=true, score="', CAST(event_id % 3 AS STRING), '"',
               ', ratio=', CAST(event_id % 5 AS STRING), '.5',
-              ', dur=1.5d, rate=0D') AS line
+              ', dur=1.5d, rate=0D, pad=" 7 ", note=""') AS line
 FROM events
 """
 
@@ -1267,7 +1269,11 @@ def q_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KV ladder over synthesized lines. 'dur=1.5d' / 'rate=0D' pin the
     Java-suffix edge: Python float() (the reference ladder) rejects trailing
     D/d/F/f, so they must classify as STRING — a bare try_cast("double")
-    would call them float (VERDICT r4 finding #1)."""
+    would call them float (VERDICT r4 finding #1). 'pad=" 7 "' pins the
+    quote-path whitespace edge (Python int() strips → INT, not float), and
+    'note=""' pins the quoted-empty edge (reference _convert_value('') →
+    None → vtype null; the pair survives because the emptiness check runs on
+    the still-quoted raw value, parsers.py:305)."""
     from schema_infer_plugin_spark.operators.parsers import parse_key_value
 
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
@@ -1296,6 +1302,8 @@ UNION ALL SELECT event_id, 'ratio', concat(CAST(event_id % 5 AS STRING), '.5'), 
        CAST(event_id % 5 AS DOUBLE) + 0.5 FROM events
 UNION ALL SELECT event_id, 'dur', '1.5d', 'string', NULL, NULL, NULL FROM events
 UNION ALL SELECT event_id, 'rate', '0D', 'string', NULL, NULL, NULL FROM events
+UNION ALL SELECT event_id, 'pad', ' 7 ', 'int', 7, NULL, NULL FROM events
+UNION ALL SELECT event_id, 'note', '', 'null', NULL, NULL, NULL FROM events
 """
 
 
@@ -3575,7 +3583,7 @@ FROM transcripts WHERE {side_filter}"""
         typ = (
             f"CASE WHEN {c} IS NULL THEN 'null' "
             f"WHEN lower({c}) IN ('true','false') THEN 'boolean' "
-            f"WHEN regexp_matches({c}, '{_INT_RE}') THEN 'int' "
+            f"WHEN regexp_matches(trim({c}), '{_INT_RE}') THEN 'int' "
             f"WHEN regexp_matches(trim({c}), '{_FLOAT_RE}') THEN 'float' "
             f"ELSE 'string' END"
         )

@@ -25,6 +25,13 @@ from pyspark.sql import Column, functions as F
 #: Order matters: first match wins (bool before int before float).
 TYPE_NAMES = ("boolean", "int", "float", "string")
 
+#: The int rung tests trim(col): Python int() strips surrounding whitespace
+#: (int(" 7 ") == 7), and padded values genuinely reach the reference ladder
+#: through the KV quote path (k=" 7 " → strip → quote removal → " 7 " →
+#: _convert_value, parsers.py:299-315). Spark trim strips ASCII spaces only;
+#: tab/unicode-space padding is outside the engine spec (same restriction the
+#: text operators document). Spark's ANSI cast to long also trims spaces, so
+#: every trim-matched value is castable.
 _INT_RE = r"^[+-]?[0-9]+$"
 
 #: Python float() grammar (minus inf/nan spellings and '_' separators, which the
@@ -50,7 +57,7 @@ def string_value_type(col: Column) -> Column:
     return (
         F.when(col.isNull(), F.lit("null"))
         .when(F.lower(col).isin("true", "false"), F.lit("boolean"))
-        .when(col.rlike(_INT_RE), F.lit("int"))
+        .when(F.trim(col).rlike(_INT_RE), F.lit("int"))
         .when(F.trim(col).rlike(FLOAT_RE), F.lit("float"))
         .otherwise(F.lit("string"))
     )
@@ -69,7 +76,7 @@ def string_value_type_code(col: Column) -> Column:
     return (
         F.when(col.isNull(), F.lit(0))
         .when(F.lower(col).isin("true", "false"), F.lit(1))
-        .when(col.rlike(_INT_RE), F.lit(2))
+        .when(F.trim(col).rlike(_INT_RE), F.lit(2))
         .when(F.trim(col).rlike(FLOAT_RE), F.lit(3))
         .otherwise(F.lit(4))
         .cast("byte")

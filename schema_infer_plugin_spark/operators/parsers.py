@@ -46,12 +46,14 @@ def parse_delimited_line(df: DataFrame, col: str, delimiter: str, n_fields: int)
 
 
 def kv_coerced_value(value: Column) -> Column:
-    """The KV coercion ladder as a (vtype, raw, typed-slots) struct — bool
-    before int before float before string (KeyValueParser._convert_value,
-    parsers.py:360-383)."""
+    """The KV coercion ladder as a (vtype, raw, typed-slots) struct — empty →
+    null, then bool before int before float before string
+    (KeyValueParser._convert_value, parsers.py:360-383: ``if not value: return
+    None`` precedes the ladder — reachable only via the quoted path, e.g.
+    ``k=""``, since the pair filter drops raw-empty values)."""
     from ..functions.typeladder import string_value_type
 
-    t = string_value_type(value)
+    t = F.when(value == "", F.lit("null")).otherwise(string_value_type(value))
     return F.struct(
         t.alias("vtype"),
         value.alias("raw"),
@@ -62,10 +64,13 @@ def kv_coerced_value(value: Column) -> Column:
 
 
 def _strip_quotes(v: Column) -> Column:
-    """Remove one symmetric layer of single or double quotes (parsers.py:308-313)."""
-    quoted = (
-        (v.startswith('"') & v.endswith('"')) | (v.startswith("'") & v.endswith("'"))
-    ) & (F.length(v) >= 2)
+    """Remove one symmetric layer of single or double quotes (parsers.py:308-313).
+
+    No minimum-length guard: a lone quote char satisfies Python's
+    startswith/endswith pair, so the reference slices it to '' (``value[1:-1]``)
+    — and Spark's substring with a negative length yields '' the same way.
+    """
+    quoted = (v.startswith('"') & v.endswith('"')) | (v.startswith("'") & v.endswith("'"))
     return F.when(quoted, F.substring(v, 2, F.length(v) - 2)).otherwise(v)
 
 
@@ -79,10 +84,13 @@ def parse_key_value(
 ) -> DataFrame:
     """key=value,key=value → exploded (kv_key, kv_value, kv coerced) rows.
 
-    Reproduces KeyValueParser.parse (parsers.py:277-321): split on the pair
-    separator, strip, require the kv separator in the pair, split key/value on
-    the FIRST kv separator only (Python split(sep, 1)), drop empty/oversized
-    keys/values, strip symmetric quotes, coerce. One projection + one explode.
+    Reproduces KeyValueParser.parse (parsers.py:277-321) in the reference's
+    order: split on the pair separator, strip, require the kv separator in the
+    pair, split key/value on the FIRST kv separator only (Python split(sep, 1)),
+    drop empty/oversized keys/values on the RAW (still-quoted) value
+    (parsers.py:305 checks before quote removal — so ``k=""`` survives and
+    coerces to null, and the length cap counts the quote chars), THEN strip
+    symmetric quotes and coerce. One projection + one explode.
     """
     pairs = F.split(F.trim(F.col(col)), re.escape(pair_sep), -1)
 
@@ -90,7 +98,7 @@ def parse_key_value(
         has_sep = F.instr(p, kv_sep) > 0
         halves = F.split(p, re.escape(kv_sep), 2)
         k = F.trim(F.element_at(halves, 1))
-        v = _strip_quotes(F.trim(F.element_at(halves, 2)))
+        v = F.trim(F.element_at(halves, 2))
         return F.struct(
             F.when(has_sep, k).alias("k"),
             F.when(has_sep, v).alias("v"),
@@ -106,11 +114,12 @@ def parse_key_value(
         & (F.length(s["v"]) <= max_value_len),
     )
     exploded = df.withColumn("_kv", F.explode(kv_ok))
+    unquoted = _strip_quotes(F.col("_kv.v"))
     return exploded.select(
         *df.columns,
         F.col("_kv.k").alias("kv_key"),
-        F.col("_kv.v").alias("kv_value"),
-        kv_coerced_value(F.col("_kv.v")).alias("kv"),
+        unquoted.alias("kv_value"),
+        kv_coerced_value(unquoted).alias("kv"),
     )
 
 

@@ -75,6 +75,27 @@ def test_parse_key_value_quirks(spark):
     assert by_key == {"a": "quoted", "b": "x=y"}  # c too long, empties dropped
 
 
+def test_parse_key_value_quote_path_reference_edges(spark):
+    # The reference checks emptiness/length on the STILL-QUOTED value
+    # (parsers.py:305), strips quotes after (:308-313), then _convert_value
+    # strips via int()/float() and maps '' -> None (:360-383).
+    out = parse_key_value(
+        _df(spark, ['pad=" 7 ", empty="", lone=", q=\'x\', big="' + "v" * 999 + '"']), "msg"
+    )
+    rows = {r["kv_key"]: r for r in out.collect()}
+    assert rows["pad"]["kv_value"] == " 7 "
+    assert rows["pad"]["kv"]["vtype"] == "int" and rows["pad"]["kv"]["as_int"] == 7
+    # quoted-empty survives the raw check and coerces to null (reference: None)
+    assert rows["empty"]["kv_value"] == "" and rows["empty"]["kv"]["vtype"] == "null"
+    assert rows["empty"]["kv"]["as_int"] is None and rows["empty"]["kv"]["as_float"] is None
+    # a lone quote char slices to '' exactly like Python's value[1:-1]
+    assert rows["lone"]["kv_value"] == "" and rows["lone"]["kv"]["vtype"] == "null"
+    assert rows["q"]["kv_value"] == "x" and rows["q"]["kv"]["vtype"] == "string"
+    # 999 content chars + 2 quote chars = 1001 raw > 1000: dropped BEFORE
+    # quote removal, exactly as the reference's pre-strip length check
+    assert "big" not in rows
+
+
 def test_parse_csv_pad_truncate(spark):
     out = parse_csv_line(_df(spark, ["1,2,3", "4,5", "6,7,8,9"]), "msg", ["x", "y", "z"])
     rows = sorted([tuple(r) for r in out.collect()])

@@ -23,6 +23,10 @@ from pyspark.sql import functions as F
         ("42", "int"),
         ("-7", "int"),
         ("+3", "int"),
+        (" 7 ", "int"),  # Python int() strips whitespace (reachable via KV quotes)
+        ("  -12  ", "int"),
+        (" 2.5 ", "float"),  # float() strips too
+        ("+ 7", "string"),  # inner space: int('+ 7') raises
         ("3.14", "float"),
         ("1e5", "float"),
         ("hello", "string"),

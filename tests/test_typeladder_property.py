@@ -15,18 +15,22 @@ from pyspark.sql import functions as F
 
 from schema_infer_plugin_spark.functions.typeladder import string_value_type
 
-_INT = re.compile(r"^[+-]?[0-9]+$")
-
-
 def _model(v: str | None) -> str:
-    """Reference ladder (KeyValueParser._convert_value, parsers.py:360-383),
-    restricted to the value domain the engine classifies (see strategy note)."""
+    """Reference ladder — the literal code of KeyValueParser._convert_value
+    (parsers.py:365-383: bool rung, then int(v), then float(v)) — restricted
+    to the value domain the engine classifies (see strategy note). The
+    emptiness rung ('' → None, :363) lives at the KV level
+    (operators/parsers.kv_coerced_value), not in string_value_type, which
+    keeps the inference semantics for '' as a string value."""
     if v is None:
         return "null"
     if v.lower() in ("true", "false"):
         return "boolean"
-    if _INT.match(v):
+    try:
+        int(v)
         return "int"
+    except ValueError:
+        pass
     try:
         float(v)
     except ValueError:

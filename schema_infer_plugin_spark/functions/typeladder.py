@@ -145,8 +145,15 @@ def resolve_profile(
         "string": cnt_string,
     }
     max_cnt = F.greatest(*counts.values())
-    # Plurality winner with the ladder order as tie-break (Python's max() keeps the
-    # first-seen key on ties; Counter iterates insertion order = ladder order).
+    # Plurality winner with the ladder order as tie-break. The reference's
+    # max(types.items(), key=count) keeps the FIRST-OBSERVED type on ties
+    # (dict insertion order = the order types appeared in its Kafka sample) —
+    # inherently input-order-dependent, so no distributed aggregation can
+    # reproduce it; the engine makes ties deterministic via ladder order
+    # instead. Observable divergence requires confidence_threshold <= 0.5:
+    # at the default 0.8 a tie's max share is <= 0.5 < threshold, so the
+    # union rule masks the winner whenever >1 type exists
+    # (tests/test_typeladder.py::test_tie_breaks_masked_by_union_rule).
     winner = F.lit("string")
     for name in reversed(TYPE_NAMES):
         winner = F.when(counts[name] == max_cnt, F.lit(name)).otherwise(winner)

@@ -86,6 +86,19 @@ def test_nullable_and_required_thresholds(spark):
     assert not r["nullable"] and r["required"]
 
 
+def test_tie_breaks_masked_by_union_rule(spark):
+    # The reference breaks plurality ties by FIRST-OBSERVED type (dict
+    # insertion order of its sample) — order-dependent, unreproducible in a
+    # distributed agg. The engine uses ladder order instead, which is only
+    # observable when confidence_threshold <= 0.5: at the default 0.8, any
+    # tie's max share is <= 0.5 < threshold, so >1 type demotes to union and
+    # the tie-break never surfaces.
+    r = _profile_one(spark, ["1", "2", "x", "y"])  # 2 int vs 2 string tie
+    assert r["inferred_type"] == "union"
+    r = _profile_one(spark, ["1", "1", "x", "x", "true"])  # 3-way with tie
+    assert r["inferred_type"] == "union"
+
+
 def test_bool_checked_before_int(spark):
     # Python bools are ints; the reference checks bool first (inference.py:278).
     r = _profile_one(spark, ["true", "false", "True"])

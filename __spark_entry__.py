@@ -1747,6 +1747,14 @@ def q_vector_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.slice(v, 1, 1), F.array(inf), F.slice(v, 3, _EMB_DIM - 2)),
         )
         .when(vid % 73 == 0, F.transform(v, lambda x: F.lit(0.0).cast("float")))
+        .when(
+            vid % 71 == 0,
+            F.concat(
+                F.slice(v, 1, 2),
+                F.array(F.lit(None).cast("float")),
+                F.slice(v, 4, _EMB_DIM - 3),
+            ),
+        )
         .otherwise(v)
         .alias("embedding"),
     )
@@ -1762,6 +1770,7 @@ WITH corrupted AS (
       WHEN vec_id % 83 = 0 THEN ['NaN'::FLOAT] || embedding[2:]
       WHEN vec_id % 79 = 0 THEN embedding[1:1] || ['Infinity'::FLOAT] || embedding[3:]
       WHEN vec_id % 73 = 0 THEN list_transform(embedding, x -> 0.0::FLOAT)
+      WHEN vec_id % 71 = 0 THEN embedding[1:2] || [NULL::FLOAT] || embedding[4:]
       ELSE embedding
     END AS v
   FROM embeddings
@@ -1769,6 +1778,7 @@ WITH corrupted AS (
   SELECT vec_id, v,
     v IS NULL AS is_null,
     v IS NOT NULL AND len(v) <> {_EMB_DIM} AS wrong_dim,
+    v IS NOT NULL AND len(list_filter(v, x -> x IS NULL)) > 0 AS has_null_elem,
     v IS NOT NULL AND len(list_filter(v, x -> isnan(x))) > 0 AS has_nan,
     v IS NOT NULL AND len(list_filter(v, x -> isinf(x))) > 0 AS has_inf
   FROM corrupted
@@ -1778,6 +1788,10 @@ SELECT 'vec_null' AS check_name, vec_id AS id, 'embedding' AS col_name,
 UNION ALL
 SELECT 'vec_dim', vec_id, 'embedding', CAST(len(v) AS VARCHAR), '{_EMB_DIM}'
 FROM flags WHERE wrong_dim
+UNION ALL
+SELECT 'vec_null_element', vec_id, 'embedding',
+       CAST(len(list_filter(v, x -> x IS NULL)) AS VARCHAR), '0 NULL elements'
+FROM flags WHERE has_null_elem
 UNION ALL
 SELECT 'vec_nan', vec_id, 'embedding',
        CAST(len(list_filter(v, x -> isnan(x))) AS VARCHAR), '0 NaN elements'
@@ -1789,7 +1803,8 @@ FROM flags WHERE has_inf
 UNION ALL
 SELECT 'vec_zero', vec_id, 'embedding', '0.0', 'norm > 0'
 FROM flags
-WHERE v IS NOT NULL AND len(v) = {_EMB_DIM} AND NOT has_nan AND NOT has_inf
+WHERE v IS NOT NULL AND len(v) = {_EMB_DIM} AND NOT has_null_elem
+  AND NOT has_nan AND NOT has_inf
   AND list_sum(list_transform(v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) = 0.0
 """
 
@@ -2932,11 +2947,14 @@ def q_windowed_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_WINDOWED_DRIFT = oracle_cte(
     """
 , wc AS (
+  -- ts IS NOT NULL: the stream's window operator drops NULL event times
+  -- before counting (same guard as the numeric twin ORACLE_WINDOWED_KS);
+  -- the baseline below keeps them — batch histograms never watermark.
   SELECT epoch_us(date_trunc('day', ts)) AS ws,
          epoch_us(date_trunc('day', ts)) + 86400000000 AS we,
          coalesce(CAST(role AS STRING), '<null>') AS bucket,
          CAST(count(*) AS BIGINT) AS cnt
-  FROM transcripts GROUP BY 1, 2, 3),
+  FROM transcripts WHERE ts IS NOT NULL GROUP BY 1, 2, 3),
 base AS (
   SELECT coalesce(CAST(role AS STRING), '<null>') AS bucket,
          CAST(count(*) AS BIGINT) AS cnt
@@ -4802,20 +4820,53 @@ WHERE sel_rank <= quota
 """
 
 
+#: Funnel thresholds — single source for BOTH engines' predicates.
+_FUNNEL_MIN_TOKENS = 25
+_FUNNEL_MAX_CHARS = 450
+_FUNNEL_LANG = "en"
+
+
+def _min_tokens_pred(t):  # deferred import: textstats pulls the whole package
+    from schema_infer_plugin_spark.functions.textstats import ws_token_count
+
+    return ws_token_count(t) >= _FUNNEL_MIN_TOKENS
+
+
 #: (name, Spark predicate builder, DuckDB predicate SQL) — ONE ordered list
-#: drives both engines so a stage can't drift between them. Boundary
-#: comparisons are safe: each ratio is a single division of exact ints,
-#: bit-identical in both engines.
-_FUNNEL_STAGES: list[tuple[str, str]] = [
-    ("nonempty", "length(trim(text)) > 0"),
+#: drives both engines so a stage can't drift: the query functions take
+#: their Spark stages from here via _funnel_spark_stages, never re-declare
+#: them, and the shared threshold constants are interpolated into both
+#: sides. Boundary comparisons are safe: each ratio is a single division of
+#: exact ints, bit-identical in both engines.
+_FUNNEL_STAGES: list[tuple] = [
+    (
+        "nonempty",
+        lambda: F.length(F.trim(F.col("text"))) > 0,
+        "length(trim(text)) > 0",
+    ),
     (
         "min_tokens",
+        lambda: _min_tokens_pred(F.col("text")),
         r"(CASE WHEN length(trim(text)) = 0 THEN 0"
-        r" ELSE len(regexp_split_to_array(trim(text), '\s+')) END) >= 25",
+        r" ELSE len(regexp_split_to_array(trim(text), '\s+')) END)"
+        f" >= {_FUNNEL_MIN_TOKENS}",
     ),
-    ("max_chars", "n_chars <= 450"),
-    ("lang_en", "lang = 'en'"),
+    (
+        "max_chars",
+        lambda: F.col("n_chars") <= _FUNNEL_MAX_CHARS,
+        f"n_chars <= {_FUNNEL_MAX_CHARS}",
+    ),
+    (
+        "lang_en",
+        lambda: F.col("lang") == _FUNNEL_LANG,
+        f"lang = '{_FUNNEL_LANG}'",
+    ),
 ]
+
+
+def _funnel_spark_stages(stages: list[tuple] | None = None) -> list[tuple]:
+    """Materialize the Spark side of the shared stage list."""
+    return [(name, build()) for name, build, _ in (stages or _FUNNEL_STAGES)]
 
 
 def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4827,17 +4878,9 @@ def q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-stage (entered, survived, dropped) exact longs — the observability
     surface a production cleaning pipeline owes its owner."""
     from schema_infer_plugin_spark.datapipe.text import quality_funnel
-    from schema_infer_plugin_spark.functions.textstats import ws_token_count
 
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    stages = [
-        ("nonempty", F.length(F.trim(t)) > 0),
-        ("min_tokens", ws_token_count(t) >= 25),
-        ("max_chars", F.col("n_chars") <= 450),
-        ("lang_en", F.col("lang") == "en"),
-    ]
-    return quality_funnel(docs, stages)
+    return quality_funnel(docs, _funnel_spark_stages())
 
 
 def _oracle_funnel(stages: list[tuple[str, str]] | None = None, partition: str | None = None) -> str:
@@ -4848,7 +4891,7 @@ def _oracle_funnel(stages: list[tuple[str, str]] | None = None, partition: str |
     n = len(stages)
     whens = " ".join(
         f"WHEN NOT coalesce({sql}, false) THEN {i}"
-        for i, (_, sql) in enumerate(stages)
+        for i, (_, _, sql) in enumerate(stages)
     )
     surv = ", ".join(
         f"CAST(sum(CASE WHEN ff > {i} THEN 1 ELSE 0 END) AS BIGINT) AS s{i}"
@@ -4858,7 +4901,7 @@ def _oracle_funnel(stages: list[tuple[str, str]] | None = None, partition: str |
     key_out = "partition_key, " if partition else ""
     group = " GROUP BY partition_key" if partition else ""
     rows = []
-    for i, (name, _) in enumerate(stages):
+    for i, (name, _, _) in enumerate(stages):
         entered = "total" if i == 0 else f"s{i - 1}"
         rows.append(
             f"SELECT {key_out}{i} AS stage, '{name}' AS stage_name,"
@@ -4883,16 +4926,11 @@ def q_quality_funnel_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lang stage is dropped from the chain (trivial within a lang
     partition)."""
     from schema_infer_plugin_spark.datapipe.text import quality_funnel
-    from schema_infer_plugin_spark.functions.textstats import ws_token_count
 
     docs = load_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    stages = [
-        ("nonempty", F.length(F.trim(t)) > 0),
-        ("min_tokens", ws_token_count(t) >= 25),
-        ("max_chars", F.col("n_chars") <= 450),
-    ]
-    return quality_funnel(docs, stages, partition_by="lang")
+    return quality_funnel(
+        docs, _funnel_spark_stages(_FUNNEL_STAGES[:3]), partition_by="lang"
+    )
 
 
 _PPM_COLS = ["doc_id", "lang", "n_chars"]

@@ -26,11 +26,19 @@ defects):
 
 * ``vec_null``      — the vector itself is NULL;
 * ``vec_dim``       — ``size(vec) != dim``;
+* ``vec_null_element`` — any element is NULL (an array slot the encoder never
+  wrote; ``isnan(NULL)`` is NULL, so without this rule a null-element vector
+  would satisfy NO rule yet count as not-ok — the unevaluable-constraint-is-
+  a-defect posture, same as NULL custom-rule predicates);
 * ``vec_nan``       — any element is NaN;
 * ``vec_inf``       — any element is ±Infinity;
-* ``vec_zero``      — correct dim, all elements finite, Σx² == 0.0 exactly
-  (sum of squares in DOUBLE is exactly 0 iff every element is exactly 0, so
-  the equality is engine-stable).
+* ``vec_zero``      — correct dim, all elements present and finite, Σx² ==
+  0.0 exactly (sum of squares in DOUBLE is exactly 0 iff every element is
+  exactly 0, so the equality is engine-stable).
+
+Every element predicate guards ``x.isNotNull()`` so the rule booleans are
+two-valued even on null-element vectors (Spark's ``exists`` returns NULL when
+no element is true and any predicate is NULL).
 """
 
 from __future__ import annotations
@@ -64,8 +72,11 @@ def vector_sanity_violations(
     if dim <= 0:
         raise ValueError(f"vector_sanity_violations: dim must be > 0, got {dim}")
     v = F.col(vec_col)
-    has_nan = F.exists(v, lambda x: F.isnan(x.cast("double")))
-    has_inf = F.exists(v, lambda x: F.abs(x.cast("double")) == F.lit(_INF))
+    has_null_elem = F.exists(v, lambda x: x.isNull())
+    has_nan = F.exists(v, lambda x: x.isNotNull() & F.isnan(x.cast("double")))
+    has_inf = F.exists(
+        v, lambda x: x.isNotNull() & (F.abs(x.cast("double")) == F.lit(_INF))
+    )
     rules = [
         # (check_name, failed, observed, expected)
         ("vec_null", v.isNull(), F.lit("NULL"), "NOT NULL"),
@@ -76,16 +87,28 @@ def vector_sanity_violations(
             str(dim),
         ),
         (
+            "vec_null_element",
+            v.isNotNull() & has_null_elem,
+            F.size(F.filter(v, lambda x: x.isNull())).cast("string"),
+            "0 NULL elements",
+        ),
+        (
             "vec_nan",
             v.isNotNull() & has_nan,
-            F.size(F.filter(v, lambda x: F.isnan(x.cast("double")))).cast("string"),
+            F.size(
+                F.filter(v, lambda x: x.isNotNull() & F.isnan(x.cast("double")))
+            ).cast("string"),
             "0 NaN elements",
         ),
         (
             "vec_inf",
             v.isNotNull() & has_inf,
             F.size(
-                F.filter(v, lambda x: F.abs(x.cast("double")) == F.lit(_INF))
+                F.filter(
+                    v,
+                    lambda x: x.isNotNull()
+                    & (F.abs(x.cast("double")) == F.lit(_INF)),
+                )
             ).cast("string"),
             "0 Inf elements",
         ),
@@ -93,6 +116,7 @@ def vector_sanity_violations(
             "vec_zero",
             v.isNotNull()
             & (F.size(v) == F.lit(dim))
+            & ~has_null_elem
             & ~has_nan
             & ~has_inf
             & (_sumsq(v) == F.lit(0.0)),
@@ -132,34 +156,42 @@ def vector_sanity_stats(
     dim: int,
 ) -> DataFrame:
     """One exact-BIGINT summary row over the whole table:
-    (n_rows, n_null, n_wrong_dim, n_nan, n_inf, n_zero, n_ok).
+    (n_rows, n_null, n_wrong_dim, n_null_elem, n_nan, n_inf, n_zero, n_ok).
 
     One wide hash aggregation (map-side combined, shuffle = one row) — the
     table-level verdict input; pair with :func:`vector_sanity_violations`
-    for the row-level triage sample.
+    for the row-level triage sample. Every flag is two-valued (null-guarded
+    element predicates), so the defect counters partition ``n_rows - n_ok``:
+    each not-ok row trips at least one counter.
     """
     if dim <= 0:
         raise ValueError(f"vector_sanity_stats: dim must be > 0, got {dim}")
     v = F.col(vec_col)
-    has_nan = F.exists(v, lambda x: F.isnan(x.cast("double")))
-    has_inf = F.exists(v, lambda x: F.abs(x.cast("double")) == F.lit(_INF))
+    has_null_elem = F.exists(v, lambda x: x.isNull())
+    has_nan = F.exists(v, lambda x: x.isNotNull() & F.isnan(x.cast("double")))
+    has_inf = F.exists(
+        v, lambda x: x.isNotNull() & (F.abs(x.cast("double")) == F.lit(_INF))
+    )
     is_null = v.isNull()
     wrong_dim = v.isNotNull() & (F.size(v) != F.lit(dim))
+    null_elem = v.isNotNull() & has_null_elem
     nan = v.isNotNull() & has_nan
     inf = v.isNotNull() & has_inf
     zero = (
         v.isNotNull()
         & (F.size(v) == F.lit(dim))
+        & ~has_null_elem
         & ~has_nan
         & ~has_inf
         & (_sumsq(v) == F.lit(0.0))
     )
-    ok = ~(is_null | wrong_dim | nan | inf | zero)
+    ok = ~(is_null | wrong_dim | null_elem | nan | inf | zero)
     cnt = lambda c: F.sum(c.cast("long")).alias  # noqa: E731
     return df.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         cnt(is_null)("n_null"),
         cnt(wrong_dim)("n_wrong_dim"),
+        cnt(null_elem)("n_null_elem"),
         cnt(nan)("n_nan"),
         cnt(inf)("n_inf"),
         cnt(zero)("n_zero"),

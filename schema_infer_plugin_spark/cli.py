@@ -532,9 +532,15 @@ def cmd_window_drift(args: argparse.Namespace) -> int:
     t, _ = resolve_transcripts_input(spark, args.input)
     if args.numeric_column is not None:
         return _window_drift_numeric(spark, t, args)
-    base = spark.read.parquet(
-        os.path.join(args.baseline, "histograms", args.column)
-    )
+    hist_path = os.path.join(args.baseline, "histograms", args.column)
+    # MISSING (no artifact — actionable advice) ≠ INACCESSIBLE (corrupt /
+    # unreadable — surface the real error): same posture as the numeric leg
+    if not os.path.exists(hist_path):
+        raise SystemExit(
+            f"window-drift: no histogram baseline at {hist_path} — re-run"
+            f" validate / write_histograms with {args.column!r} in columns"
+        )
+    base = spark.read.parquet(hist_path)
     if "cnt" not in base.columns:
         raise SystemExit(
             "window-drift needs a count-bearing baseline (re-run validate /"
@@ -680,8 +686,8 @@ def cmd_vector_sanity(args: argparse.Namespace) -> int:
     n_bad = row["n_rows"] - row["n_ok"]
     print(
         f"rows={row['n_rows']} ok={row['n_ok']} null={row['n_null']}"
-        f" wrong_dim={row['n_wrong_dim']} nan={row['n_nan']}"
-        f" inf={row['n_inf']} zero={row['n_zero']}"
+        f" wrong_dim={row['n_wrong_dim']} null_elem={row['n_null_elem']}"
+        f" nan={row['n_nan']} inf={row['n_inf']} zero={row['n_zero']}"
     )
     return 1 if n_bad else 0
 
@@ -712,7 +718,8 @@ def cmd_index(args: argparse.Namespace) -> int:
             print(
                 f"index: pre-check FAILED — {n_bad}/{row['n_rows']} bad vectors"
                 f" (null={row['n_null']} wrong_dim={row['n_wrong_dim']}"
-                f" nan={row['n_nan']} inf={row['n_inf']} zero={row['n_zero']});"
+                f" null_elem={row['n_null_elem']} nan={row['n_nan']}"
+                f" inf={row['n_inf']} zero={row['n_zero']});"
                 " run vector-sanity for the row-level triage"
             )
             return 1

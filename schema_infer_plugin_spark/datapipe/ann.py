@@ -186,10 +186,28 @@ def refine_ivf_centroids(
     is irrelevant to assignment (cosine normalizes), so means are not
     re-normalized. Note: FP summation order across partitions makes refined
     components non-bit-deterministic run-to-run; the persisted artifact is
-    the source of truth, and every consumer shares its exact bits."""
+    the source of truth, and every consumer shares its exact bits.
+
+    Malformed vectors (NULL, wrong dim, NULL/NaN/Inf elements) are FILTERED
+    before assignment: a wrong-dim vector would emit pos >= dim (driver
+    IndexError) or skew per-(cell, pos) counts, and one NaN/Inf element
+    would poison its cell's component mean for the whole sweep. The strict
+    gate remains ``index --pre-check-dim`` / vector-sanity; refinement's job
+    is a better centroid, so it ignores what it cannot average."""
     if sweeps < 0:
         raise ValueError(f"refine_ivf_centroids: sweeps must be >= 0: {sweeps}")
     dim = len(centroids[0])
+    v = F.col(vec_col)
+    corpus = corpus.filter(
+        v.isNotNull()
+        & (F.size(v) == F.lit(dim))
+        & ~F.exists(
+            v,
+            lambda x: x.isNull()
+            | F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == F.lit(float("inf"))),
+        )
+    )
     for _ in range(sweeps):
         # cell first, THEN the generator: combining the struct-sorting cell
         # expression with posexplode in ONE select trips analyzer field

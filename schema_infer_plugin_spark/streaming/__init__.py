@@ -9,6 +9,7 @@ from schema_infer_plugin_spark.streaming.incremental import (
     stream_vector_sanity,
     validation_sink,
     windowed_grid_counts_stream,
+    windowed_histogram_stream,
     windowed_violation_rates,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "stream_vector_sanity",
     "validation_sink",
     "windowed_grid_counts_stream",
+    "windowed_histogram_stream",
     "windowed_violation_rates",
 ]

@@ -1235,6 +1235,33 @@ def test_ivf_centroid_refinement_improves_tight_probe_recall(spark, emb):
 
     with pytest.raises(ValueError, match="sweeps"):
         refine_ivf_centroids(corpus, "vec_id", "embedding", seeds, sweeps=-1)
+
+    # malformed vectors (NULL / ragged / NULL-NaN-Inf elements) are filtered
+    # before assignment: a dim+1 vector would posexplode pos==dim (driver
+    # IndexError), a dim-1 vector skews per-(cell,pos) counts, one NaN
+    # poisons its cell's mean — refinement over corpus+garbage must equal
+    # refinement over the clean corpus exactly
+    dim = len(seeds[0])
+    garbage = spark.createDataFrame(
+        [
+            (900001, None),
+            (900002, [1.0] * (dim + 1)),
+            (900003, [1.0] * (dim - 1)),
+            (900004, [float("nan")] + [1.0] * (dim - 1)),
+            (900005, [float("inf")] + [1.0] * (dim - 1)),
+            (900006, [None] + [1.0] * (dim - 1)),
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    dirty = refine_ivf_centroids(
+        corpus.unionByName(garbage), "vec_id", "embedding", seeds, sweeps=1
+    )
+    clean = refine_ivf_centroids(corpus, "vec_id", "embedding", seeds, sweeps=1)
+    # approx, not ==: FP partition-merge order is not bit-deterministic
+    # across the two plans (see the refine docstring)
+    assert len(dirty) == len(clean)
+    for dc, cc in zip(dirty, clean):
+        assert dc == pytest.approx(cc, rel=1e-9, abs=1e-12)
     corpus.unpersist()
 
 

@@ -20,6 +20,12 @@ ROWS = [
     (7, [NAN, 2.0, 3.0]),             # vec_dim AND vec_nan (two rows)
     (8, [NAN, INF, 3.0, 4.0]),        # vec_nan AND vec_inf (two rows)
     (9, [0.0, 0.0, 0.0]),             # vec_dim only — zero rule gated on dim
+    (10, [1.0, None, 3.0, 4.0]),      # vec_null_element (isnan(NULL) is NULL —
+                                      # without the guard this row satisfies NO
+                                      # rule yet counts as not-ok)
+    (11, [None, NAN, 3.0, 4.0]),      # vec_null_element AND vec_nan (two rows)
+    (12, [0.0, None, 0.0, 0.0]),      # null_element only — zero rule gated on
+                                      # all-present (sum over NULL is unevaluable)
 ]
 
 
@@ -46,6 +52,10 @@ def test_violations_per_rule(vec_df):
         ("vec_nan", 8): ("1", "0 NaN elements"),
         ("vec_inf", 8): ("1", "0 Inf elements"),
         ("vec_dim", 9): ("3", "4"),
+        ("vec_null_element", 10): ("1", "0 NULL elements"),
+        ("vec_null_element", 11): ("1", "0 NULL elements"),
+        ("vec_nan", 11): ("1", "0 NaN elements"),
+        ("vec_null_element", 12): ("1", "0 NULL elements"),
     }
     assert out.columns == ["check_name", "id", "col_name", "observed", "expected"]
     assert {r["col_name"] for r in out.collect()} == {"vec"}
@@ -56,14 +66,18 @@ def test_stats_row(vec_df):
 
     row = vector_sanity_stats(vec_df, "vec", dim=DIM).collect()[0]
     assert row.asDict() == {
-        "n_rows": 9,
+        "n_rows": 12,
         "n_null": 1,
         "n_wrong_dim": 3,
-        "n_nan": 3,
+        "n_null_elem": 3,
+        "n_nan": 4,
         "n_inf": 2,
         "n_zero": 1,
         "n_ok": 1,
     }
+    # the defect flags partition n_rows - n_ok: every not-ok row trips >= 1
+    # counter (the exact property the null-element guard restores)
+    assert row["n_rows"] - row["n_ok"] == 11
 
 
 def test_dim_required(vec_df):

@@ -151,7 +151,12 @@ def ivf_centroids(
     centroids follow the data distribution without k-means iterations; classic
     sampled-centroid IVF). One bounded driver collect of n_cells vectors —
     index construction, not a per-query probe. The identical selection is
-    expressible in the DuckDB oracle (ORDER BY md5(id) LIMIT n_cells)."""
+    expressible in the DuckDB oracle (ORDER BY md5(id) LIMIT n_cells).
+
+    An empty corpus is an index-build error (there is nothing to seed cells
+    from): raise a clear ValueError here rather than letting the zero-length
+    centroid literal surface later as an opaque AnalysisException inside
+    ``nearest_cell``."""
     rows = (
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
         .withColumn("_r", F.md5(F.col("_id").cast("string")))
@@ -159,6 +164,10 @@ def ivf_centroids(
         .limit(n_cells)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "ivf_centroids: corpus has no vectors to seed cells from"
+        )
     return [[float(x) for x in r["_v"]] for r in rows]
 
 

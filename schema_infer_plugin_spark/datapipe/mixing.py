@@ -165,6 +165,17 @@ def mix_temperature_sample(
     }
     counts.pop(None, None)  # NULL source is never part of a mixture spec
     if not counts:
+        # Distinguish an EMPTY input (a pipeline stage upstream filtered
+        # everything away — selection over nothing is an empty selection)
+        # from a non-empty input whose source column is all NULL (a data
+        # error the caller must see). The extra action runs only on this
+        # rare path.
+        if df.select(source_col).isEmpty():
+            return (
+                df.select(F.col(id_col), F.col(source_col))
+                .withColumn("sel_rank", F.lit(0).cast("bigint"))
+                .limit(0)
+            )
         raise ValueError("mix_temperature_sample: no non-null sources in input")
     weights = {s: float(counts[s]) ** alpha for s in sorted(counts)}
     z = 0.0

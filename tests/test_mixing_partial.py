@@ -353,6 +353,12 @@ def test_mix_temperature_quotas_and_determinism(spark):
             df.withColumn("source", F.lit(None).cast("string")), 0.5, 10
         )
 
+    # EMPTY input is not a data error: selection over nothing is an empty
+    # selection with the contract schema (all-NULL sources above still raise)
+    empty = mix_temperature_sample(df.limit(0), 0.5, 10)
+    assert empty.columns == ["doc_id", "source", "sel_rank"]
+    assert empty.count() == 0
+
 
 def test_quantile_drift_from_merged_partials(spark):
     """plans/compare.quantile_drift_verdicts: numeric-shift verdicts from two

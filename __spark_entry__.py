@@ -3340,6 +3340,42 @@ FROM agg a JOIN last_role l ON a.conv_id = l.conv_id
 )
 
 
+def q_shared_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared opening-turn template detection (datapipe/convstats.
+    shared_prefixes, k=1): conversations that open with an identical
+    role:text first turn — the system-prompt/template duplication signal
+    whole-conversation dedup cannot see. One conv_id window + k-bounded
+    per-conversation render + hash agg on the prefix md5; the share
+    denominator is a single-row count frame broadcast cross (allowlisted)."""
+    from schema_infer_plugin_spark.datapipe import shared_prefixes
+
+    return shared_prefixes(_transcripts(spark, sf_dir), k=1, min_count=2)
+
+
+ORACLE_SHARED_PREFIXES = oracle_cte(
+    """
+, ordered AS (
+  SELECT conv_id, role, text,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
+                            ts ASC NULLS FIRST, role ASC NULLS FIRST, text ASC NULLS FIRST) AS rn
+  FROM transcripts),
+pref AS (
+  SELECT conv_id, count(*) AS cnt,
+         md5(string_agg(coalesce(role, '<null>') || ':' || coalesce(text, '<null>'),
+                        chr(10) ORDER BY rn)) AS prefix_key
+  FROM ordered WHERE rn <= 1 GROUP BY conv_id),
+eligible AS (SELECT * FROM pref WHERE cnt = 1),
+tot AS (SELECT count(*) AS n FROM eligible),
+g AS (
+  SELECT prefix_key, CAST(count(*) AS BIGINT) AS n_convs, min(conv_id) AS sample_conv
+  FROM eligible GROUP BY prefix_key)
+SELECT prefix_key, n_convs, sample_conv,
+       CAST(round(n_convs * 1.0 / tot.n, 6) AS DOUBLE) AS share
+FROM g, tot WHERE n_convs >= 2
+"""
+)
+
+
 def q_conv_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation rollup via the salted two-phase aggregation
     (checks/salting.py) — the skew template, oracle-checked for exactness."""
@@ -5293,6 +5329,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "clean_corpus": (q_clean_corpus, ORACLE_CLEAN_CORPUS),
     "conv_stats_salted": (q_conv_stats_salted, ORACLE_CONV_STATS),
     "conversation_features": (q_conversation_features, ORACLE_CONVERSATION_FEATURES),
+    "shared_prefixes": (q_shared_prefixes, ORACLE_SHARED_PREFIXES),
     "dedup_conversations": (q_dedup_conversations, ORACLE_DEDUP_CONVERSATIONS),
     "value_outliers": (q_value_outliers, ORACLE_VALUE_OUTLIERS),
     "value_histogram_equidepth": (q_value_histogram_equidepth, ORACLE_VALUE_HISTOGRAM),

@@ -37,7 +37,11 @@ from .index_store import (  # noqa: F401
     save_ivf_centroids,
     save_pq_codebook,
 )
-from .convstats import conversation_features, conversation_texts  # noqa: F401
+from .convstats import (  # noqa: F401
+    conversation_features,
+    conversation_texts,
+    shared_prefixes,
+)
 from .examples import sft_examples  # noqa: F401
 from .graph import canonical_docs, connected_components  # noqa: F401
 from .mixing import mix_temperature_sample, mix_token_budget  # noqa: F401

@@ -15,7 +15,7 @@ with an assistant turn (a complete exchange a loss mask can use).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def conversation_features(df: DataFrame) -> DataFrame:
@@ -60,6 +60,92 @@ def conversation_features(df: DataFrame) -> DataFrame:
             & (F.col("n_assistant") > 0)
             & ends_assistant
         ).alias("trainable"),
+    )
+
+
+def shared_prefixes(df: DataFrame, k: int = 1, min_count: int = 2) -> DataFrame:
+    """Shared first-``k``-turn template detection — which conversations open
+    identically (same roles, same texts, in the same order)?
+
+    SFT corpora are full of template duplication that whole-conversation
+    dedup (:func:`conversation_texts`) cannot see: thousands of dialogues
+    share one system prompt / few-shot preamble and diverge afterwards. The
+    shared-prefix rate is the signal a mixing pipeline uses to cap template
+    over-representation, and a leak channel for split assignment (two splits
+    sharing a verbatim preamble).
+
+    Semantics: a conversation's prefix is its first ``k`` turns under the
+    engine's stable order — (turn_idx, ts NULLS FIRST, role, text), the
+    validation windows' order plus ``text`` as the final tie-breaker so full
+    duplicate coordinates render identically in any engine. Only
+    conversations with ≥ k turns participate (a 1-turn conversation has no
+    2-turn prefix — comparing it against full prefixes would fabricate
+    "templates" out of truncation). Each prefix renders as
+    ``role:text`` lines joined by newline (NULLs as '<null>') and keys on its
+    md5, reproducible in the DuckDB oracle.
+
+    Plan shape: one row_number window on conv_id (zero exchange on a
+    conv_id-bucketed table), a per-conversation aggregate whose collect_list
+    is k-bounded (never a whole conversation), a hash aggregate on
+    prefix_key, and ONE single-row count frame broadcast-crossed for the
+    share denominator — the same bounded broadcast-cross pattern as the
+    profile/stats frames (tests/test_query_plans.py allowlist).
+
+    Output: (prefix_key, n_convs, sample_conv, share) for prefixes shared by
+    ≥ ``min_count`` conversations; share = n_convs / eligible conversations.
+    """
+    if k < 1:
+        raise ValueError(f"shared_prefixes: k must be >= 1: {k}")
+    if min_count < 1:
+        raise ValueError(f"shared_prefixes: min_count must be >= 1: {min_count}")
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc(),
+        F.col("ts").asc(),  # Spark asc() is NULLS FIRST; oracle spells it
+        F.col("role").asc(),
+        F.col("text").asc(),
+    )
+    part = F.concat_ws(
+        ":",
+        F.coalesce(F.col("role"), F.lit("<null>")),
+        F.coalesce(F.col("text"), F.lit("<null>")),
+    )
+    pref = (
+        df.select("conv_id", part.alias("_part"), F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= k)
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            # k-bounded by the _rn filter above — never a whole conversation
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct(F.col("_rn"), F.col("_part").alias("p")))
+                        ),
+                        lambda s: s["p"],
+                    ),
+                    "\n",
+                )
+            ).alias("prefix_key"),
+        )
+        .filter(F.col("_cnt") == k)
+    )
+    grouped = pref.groupBy("prefix_key").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.min("conv_id").alias("sample_conv"),
+    )
+    total = pref.agg(F.count(F.lit(1)).alias("_total"))  # single-row frame
+    return (
+        grouped.filter(F.col("n_convs") >= min_count)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "prefix_key",
+            "n_convs",
+            "sample_conv",
+            F.round(F.col("n_convs") / F.col("_total"), 6)
+            .cast("double")
+            .alias("share"),
+        )
     )
 
 

@@ -802,6 +802,58 @@ def test_conversation_features_micro(spark):
     assert by["A"]["avg_chars"] == 4.0
 
 
+def test_shared_prefixes_semantics(spark):
+    """k-turn template detection: identical openers group regardless of how
+    the conversations diverge afterwards; conversations shorter than k are
+    excluded from eligibility (and from the share denominator); the result
+    set is partition-invariant."""
+    import pytest
+
+    from schema_infer_plugin_spark.datapipe import shared_prefixes
+
+    rows = [
+        # A and B share system+first-user turns, diverge at turn 2
+        ("A", 0, "system", "You are helpful.", None, None),
+        ("A", 1, "user", "hi", None, None),
+        ("A", 2, "assistant", "hello A", None, None),
+        ("B", 0, "system", "You are helpful.", None, None),
+        ("B", 1, "user", "hi", None, None),
+        ("B", 2, "assistant", "hello B", None, None),
+        # C opens differently
+        ("C", 0, "system", "You are terse.", None, None),
+        ("C", 1, "user", "hi", None, None),
+        # D is a 1-turn conversation: eligible at k=1, excluded at k=2
+        ("D", 0, "system", "You are helpful.", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+    # k=1: A, B, D all open with the same system turn -> one shared prefix,
+    # share = 3 of 4 eligible conversations
+    got1 = shared_prefixes(df, k=1, min_count=2).collect()
+    assert len(got1) == 1
+    assert got1[0]["n_convs"] == 3
+    assert got1[0]["sample_conv"] == "A"
+    assert got1[0]["share"] == 0.75
+
+    # k=2: D (1 turn) drops out of eligibility; A+B share, C differs ->
+    # share = 2 of 3 eligible
+    got2 = shared_prefixes(df, k=2, min_count=2).collect()
+    assert len(got2) == 1
+    assert got2[0]["n_convs"] == 2
+    assert round(got2[0]["share"], 6) == 0.666667
+
+    # partition-invariant result set
+    a = {tuple(r) for r in shared_prefixes(df.repartition(7), k=2).collect()}
+    assert a == {tuple(r) for r in got2}
+
+    with pytest.raises(ValueError, match="k must be"):
+        shared_prefixes(df, k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        shared_prefixes(df, min_count=0)
+
+
 def test_unigram_logprob_separates_boilerplate(spark):
     """A doc of corpus-common tokens scores higher (less surprising) than one
     of hapax tokens; token counts are exact."""

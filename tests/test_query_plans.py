@@ -46,6 +46,7 @@ BOUNDED_BROADCAST_CROSS = {
     "hybrid_search_rrf",     # BM25 leg's single-row corpus-stats frame (retrieval.py)
     "tfidf_top_terms",       # single-row N-docs frame (retrieval.py tfidf)
     "sampled_validation_estimate",  # single-row sampled-turn total × |checks| grid
+    "shared_prefixes",       # single-row eligible-conversation total frame (convstats.py)
     "windowed_drift_stream",  # bounded windows × bucket-domain grid (drift.py)
     "windowed_ks_drift",     # bounded windows × grid-point cross (ksdrift.py)
     "windowed_ks_stream",    # same report tail over stream-emitted counts

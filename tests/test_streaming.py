@@ -321,8 +321,20 @@ def test_profile_partial_stream_merges_to_batch_profile(spark, tmp_path):
         gq, wq = got[c]["quantiles"], want[c]["quantiles"]
         assert (gq is None) == (wq is None)
         if gq is not None:
-            for g, w in zip(gq, wq):
-                assert abs(g - w) <= 0.1 * max(abs(w), 1.0), (c, gq, wq)
+            # KLL guarantees RANK error, not value error: on a discrete
+            # column a 1-rank slip can jump a whole integer (20% in value
+            # for small ints), so value-closeness vs the batch sketch is
+            # the wrong tolerance model — assert each estimate's TRUE rank
+            # interval in the data covers the requested rank within the
+            # sketch's error (k=200 ≈ 1.3% one-sided; 5% merge headroom).
+            import bisect
+
+            vals = sorted(r[0] for r in t.select(c).dropna().collect())
+            n = len(vals)
+            for p, g in zip((0.25, 0.5, 0.75), gq):
+                lo = bisect.bisect_left(vals, g) / n
+                hi = bisect.bisect_right(vals, g) / n
+                assert lo - 0.05 <= p <= hi + 0.05, (c, p, g, lo, hi)
 
 
 def test_vector_sanity_stream_matches_batch(spark, tmp_path):

@@ -5400,6 +5400,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # after this round — they are the next window's priority block.
 _R5_WINDOW = [
     # (a) new in round 5
+    "shared_prefixes",
     "vector_sanity",
     "transcripts_corr",
     "conv_boundary_roles",
@@ -5452,7 +5453,8 @@ _R5_WINDOW = [
     "transcripts_fd_role",
     "infer_role_domain",
     "transcripts_role_domain",
-    "transcripts_tool_domain",
+    # transcripts_tool_domain (r3-green) rotates out to keep the window at
+    # 50 with shared_prefixes in — it heads the next window's priority block
 ]
 
 

@@ -3940,6 +3940,47 @@ FROM lab l JOIN (SELECT component, canonical_id FROM best WHERE rn = 1) b
 """
 
 
+def q_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level dedup impact (datapipe/graph.dedup_impact_report): the
+    cluster-size histogram + drop accounting over the same MinHash-LSH pair
+    graph as dedup_components — the one-number reduction a cleaning pipeline
+    quotes, plus whether duplication is a pair tail or viral clusters.
+    Iterative components, still oracle-checked via the recursive CTE."""
+    from schema_infer_plugin_spark.datapipe import (
+        dedup_impact_report,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    corpus = _mutated_corpus(spark, sf_dir)
+    sig = minhash_signatures(corpus, "doc_id", "text", num_hashes=16, shingle_k=3)
+    pairs = lsh_candidate_pairs(sig, "doc_id", bands=4, min_est_jaccard=0.5)
+    return dedup_impact_report(corpus.select("doc_id"), pairs, id_col="doc_id")
+
+
+ORACLE_DEDUP_IMPACT = rf"""
+WITH RECURSIVE {_CORPUS_CTE},
+{_MINHASH_CAND_CTES},
+edges AS (SELECT id_a AS s, id_b AS d FROM cand UNION SELECT id_b, id_a FROM cand),
+reach AS (SELECT s, d FROM edges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+comp AS (SELECT s AS doc_id, least(s, min(d)) AS component FROM reach GROUP BY s),
+lab AS (SELECT coalesce(p.component, c.doc_id) AS component
+        FROM corpus c LEFT JOIN comp p ON c.doc_id = p.doc_id),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+          FROM lab GROUP BY component),
+hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         FROM sizes GROUP BY cluster_size),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lab)
+SELECT cluster_size, n_clusters,
+       cluster_size * n_clusters AS n_docs,
+       (cluster_size - 1) * n_clusters AS n_dropped,
+       CAST(round(cluster_size * n_clusters * 1.0 / tot.n, 6) AS DOUBLE) AS corpus_share
+FROM hist, tot
+"""
+
+
 #: containment corpus: documents ∪ 10-token snippets of every 5th doc —
 #: snippets are true subsets, the asymmetric case Jaccard misses
 _CONTAIN_CTE = r"""
@@ -5346,6 +5387,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dedup_exact_turns": (q_dedup_exact_turns, ORACLE_DEDUP_EXACT_TURNS),
     "dedup_components": (q_dedup_components, ORACLE_DEDUP_COMPONENTS),
     "dedup_canonical": (q_dedup_canonical, ORACLE_DEDUP_CANONICAL),
+    "dedup_impact": (q_dedup_impact, ORACLE_DEDUP_IMPACT),
     "boilerplate_ngrams": (q_boilerplate_ngrams, ORACLE_BOILERPLATE),
     "dup_ngram_rate": (q_dup_ngram_rate, ORACLE_DUP_NGRAM_RATE),
     "contamination_matrix": (q_contamination_matrix, ORACLE_CONTAMINATION_MATRIX),
@@ -5401,6 +5443,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R5_WINDOW = [
     # (a) new in round 5
     "shared_prefixes",
+    "dedup_impact",
     "vector_sanity",
     "transcripts_corr",
     "conv_boundary_roles",
@@ -5451,7 +5494,6 @@ _R5_WINDOW = [
     "sessionize_events",
     "sft_examples",
     "transcripts_fd_role",
-    "infer_role_domain",
     "transcripts_role_domain",
     # transcripts_tool_domain (r3-green) rotates out to keep the window at
     # 50 with shared_prefixes in — it heads the next window's priority block

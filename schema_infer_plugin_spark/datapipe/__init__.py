@@ -43,7 +43,11 @@ from .convstats import (  # noqa: F401
     shared_prefixes,
 )
 from .examples import sft_examples  # noqa: F401
-from .graph import canonical_docs, connected_components  # noqa: F401
+from .graph import (  # noqa: F401
+    canonical_docs,
+    connected_components,
+    dedup_impact_report,
+)
 from .mixing import mix_temperature_sample, mix_token_budget  # noqa: F401
 from .packing import pack_sequences  # noqa: F401
 from .sessions import session_stats, sessionize  # noqa: F401

@@ -119,3 +119,54 @@ def canonical_docs(
             (F.col("_id") == F.col("canonical_id")).alias("keep"),
         )
     )
+
+
+def dedup_impact_report(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster-size histogram + drop accounting — the corpus-level answer to
+    "what does this dedup actually remove?" that pair/cluster frames don't
+    state directly: a cleaning pipeline quotes ONE reduction number and a
+    size distribution (is duplication a long tail of pairs, or a few viral
+    clusters?) before committing to a drop.
+
+    Rows: one per distinct cluster size — (cluster_size, n_clusters, n_docs,
+    n_dropped, corpus_share). ``n_dropped = (cluster_size - 1) * n_clusters``
+    because keep-one-per-cluster (:func:`canonical_docs`) retains exactly one
+    document per component; summing ``n_dropped`` over rows is the corpus
+    reduction, and the ``cluster_size = 1`` row counts the untouched
+    singletons. Exact BIGINT counts; ``corpus_share`` is the only float
+    (round-6 double, positive — no -0.0 hazard).
+
+    Plan: components over the pair graph (edges ∝ near-dups, never corpus),
+    one left equi-join to label singletons, two hash aggregations
+    (component → size, size → histogram), and a single-row corpus-total
+    frame broadcast-crossed for the share denominator. Output is bounded by
+    the number of DISTINCT cluster sizes (≤ √(2·|docs|) — sizes are distinct
+    positive integers summing to |docs|).
+    """
+    comp = connected_components(pairs, max_iter=max_iter)
+    labeled = (
+        docs.select(F.col(id_col).alias("_id"))
+        .join(comp, F.col("_id") == F.col("node"), "left")
+        .select(F.coalesce(F.col("component"), F.col("_id")).alias("component"))
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    hist = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    total = labeled.agg(F.count(F.lit(1)).alias("_n"))  # single-row frame
+    return hist.crossJoin(F.broadcast(total)).select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        ((F.col("cluster_size") - F.lit(1)) * F.col("n_clusters")).alias("n_dropped"),
+        F.round(F.col("cluster_size") * F.col("n_clusters") / F.col("_n"), 6)
+        .cast("double")
+        .alias("corpus_share"),
+    )

@@ -681,6 +681,29 @@ def test_connected_components_chain_and_islands(spark):
         connected_components(pairs, max_iter=1)
 
 
+def test_dedup_impact_report_histogram(spark):
+    """Cluster-size histogram + drop accounting: a 3-chain, a 2-pair, and a
+    singleton yield one row per size with exact counts; total drops equal
+    corpus − clusters; shares sum to 1; empty pair graph = all singletons."""
+    from schema_infer_plugin_spark.datapipe import dedup_impact_report
+
+    docs = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 6)], "doc_id long")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a long, id_b long")
+    rows = {r["cluster_size"]: r for r in dedup_impact_report(docs, pairs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[3]["n_clusters"] == 1 and rows[3]["n_docs"] == 3 and rows[3]["n_dropped"] == 2
+    assert rows[2]["n_clusters"] == 1 and rows[2]["n_dropped"] == 1
+    assert rows[1]["n_clusters"] == 1 and rows[1]["n_dropped"] == 0
+    assert rows[3]["corpus_share"] == 0.5
+    assert sum(r["n_dropped"] for r in rows.values()) == 6 - 3  # docs - clusters
+    assert round(sum(r["corpus_share"] for r in rows.values()), 6) == 1.0
+
+    # no pairs at all -> one size-1 row covering the whole corpus
+    none = dedup_impact_report(docs, pairs.limit(0)).collect()
+    assert len(none) == 1 and none[0]["cluster_size"] == 1
+    assert none[0]["n_clusters"] == 6 and none[0]["corpus_share"] == 1.0
+
+
 def test_canonical_docs_keeps_best_per_cluster(spark):
     """Canonical selection: highest quality wins within a component, ties go
     to the smallest id, singletons (docs in no pair) keep themselves."""

@@ -47,6 +47,7 @@ BOUNDED_BROADCAST_CROSS = {
     "tfidf_top_terms",       # single-row N-docs frame (retrieval.py tfidf)
     "sampled_validation_estimate",  # single-row sampled-turn total × |checks| grid
     "shared_prefixes",       # single-row eligible-conversation total frame (convstats.py)
+    "dedup_impact",          # single-row corpus-total frame (graph.py impact report)
     "windowed_drift_stream",  # bounded windows × bucket-domain grid (drift.py)
     "windowed_ks_drift",     # bounded windows × grid-point cross (ksdrift.py)
     "windowed_ks_stream",    # same report tail over stream-emitted counts

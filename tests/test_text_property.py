@@ -146,3 +146,73 @@ def test_grid_quantize_matches_model(spark, values, grid):
     ]
     want = [_grid_quantize_model(v, lo, hi, n) for v in values]
     assert got == want
+
+
+def _shared_prefixes_model(convs, k, min_count):
+    """Pure-Python shared_prefixes: stable order (turn_idx, role,
+    text-NULLS-FIRST), first-k render with '<null>' coalescing, md5 keying,
+    cnt==k eligibility, min_count cut, round-6 share over eligible convs."""
+    import hashlib
+
+    prefixes: dict[str, list[str]] = {}
+    eligible = 0
+    for cid, turns in convs.items():
+        if len(turns) < k:
+            continue
+        eligible += 1
+        ordered = sorted(
+            turns, key=lambda t: (t[0], t[1], t[2] is not None, t[2] or "")
+        )
+        parts = [
+            f"{r}:{x if x is not None else '<null>'}" for _, r, x in ordered[:k]
+        ]
+        key = hashlib.md5("\n".join(parts).encode()).hexdigest()
+        prefixes.setdefault(key, []).append(cid)
+    return {
+        key: (len(cids), min(cids), round(len(cids) / eligible, 6))
+        for key, cids in prefixes.items()
+        if len(cids) >= min_count
+    }
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(0, 3),
+                st.sampled_from("ua"),
+                st.one_of(st.none(), st.text(alphabet="xy", max_size=2)),
+            ),
+            min_size=0,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.sampled_from([1, 2]),
+    st.sampled_from([1, 2]),
+)
+def test_shared_prefixes_matches_model(spark, convs, k, min_count):
+    """shared_prefixes equals the Python model, including duplicate
+    turn_idx tie-breaks, NULL-text rendering, short-conversation
+    exclusion from the share denominator, and md5 prefix keys. share ==
+    exactly: denominators ≤ 8 never hit a 6-decimal rounding halfway."""
+    from schema_infer_plugin_spark.datapipe import shared_prefixes
+
+    conv_map = {f"c{i}": turns for i, turns in enumerate(convs)}
+    rows = [
+        (cid, idx, role, text, None, None)
+        for cid, turns in conv_map.items()
+        for idx, role, text in turns
+    ]
+    assume(rows)  # createDataFrame needs at least one row for this schema
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {
+        r["prefix_key"]: (r["n_convs"], r["sample_conv"], r["share"])
+        for r in shared_prefixes(df, k=k, min_count=min_count).collect()
+    }
+    assert got == _shared_prefixes_model(conv_map, k, min_count)

@@ -152,6 +152,8 @@ def run_bench(
         "transition_chi2",
         "sampled_validation_estimate",
         "windowed_ks_drift",
+        "shared_prefixes",
+        "dedup_impact",
     ):
         timed(name, lambda name=name: q[name](spark, sf_dir).count())
 

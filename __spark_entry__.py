@@ -125,7 +125,8 @@ ORACLE_UNIQUENESS = oracle_cte(
     """
 SELECT 'uniqueness' AS check_name, conv_id, turn_idx, 'conv_id,turn_idx' AS col_name,
        CAST(count(*) AS STRING) AS observed, '1' AS expected
-FROM transcripts GROUP BY conv_id, turn_idx HAVING count(*) > 1
+FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+GROUP BY conv_id, turn_idx HAVING count(*) > 1
 """
 )
 
@@ -189,7 +190,8 @@ def q_contiguity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CONTIGUITY = oracle_cte(
     """
-, idx AS (SELECT DISTINCT conv_id, turn_idx FROM transcripts),
+, idx AS (SELECT DISTINCT conv_id, turn_idx FROM transcripts
+         WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL),
 lagged AS (
   SELECT conv_id, turn_idx,
          lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx NULLS FIRST) AS prev_idx
@@ -257,7 +259,7 @@ SELECT 'role_alternation' AS check_name, conv_id, turn_idx, 'role' AS col_name,
 FROM (
   SELECT conv_id, turn_idx, role,
          lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST, ts ASC NULLS FIRST) AS prev_role
-  FROM transcripts)
+  FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL)
 WHERE role IS NOT NULL AND prev_role IS NOT NULL AND role = prev_role AND role != 'tool'
 """
 )
@@ -352,7 +354,7 @@ ORACLE_CONV_BOUNDARIES = oracle_cte(
                             ts ASC NULLS FIRST, role ASC NULLS FIRST) AS rn_first,
          row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC NULLS LAST,
                             ts DESC NULLS LAST, role DESC NULLS LAST) AS rn_last
-  FROM transcripts)
+  FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL)
 SELECT 'conv_start_role' AS check_name, conv_id, turn_idx, 'role' AS col_name,
        coalesce(role, 'NULL') AS observed, 'in {system,user}' AS expected
 FROM marked
@@ -535,7 +537,7 @@ FROM (
   SELECT conv_id, turn_idx, role,
          lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
                          ts ASC NULLS FIRST, role ASC NULLS FIRST) AS prev_role
-  FROM transcripts)
+  FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL)
 WHERE role IS NOT NULL AND prev_role IS NOT NULL
   AND concat(prev_role, '->', role) NOT IN
       ({",".join("'" + a + "'" for a in sorted(set(_ALLOWED_TRANSITIONS)))})
@@ -747,7 +749,13 @@ ORACLE_TYPE_PROFILE = _duck_type_profile_sql(_TYPE_LADDER_SOURCE_SQL, _TYPE_LADD
 def q_drift_role(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Role-distribution drift: first half of users (baseline) vs second half."""
     t = _transcripts(spark, sf_dir).withColumn(
-        "half", F.when(F.col("conv_id") < "conv_000075", "base").otherwise("cur")
+        "half",
+        # two-sided when: a NULL conv_id satisfies neither predicate and
+        # lands in NEITHER half (an otherwise('cur') would silently bucket
+        # keyless rows — the oracle's WHERE clauses exclude them)
+        F.when(F.col("conv_id") < "conv_000075", "base").when(
+            F.col("conv_id") >= "conv_000075", "cur"
+        ),
     )
     base = histogram(t.filter("half = 'base'"), "role")
     cur = histogram(t.filter("half = 'cur'"), "role")
@@ -876,7 +884,7 @@ SELECT 'ts_monotonic' AS check_name, conv_id, turn_idx,
 FROM (
   SELECT conv_id, turn_idx, ts,
          lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST, ts ASC NULLS FIRST) AS prev_ts
-  FROM transcripts)
+  FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL)
 WHERE ts < prev_ts
 """
 )
@@ -888,10 +896,12 @@ WHERE ts < prev_ts
 _FUSED_INNER = f"""
 SELECT 'uniqueness' AS check_name, conv_id, turn_idx, 'conv_id,turn_idx' AS col_name,
        CAST(count(*) AS STRING) AS observed, '1' AS expected
-FROM transcripts GROUP BY conv_id, turn_idx HAVING count(*) > 1
+FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+GROUP BY conv_id, turn_idx HAVING count(*) > 1
 UNION ALL
 SELECT * FROM (
-  WITH idx AS (SELECT DISTINCT conv_id, turn_idx FROM transcripts),
+  WITH idx AS (SELECT DISTINCT conv_id, turn_idx FROM transcripts
+               WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL),
   lagged AS (
     SELECT conv_id, turn_idx,
            lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx NULLS FIRST) AS prev_idx
@@ -916,6 +926,12 @@ FROM transcripts WHERE tool IS NOT NULL AND coalesce(role, '') != 'tool'
 UNION ALL
 SELECT 'not_null_text', conv_id, turn_idx, 'text', 'NULL', 'NOT NULL'
 FROM transcripts WHERE text IS NULL
+UNION ALL
+SELECT 'not_null_conv_id', conv_id, turn_idx, 'conv_id', 'NULL', 'NOT NULL'
+FROM transcripts WHERE conv_id IS NULL
+UNION ALL
+SELECT 'not_null_turn_idx', conv_id, turn_idx, 'turn_idx', 'NULL', 'NOT NULL'
+FROM transcripts WHERE turn_idx IS NULL
 """
 
 ORACLE_VALIDATE_FUSED = oracle_cte(_FUSED_INNER)
@@ -964,7 +980,7 @@ FROM (
   SELECT conv_id, turn_idx, ts,
          lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
                        ts ASC NULLS FIRST) AS prev_ts
-  FROM transcripts)
+  FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL)
 WHERE ts < prev_ts),
 grid AS (
   SELECT * FROM (VALUES {",".join("(" + repr(c) + ")" for c in CHECK_NAMES)})
@@ -2710,7 +2726,7 @@ SELECT id_a, id_b, ej AS est_jaccard FROM (
     SELECT conv_id,
            string_agg(coalesce(text, '<null>'), ' '
                       ORDER BY turn_idx, coalesce(text, '<null>')) AS text
-    FROM transcripts GROUP BY conv_id),
+    FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL GROUP BY conv_id),
   toks AS (SELECT conv_id, regexp_split_to_array(trim(text), '\s+') AS tk FROM ct),
   sh AS (SELECT conv_id,
                 unnest(list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 1)),
@@ -2754,7 +2770,7 @@ FROM (
            PARTITION BY conv_id
            ORDER BY turn_idx, coalesce(role, ''), coalesce(text, '')
            ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS ctx
-  FROM transcripts)
+  FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL)
 WHERE role = 'assistant' AND text IS NOT NULL
 """
 )
@@ -3243,6 +3259,10 @@ FROM (
     WHERE tool IS NOT NULL AND coalesce(role, '') != 'tool'
     UNION ALL
     SELECT ts, 'not_null_text' FROM transcripts WHERE text IS NULL
+    UNION ALL
+    SELECT ts, 'not_null_conv_id' FROM transcripts WHERE conv_id IS NULL
+    UNION ALL
+    SELECT ts, 'not_null_turn_idx' FROM transcripts WHERE turn_idx IS NULL
   ) WHERE ts IS NOT NULL)
 GROUP BY window_start_us, check_name
 """
@@ -3316,7 +3336,7 @@ ORACLE_CONVERSATION_FEATURES = oracle_cte(
   SELECT conv_id, role AS lr FROM (
     SELECT conv_id, role,
            row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC NULLS LAST, role DESC NULLS LAST) AS rn
-    FROM transcripts) WHERE rn = 1),
+    FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL) WHERE rn = 1),
 agg AS (
   SELECT conv_id,
          CAST(count(*) AS BIGINT) AS n_turns,
@@ -3326,7 +3346,7 @@ agg AS (
          min(turn_idx) AS min_idx, max(turn_idx) AS max_idx,
          count(DISTINCT turn_idx) AS n_idx,
          CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars
-  FROM transcripts GROUP BY conv_id)
+  FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL GROUP BY conv_id)
 SELECT a.conv_id, n_turns, n_user, n_assistant, n_tool,
        (min_idx = 0) AS starts_at_zero,
        (max_idx - min_idx + 1 = n_idx) AS contiguous,
@@ -3358,7 +3378,7 @@ ORACLE_SHARED_PREFIXES = oracle_cte(
   SELECT conv_id, role, text,
          row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
                             ts ASC NULLS FIRST, role ASC NULLS FIRST, text ASC NULLS FIRST) AS rn
-  FROM transcripts),
+  FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL),
 pref AS (
   SELECT conv_id, count(*) AS cnt,
          md5(string_agg(coalesce(role, '<null>') || ':' || coalesce(text, '<null>'),
@@ -3479,10 +3499,9 @@ def q_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from schema_infer_plugin_spark.plans.validate import CHECK_NAMES, validate_transcripts
 
     t = _transcripts(spark, sf_dir)
-    viol = validate_transcripts(t).withColumn(
-        "partition_key", F.substring("conv_id", -1, 1)
-    )
-    keys = t.select(F.substring("conv_id", -1, 1).alias("partition_key")).distinct()
+    pk = F.coalesce(F.substring("conv_id", -1, 1), F.lit("(keyless)"))
+    viol = validate_transcripts(t).withColumn("partition_key", pk)
+    keys = t.select(pk.alias("partition_key")).distinct()
     return verdicts(viol, keys, CHECK_NAMES).select(
         "partition_key",
         "check_name",
@@ -3495,10 +3514,12 @@ ORACLE_VERDICTS = oracle_cte(
     f"""
 , v AS (
   SELECT 'uniqueness' AS check_name, conv_id FROM transcripts
+  WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
   GROUP BY conv_id, turn_idx HAVING count(*) > 1
   UNION ALL
   SELECT check_name, conv_id FROM (
-    WITH idx AS (SELECT DISTINCT conv_id, turn_idx FROM transcripts),
+    WITH idx AS (SELECT DISTINCT conv_id, turn_idx FROM transcripts
+                 WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL),
     lagged AS (
       SELECT conv_id, turn_idx,
              lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx NULLS FIRST) AS prev_idx
@@ -3520,18 +3541,24 @@ ORACLE_VERDICTS = oracle_cte(
   UNION ALL
   SELECT 'not_null_text', conv_id FROM transcripts WHERE text IS NULL
   UNION ALL
+  SELECT 'not_null_conv_id', conv_id FROM transcripts WHERE conv_id IS NULL
+  UNION ALL
+  SELECT 'not_null_turn_idx', conv_id FROM transcripts WHERE turn_idx IS NULL
+  UNION ALL
   SELECT 'ts_monotonic', conv_id FROM (
     SELECT conv_id, ts,
            lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST, ts ASC NULLS FIRST) AS prev_ts
-    FROM transcripts)
+    FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL)
   WHERE ts < prev_ts
 ),
-keys AS (SELECT DISTINCT substr(conv_id, -1, 1) AS partition_key FROM transcripts),
+keys AS (SELECT DISTINCT coalesce(substr(conv_id, -1, 1), '(keyless)') AS partition_key
+         FROM transcripts),
 checks(check_name) AS (VALUES ('uniqueness'), ('contiguity'), ('contiguity_start'),
-  ('ts_monotonic'), ('domain_role'), ('domain_tool'), ('tool_without_role'), ('not_null_text')),
+  ('ts_monotonic'), ('domain_role'), ('domain_tool'), ('tool_without_role'),
+  ('not_null_text'), ('not_null_conv_id'), ('not_null_turn_idx')),
 grid AS (SELECT partition_key, check_name FROM keys CROSS JOIN checks),
 counts AS (
-  SELECT substr(conv_id, -1, 1) AS partition_key, check_name,
+  SELECT coalesce(substr(conv_id, -1, 1), '(keyless)') AS partition_key, check_name,
          CAST(count(*) AS BIGINT) AS c
   FROM v GROUP BY 1, 2)
 SELECT g.partition_key, g.check_name,
@@ -3569,8 +3596,10 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_KS_DRIFT = oracle_cte(
     f"""
-, a AS (SELECT CAST(turn_idx AS DOUBLE) AS v FROM transcripts WHERE {_SIDE_SQL}),
-b AS (SELECT CAST(turn_idx AS DOUBLE) AS v FROM transcripts WHERE NOT ({_SIDE_SQL})),
+, a AS (SELECT CAST(turn_idx AS DOUBLE) AS v FROM transcripts
+       WHERE ({_SIDE_SQL}) AND turn_idx IS NOT NULL),
+b AS (SELECT CAST(turn_idx AS DOUBLE) AS v FROM transcripts
+      WHERE NOT ({_SIDE_SQL}) AND turn_idx IS NOT NULL),
 bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM (SELECT v FROM a UNION ALL SELECT v FROM b)),
 qa AS (SELECT CASE WHEN hi = lo THEN lo
               ELSE lo + least(floor((v - lo) / ((hi - lo) / {_KS_BUCKETS})), {_KS_BUCKETS - 1}) * (hi - lo) / {_KS_BUCKETS} END AS v
@@ -4053,11 +4082,11 @@ ORACLE_CONV_HOT_KEYS = oracle_cte(
 , counts AS (SELECT conv_id AS key, CAST(count(*) AS BIGINT) AS cnt
              FROM transcripts GROUP BY conv_id),
 tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM counts),
-top AS (SELECT key, cnt FROM counts ORDER BY cnt DESC, key ASC LIMIT {_HOT_TOP_N})
-SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key ASC) AS INT) AS rank,
+top AS (SELECT key, cnt FROM counts ORDER BY cnt DESC, key ASC NULLS FIRST LIMIT {_HOT_TOP_N})
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, key ASC NULLS FIRST) AS INT) AS rank,
        key, cnt,
        CAST(round(cnt / (SELECT total FROM tot), 6) AS DOUBLE) AS share,
-       CAST(round(sum(cnt) OVER (ORDER BY cnt DESC, key ASC
+       CAST(round(sum(cnt) OVER (ORDER BY cnt DESC, key ASC NULLS FIRST
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             / (SELECT total FROM tot), 6) AS DOUBLE) AS cum_share
 FROM top
@@ -4104,7 +4133,7 @@ ORACLE_CONV_LATENCY = oracle_cte(
          CASE WHEN lag(role) OVER w = 'user' AND role = 'assistant'
               THEN epoch_us(CAST(ts AS TIMESTAMP)) - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
          END AS resp_us
-  FROM transcripts
+  FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
   WINDOW w AS (PARTITION BY conv_id
                ORDER BY turn_idx ASC, ts ASC NULLS FIRST, role ASC NULLS FIRST))
 SELECT conv_id,

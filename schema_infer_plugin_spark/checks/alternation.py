@@ -184,8 +184,11 @@ def transition_domain_violations(
     )
     expected = "in {" + ",".join(allowed) + "}"
     pair = F.concat(F.col("prev_role"), F.lit("->"), F.col("role"))
+    # NULL-key rows form no judgeable edge (engine-wide posture,
+    # plans/validate.py) — filtered before the lag so they break no chain
     return (
-        df.select(
+        df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        .select(
             "conv_id", "turn_idx", "role", F.lag("role").over(w).alias("prev_role")
         )
         .filter(
@@ -247,8 +250,11 @@ def role_alternation_violations(df: DataFrame) -> DataFrame:
         F.col("turn_idx").asc(), F.col("ts").asc_nulls_first()
     )
     prev_role = F.lag("role").over(w)
+    # NULL-key rows sit outside every conversation's turn sequence — the
+    # engine-wide NULL-key posture (plans/validate.py)
     return (
-        df.select("conv_id", "turn_idx", "role", prev_role.alias("prev_role"))
+        df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        .select("conv_id", "turn_idx", "role", prev_role.alias("prev_role"))
         .filter(
             F.col("role").isNotNull()
             & F.col("prev_role").isNotNull()

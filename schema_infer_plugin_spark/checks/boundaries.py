@@ -53,7 +53,11 @@ def conv_boundary_violations(
         F.col("ts").desc_nulls_last(),
         F.col("role").desc(),
     )
-    marked = df.select(
+    # NULL-key rows are outside every conversation (engine-wide posture,
+    # plans/validate.py): they can be neither its opener nor its closer
+    marked = df.filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    ).select(
         "conv_id",
         "turn_idx",
         "role",

@@ -24,8 +24,12 @@ def contiguity_violations(df: DataFrame) -> DataFrame:
     expected = prev + 1.
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    # NULL-key rows carry no position in any conversation — they are
+    # not_null_conv_id / not_null_turn_idx violations, never contiguity ones
+    # (the engine-wide posture, plans/validate.py)
     idx = (
-        df.select("conv_id", "turn_idx")
+        df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        .select("conv_id", "turn_idx")
         .distinct()
         .withColumn("prev_idx", F.lag("turn_idx").over(w))
     )

@@ -24,8 +24,12 @@ def _rewinds(df: DataFrame) -> DataFrame:
         F.col("turn_idx").asc(), F.col("ts").asc_nulls_first()
     )
     prev_ts = F.lag("ts").over(w)
-    return df.select("conv_id", "turn_idx", "ts", prev_ts.alias("prev_ts")).filter(
-        F.col("ts") < F.col("prev_ts")
+    # NULL-key rows are outside every conversation's timeline (engine-wide
+    # posture, plans/validate.py) — their keys are the violation, not their ts
+    return (
+        df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        .select("conv_id", "turn_idx", "ts", prev_ts.alias("prev_ts"))
+        .filter(F.col("ts") < F.col("prev_ts"))
     )
 
 
@@ -64,6 +68,9 @@ def conv_latency_stats(df: DataFrame) -> DataFrame:
     w = Window.partitionBy("conv_id").orderBy(
         F.col("turn_idx").asc(), F.col("ts").asc_nulls_first(), F.col("role").asc_nulls_first()
     )
+    # conversation-unit profile: well-keyed rows only (NULL-key posture,
+    # plans/validate.py) — a keyless row sits on no conversation's timeline
+    df = df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(w)
     prev_role = F.lag("role").over(w)

@@ -17,9 +17,15 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def uniqueness_violations(df: DataFrame) -> DataFrame:
-    """One violation row per duplicated (conv_id, turn_idx) key."""
+    """One violation row per duplicated (conv_id, turn_idx) key.
+
+    Rows with a NULL conv_id or turn_idx are excluded: two keyless rows are
+    not "the same key twice" — they are not_null_conv_id / not_null_turn_idx
+    violations (checks/nulls.py), the engine-wide NULL-key posture
+    (plans/validate.py)."""
     return (
-        df.groupBy("conv_id", "turn_idx")
+        df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        .groupBy("conv_id", "turn_idx")
         .agg(F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)
         .select(

@@ -25,6 +25,10 @@ def conversation_features(df: DataFrame) -> DataFrame:
     contiguous, ends_with_assistant, total_chars, avg_chars, trainable).
     """
     role_is = lambda r: F.sum((F.col("role") == r).cast("long"))  # noqa: E731
+    # conversation-unit operator: only well-keyed rows form a conversation
+    # (NULL conv_id/turn_idx rows are the validation pass's job — the
+    # engine-wide NULL-key posture, plans/validate.py)
+    df = df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
     agg = df.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         role_is("user").alias("n_user"),
@@ -96,6 +100,9 @@ def shared_prefixes(df: DataFrame, k: int = 1, min_count: int = 2) -> DataFrame:
     """
     if k < 1:
         raise ValueError(f"shared_prefixes: k must be >= 1: {k}")
+    # conversation-unit operator: well-keyed rows only (NULL-key posture,
+    # plans/validate.py) — a keyless row is no conversation's opening turn
+    df = df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
     if min_count < 1:
         raise ValueError(f"shared_prefixes: min_count must be >= 1: {min_count}")
     w = Window.partitionBy("conv_id").orderBy(
@@ -167,6 +174,9 @@ def conversation_texts(df: DataFrame) -> DataFrame:
         F.col("turn_idx"),
         F.coalesce(F.col("text"), F.lit("<null>")).alias("t"),
     )
+    # conversation-unit operator: well-keyed rows only (NULL-key posture,
+    # plans/validate.py) — keyless rows have no render position
+    df = df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
     return df.groupBy("conv_id").agg(
         F.array_join(
             F.transform(F.sort_array(F.collect_list(turn)), lambda s: s["t"]),

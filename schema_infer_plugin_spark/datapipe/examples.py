@@ -38,6 +38,9 @@ def sft_examples(
 
     Output: (conv_id, turn_idx, target, context, n_context).
     """
+    # conversation-unit operator: well-keyed rows only (NULL-key posture,
+    # plans/validate.py) — a keyless row has no position in any context window
+    df = df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
     turn_str = F.concat_ws(
         _FIELD_SEP,
         F.coalesce(F.col("role"), F.lit("<null>")),

@@ -26,6 +26,13 @@ is "first of its key group" iff ``lag(turn_idx) IS DISTINCT FROM turn_idx``;
 lag at such rows equals the previous *distinct* index, and only those rows may
 emit contiguity violations — same result, no distinct needed.
 
+NULL-key posture: rows missing ``conv_id`` or ``turn_idx`` raise
+``not_null_conv_id`` / ``not_null_turn_idx`` violations and are excluded from
+every sequence check (no well-formed conversation to assert against); in the
+window exchange they are salted across ``_NULL_KEY_SALT`` partitions instead
+of collapsing onto the single NULL hash key — window outputs for them are
+guarded, so the salt can be any deterministic spread.
+
 Skew: the only partition-heavy key is ``conv_id``; conversations are bounded
 (≤ thousands of turns) while the table is not, so hash partitioning stays
 balanced at any scale — salting is unnecessary *for this plan* (the composite
@@ -65,7 +72,14 @@ CHECK_NAMES = [
     "domain_tool",
     "tool_without_role",
     "not_null_text",
+    "not_null_conv_id",
+    "not_null_turn_idx",
 ]
+
+#: salt modulus for NULL-key rows in the window exchange (see
+#: validate_transcripts docstring — any deterministic per-row spread works
+#: because window outputs for those rows are guarded, never emitted)
+_NULL_KEY_SALT = 64
 
 
 def _v(check: str, column: str, observed, expected) -> F.Column:
@@ -97,16 +111,50 @@ def validate_transcripts(
     roles = role_domain or ROLE_DOMAIN
     tools = tool_domain or TOOL_DOMAIN
 
+    # NULL-key posture: a row missing conv_id or turn_idx belongs to no
+    # well-formed conversation, so (a) it raises a not_null_conv_id /
+    # not_null_turn_idx violation, (b) it is EXCLUDED from every sequence
+    # check (uniqueness/contiguity/ts_monotonic/alternation — asserting
+    # contiguity among unrelated keyless rows would fabricate violations),
+    # and (c) it must not collapse into one hot window partition: hashing
+    # all NULL conv_ids to a single reducer would recreate the irreducible-
+    # skew problem for rows that don't even need window semantics. The salt
+    # spreads ONLY NULL-key rows across _NULL_KEY_SALT partitions on the
+    # exchange path; well-keyed rows keep salt 0, so their window results
+    # are bit-identical, and HashPartitioning(conv_id) from a bucketed scan
+    # still satisfies both clusterings ({conv_id} ⊆ {conv_id, _ksalt[, …]})
+    # — the zero-exchange bucketed plan survives.
+    key_ok = F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
     slim = df.select(
-        "conv_id", "turn_idx", "role", "tool", "ts", F.col("text").isNull().alias("text_null")
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        F.col("text").isNull().alias("text_null"),
+        # 1 + pmod: the NULL-key salt range (1.._NULL_KEY_SALT) is DISJOINT
+        # from the well-keyed 0 — a colliding salt would put a keyless row
+        # back into a real conversation's window partition and shift its
+        # neighbors' lag chains even though the keyless row's own emissions
+        # are guarded (caught by the fixture's injected NULL keys)
+        F.when(key_ok, F.lit(0))
+        .otherwise(
+            F.lit(1)
+            + F.pmod(
+                F.xxhash64(F.col("turn_idx"), F.col("role"), F.col("tool"), F.col("ts")),
+                F.lit(_NULL_KEY_SALT),
+            )
+        )
+        .cast("int")
+        .alias("_ksalt"),
     )
 
     # ts tie-break inside duplicate turn_idx groups makes the ts_monotonic lag
     # deterministic; lag(turn_idx)/key_count are insensitive to within-group order.
-    w_conv = Window.partitionBy("conv_id").orderBy(
+    w_conv = Window.partitionBy("conv_id", "_ksalt").orderBy(
         F.col("turn_idx").asc(), F.col("ts").asc_nulls_first()
     )
-    w_key = Window.partitionBy("conv_id", "turn_idx")
+    w_key = Window.partitionBy("conv_id", "_ksalt", "turn_idx")
     annotated = slim.select(
         "*",
         F.lag("turn_idx").over(w_conv).alias("prev_idx"),
@@ -122,19 +170,19 @@ def validate_transcripts(
 
     checks = F.array(
         F.when(
-            first_of_key & (F.col("key_count") > 1),
+            key_ok & first_of_key & (F.col("key_count") > 1),
             _v("uniqueness", "conv_id,turn_idx", F.col("key_count"), F.lit("1")),
         ),
         F.when(
-            first_of_key & prev.isNotNull() & (idx != prev + 1),
+            key_ok & first_of_key & prev.isNotNull() & (idx != prev + 1),
             _v("contiguity", "turn_idx", idx, prev + 1),
         ),
         F.when(
-            prev.isNull() & (idx != 0),
+            key_ok & prev.isNull() & (idx != 0),
             _v("contiguity_start", "turn_idx", idx, F.lit("0")),
         ),
         F.when(
-            F.col("ts") < F.col("prev_ts"),
+            key_ok & (F.col("ts") < F.col("prev_ts")),
             _v(
                 "ts_monotonic",
                 "ts",
@@ -158,10 +206,19 @@ def validate_transcripts(
             F.col("text_null"),
             _v("not_null_text", "text", F.lit("NULL"), F.lit("NOT NULL")),
         ),
+        F.when(
+            F.col("conv_id").isNull(),
+            _v("not_null_conv_id", "conv_id", F.lit("NULL"), F.lit("NOT NULL")),
+        ),
+        F.when(
+            F.col("turn_idx").isNull(),
+            _v("not_null_turn_idx", "turn_idx", F.lit("NULL"), F.lit("NOT NULL")),
+        ),
         *(
             [
                 F.when(
-                    F.col("role").isNotNull()
+                    key_ok
+                    & F.col("role").isNotNull()
                     & F.col("prev_role").isNotNull()
                     & (F.col("role") == F.col("prev_role"))
                     & (F.col("role") != "tool"),

@@ -19,7 +19,12 @@ The view deterministically injects every violation class the engine checks for
 * NULL ``text``                      — ``event_id % 53 = 0``;
 * non-monotone ``ts``                — ``event_id % 113 = 0`` (mid-conversation)
   rewinds the timestamp 60 days (beyond the table's whole span),
-  violating ts monotonicity within the conversation.
+  violating ts monotonicity within the conversation;
+* NULL ``conv_id``                   — ``event_id % 127 = 0`` (keyless row:
+  must raise not_null_conv_id and stay OUT of every sequence check — the
+  engine-wide NULL-key posture, plans/validate.py);
+* NULL ``turn_idx``                  — ``event_id % 131 = 0`` (same posture,
+  not_null_turn_idx; the row keeps its conv_id but holds no position).
 
 Only engine-portable constructs are used (row_number, lpad, CASE, %, concat) —
 no regex, no float→string formatting, ties in the window broken by event_id.
@@ -36,8 +41,10 @@ WITH seq AS (
   FROM events
 ), base AS (
   SELECT
-    concat('conv_', lpad(CAST(user_id AS STRING), 6, '0')) AS conv_id,
-    CASE WHEN event_id % 101 = 0 AND rn > 0 THEN rn - 1 ELSE rn END AS turn_idx,
+    CASE WHEN event_id % 127 = 0 THEN NULL
+         ELSE concat('conv_', lpad(CAST(user_id AS STRING), 6, '0')) END AS conv_id,
+    CASE WHEN event_id % 131 = 0 THEN NULL
+         WHEN event_id % 101 = 0 AND rn > 0 THEN rn - 1 ELSE rn END AS turn_idx,
     CASE event_type
       WHEN 'click' THEN 'user'
       WHEN 'view' THEN 'assistant'

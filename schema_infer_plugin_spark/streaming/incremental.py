@@ -70,6 +70,14 @@ def row_level_violations_stream(
             F.col("text").isNull(),
             v("not_null_text", "text", F.lit("NULL"), F.lit("NOT NULL")),
         ),
+        F.when(
+            F.col("conv_id").isNull(),
+            v("not_null_conv_id", "conv_id", F.lit("NULL"), F.lit("NOT NULL")),
+        ),
+        F.when(
+            F.col("turn_idx").isNull(),
+            v("not_null_turn_idx", "turn_idx", F.lit("NULL"), F.lit("NOT NULL")),
+        ),
     )
     return stream_df.select(
         "conv_id",

@@ -113,8 +113,12 @@ def test_entry_smoke(spark):
     assert df.columns == [
         "run_id", "check_name", "conv_id", "turn_idx", "column", "observed", "expected", "detail",
     ]
-    # stable ordering: (conv_id, turn_idx, check_name)
-    keys = [(r["conv_id"], r["turn_idx"], r["check_name"]) for r in rows]
+    # stable ordering: (conv_id, turn_idx, check_name) — NULL keys (the
+    # fixture's injected keyless rows) sort first, matching Spark's asc()
+    keys = [
+        tuple((v is not None, v) for v in (r["conv_id"], r["turn_idx"], r["check_name"]))
+        for r in rows
+    ]
     assert keys == sorted(keys)
 
 

@@ -67,7 +67,9 @@ def test_all_buckets_pruned_schedules_no_scan(spark, tmp_path):
     assert completed_keys(spark, out, "run0", PASS_B) == {"0", "1", "2", "3"}
     verd = spark.read.parquet(f"{out}/verdicts")
     rows = verd.collect()
-    assert len(rows) == 4 * 8  # full (bucket × check) grid
+    from schema_infer_plugin_spark.plans.validate import CHECK_NAMES
+
+    assert len(rows) == 4 * len(CHECK_NAMES)  # full (bucket × check) grid
     assert all(r["pass"] and r["violation_count"] == 0 for r in rows)
 
 

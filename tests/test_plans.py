@@ -33,6 +33,8 @@ def _modular_union(t):
         )
         .unionByName(tool_requires_role_violations(t))
         .unionByName(null_violations(t, "text"))
+        .unionByName(null_violations(t, "conv_id"))
+        .unionByName(null_violations(t, "turn_idx"))
         .unionByName(ts_monotonic_violations(t))
     )
 
@@ -81,6 +83,44 @@ def test_fused_handles_adjacent_duplicates_gaps_and_ts(spark):
     }
 
 
+def test_fused_null_key_posture(spark):
+    """Rows missing conv_id or turn_idx raise not_null_* violations, are
+    EXCLUDED from every sequence check (no fabricated uniqueness/contiguity
+    among keyless rows), and leave the well-keyed conversations' results
+    untouched."""
+    import datetime as dt
+
+    ts0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # well-formed conversation, no violations
+        ("A", 0, "user", "t", None, ts0),
+        ("A", 1, "assistant", "t", None, ts0),
+        # two keyless rows sharing turn_idx 7: NOT a uniqueness violation
+        (None, 7, "user", "t", None, ts0),
+        (None, 7, "assistant", "t", None, ts0),
+        # NULL turn_idx inside a real conversation: flagged, out of sequence
+        ("A", None, "user", "t", None, ts0),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {
+        (r["check_name"], r["conv_id"], r["turn_idx"])
+        for r in validate_transcripts(t).collect()
+    }
+    assert got == {
+        ("not_null_conv_id", None, 7),
+        ("not_null_turn_idx", "A", None),
+    }
+    assert validate_transcripts(t).count() == 3  # 2× conv_id NULL, 1× turn_idx NULL
+    # and the modular union agrees row-for-row
+    fused = validate_transcripts(t)
+    union = _modular_union(t)
+    assert fused.exceptAll(union).count() == 0
+    assert union.exceptAll(fused).count() == 0
+
+
 def test_fused_plan_has_single_exchange(spark):
     t = synth_transcripts(spark, 500)
     plan = validate_transcripts(t)._jdf.queryExecution().executedPlan().toString()
@@ -101,8 +141,8 @@ _ROLES = ["user", "assistant", "tool", "ALIEN", None]
 _TOOLS = ["search", "python", "BOGUS", None]
 
 _row = st.tuples(
-    st.sampled_from(["A", "B"]),                      # conv_id (collisions likely)
-    st.integers(min_value=0, max_value=4),            # turn_idx (dups + gaps likely)
+    st.sampled_from(["A", "B", None]),                # conv_id (collisions + NULL keys)
+    st.sampled_from([0, 1, 2, 3, 4, None]),           # turn_idx (dups, gaps, NULL keys)
     st.sampled_from(_ROLES),
     st.sampled_from(["hi", None]),                    # text (null-check)
     st.sampled_from(_TOOLS),

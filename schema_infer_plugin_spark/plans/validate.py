@@ -269,7 +269,10 @@ def sampled_validation_estimate(
     Sampling is conv_id-granular — every window check (uniqueness,
     contiguity, ts_monotonic) sees whole conversations, so a sampled
     violation is a REAL violation, never a seam artifact of dropping
-    mid-conversation turns. ``rate_num`` of 16**width buckets (width=2 →
+    mid-conversation turns. Corollary: rows with a NULL conv_id hash to no
+    bucket and are never sampled, so ``not_null_conv_id`` always estimates
+    0 here — keyless-row incidence is a question for the full pass (or a
+    row-granular sample), not the conversation-granular estimator. ``rate_num`` of 16**width buckets (width=2 →
     1/256 granularity), sources/sampling.deterministic_sample.
 
     The Wilson interval is ONE fixed double formula (z = 1.959964) on an

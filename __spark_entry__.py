@@ -283,7 +283,7 @@ FROM (
     SELECT role,
            lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
                            ts ASC NULLS FIRST, role ASC NULLS FIRST) AS prev_role
-    FROM transcripts)
+    FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL)
   GROUP BY prev_role, role)
 """
 )
@@ -398,7 +398,7 @@ ORACLE_TRANSITION_DRIFT = oracle_cte(
          lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
                          ts ASC NULLS FIRST, role ASC NULLS FIRST) AS prev,
          coalesce(epoch_us(ts), -4611686018427387904) AS ts_us
-  FROM transcripts),
+  FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL),
 tr AS (
   SELECT concat(coalesce(prev, '<null>'), '->', coalesce(role, '<null>')) AS bucket,
          ts_us
@@ -459,7 +459,7 @@ ORACLE_TRANSITION_CHI2 = oracle_cte(
          lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx ASC NULLS FIRST,
                          ts ASC NULLS FIRST, role ASC NULLS FIRST) AS prev,
          coalesce(epoch_us(ts), -4611686018427387904) AS ts_us
-  FROM transcripts),
+  FROM transcripts WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL),
 tr AS (
   SELECT concat(coalesce(prev, '<null>'), '->', coalesce(role, '<null>')) AS bucket,
          ts_us
@@ -5524,8 +5524,9 @@ _R5_WINDOW = [
     "sft_examples",
     "transcripts_fd_role",
     "transcripts_role_domain",
-    # transcripts_tool_domain (r3-green) rotates out to keep the window at
-    # 50 with shared_prefixes in — it heads the next window's priority block
+    # transcripts_tool_domain and infer_role_domain (both r3-green) rotate
+    # out to keep the window at 50 with shared_prefixes + dedup_impact in —
+    # they head the next window's priority block
 ]
 
 

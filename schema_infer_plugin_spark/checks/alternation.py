@@ -45,6 +45,10 @@ def role_transition_matrix(df: DataFrame) -> DataFrame:
         F.col("ts").asc_nulls_first(),
         F.col("role").asc_nulls_first(),
     )
+    # NULL-key rows form no adjacency (engine-wide posture, plans/validate.py)
+    # — one corpus-wide NULL pseudo-conversation would chain unrelated rows
+    # into fabricated edges AND recreate the unsplittable hot window partition
+    df = df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
     matrix = (
         df.select(F.lag("role").over(w).alias("prev_role"), F.col("role"))
         .groupBy("prev_role", "role")
@@ -74,6 +78,8 @@ def transition_buckets(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         F.col("role").asc_nulls_first(),
     )
     neg_inf = -(1 << 62)
+    # NULL-key rows form no adjacency (same posture as role_transition_matrix)
+    df = df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
     return (
         df.select(
             F.row_number().over(w).alias("_rn"),

@@ -160,7 +160,9 @@ def dedup_impact_report(
     hist = sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters")
     )
-    total = labeled.agg(F.count(F.lit(1)).alias("_n"))  # single-row frame
+    # single-row frame; count(docs) == count(labeled) by construction
+    # (components emit one row per node), so skip re-executing the join
+    total = docs.agg(F.count(F.lit(1)).alias("_n"))
     return hist.crossJoin(F.broadcast(total)).select(
         "cluster_size",
         "n_clusters",

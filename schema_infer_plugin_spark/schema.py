@@ -25,8 +25,14 @@ from pyspark.sql.types import (
 #: Input table (BASELINE.json input_hint): multi-turn conversation / agent transcripts.
 TRANSCRIPTS_SCHEMA = StructType(
     [
-        StructField("conv_id", StringType(), nullable=False),
-        StructField("turn_idx", IntegerType(), nullable=False),
+        # conv_id/turn_idx are the table's key and SHOULD be non-null — but
+        # the reader schema must declare them nullable: not-null is a
+        # CONSTRAINT this engine validates (not_null_conv_id/turn_idx,
+        # plans/validate.py), and a nullable=False reader schema lets
+        # Catalyst constant-fold `IS NULL` predicates away, silently
+        # disabling those checks on any stream read with this schema.
+        StructField("conv_id", StringType(), nullable=True),
+        StructField("turn_idx", IntegerType(), nullable=True),
         StructField("role", StringType(), nullable=True),
         StructField("text", StringType(), nullable=True),
         StructField("tool", StringType(), nullable=True),

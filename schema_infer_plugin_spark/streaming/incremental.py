@@ -310,6 +310,14 @@ def stateful_contiguity_stream(stream_df: DataFrame) -> DataFrame:
       max(seen) + 1);
     * first row of a conversation with index != 0 → ``contiguity_start``.
 
+    NULL-key rows (conv_id or turn_idx NULL) are filtered before the
+    stateful operator — the engine-wide posture (plans/validate.py):
+    sequence state for keyless rows is meaningless (all NULL conv_ids would
+    share ONE state key, fabricating uniqueness among unrelated rows — and
+    one ever-growing hot state partition), and a NaN turn_idx would crash
+    the int conversion in the worker. Their violations come from the
+    row-level stream face (not_null_conv_id / not_null_turn_idx).
+
     Semantics are PROVISIONAL-ONLINE by design: a late row that fills an
     earlier gap is accepted silently (no retraction of the already-emitted gap
     violation). The exact batch pass (plans/runner.py) over the affected
@@ -318,6 +326,10 @@ def stateful_contiguity_stream(stream_df: DataFrame) -> DataFrame:
     JVM boundary (§2.11 posture).
     """
     import pandas as pd  # noqa: F401 (imported for the worker closure)
+
+    stream_df = stream_df.filter(
+        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    )
 
     def check(key, pdfs, state):
         import pandas as pd

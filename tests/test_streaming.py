@@ -117,8 +117,13 @@ def test_stateful_contiguity_across_microbatches(spark, tmp_path):
     )
     # batch 2: conv A turn 1 AGAIN (cross-batch dup) and turn 4 (cross-batch gap)
     rows([row("A", 1), row("A", 4)]).coalesce(1).write.parquet(src + "/b2.parquet")
-    # batch 3: turn 1 a THIRD time — the occurrence counter must carry in state
-    rows([row("A", 1)]).coalesce(1).write.parquet(src + "/b3.parquet")
+    # batch 3: turn 1 a THIRD time — the occurrence counter must carry in
+    # state — plus NULL-key rows (engine-wide posture, plans/validate.py):
+    # they must neither crash the NaN->int conversion in the worker nor
+    # fabricate sequence state among keyless rows
+    rows(
+        [row("A", 1), row(None, 7), row(None, 7), row("A", None)]
+    ).coalesce(1).write.parquet(src + "/b3.parquet")
 
     stream = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)

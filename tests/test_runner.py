@@ -79,6 +79,26 @@ def test_verdicts_cover_every_bucket_and_check(spark, tmp_path):
     assert bad.count() == 0
 
 
+def test_runner_keeps_keyless_rows(spark, tmp_path):
+    """NULL-key rows must survive the bucketed runner end to end: Spark's
+    xxhash64(NULL) is the stable seeded hash (NOT NULL), so keyless rows land
+    deterministically in one bucket and their not_null_* violations reach the
+    violations sink and the ledger row counts — nothing silently vanishes."""
+    t = synth_transcripts(spark, 500)
+    extra = spark.createDataFrame(
+        [(None, 7, "user", "x", None, None), ("conv_keyless", None, "user", "x", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    both = t.unionByName(extra)
+    out = str(tmp_path / "run")
+    run_validation(spark, both, out, n_buckets=4, batch_buckets=4)
+    led = read_ledger(spark, out).filter(F.col("pass_name") == PASS_B)
+    assert sum(r["rows_processed"] for r in led.collect()) == both.count()
+    viol = spark.read.parquet(os.path.join(out, "violations"))
+    assert viol.filter(F.col("check_name") == "not_null_conv_id").count() == 1
+    assert viol.filter(F.col("check_name") == "not_null_turn_idx").count() == 1
+
+
 def test_custom_rules_ride_validation_run(spark, tmp_path):
     """Config-declared expression constraints (checks/custom) union with the
     fused plan's violations and extend every bucket's verdict grid."""

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from schema_infer_plugin_spark.schema import well_keyed
+
 
 def role_transition_matrix(df: DataFrame) -> DataFrame:
     """Counts and rates of adjacent-turn (prev_role → role) transitions —
@@ -48,7 +50,7 @@ def role_transition_matrix(df: DataFrame) -> DataFrame:
     # NULL-key rows form no adjacency (engine-wide posture, plans/validate.py)
     # — one corpus-wide NULL pseudo-conversation would chain unrelated rows
     # into fabricated edges AND recreate the unsplittable hot window partition
-    df = df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+    df = well_keyed(df)
     matrix = (
         df.select(F.lag("role").over(w).alias("prev_role"), F.col("role"))
         .groupBy("prev_role", "role")
@@ -79,7 +81,7 @@ def transition_buckets(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     )
     neg_inf = -(1 << 62)
     # NULL-key rows form no adjacency (same posture as role_transition_matrix)
-    df = df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+    df = well_keyed(df)
     return (
         df.select(
             F.row_number().over(w).alias("_rn"),
@@ -193,7 +195,7 @@ def transition_domain_violations(
     # NULL-key rows form no judgeable edge (engine-wide posture,
     # plans/validate.py) — filtered before the lag so they break no chain
     return (
-        df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        well_keyed(df)
         .select(
             "conv_id", "turn_idx", "role", F.lag("role").over(w).alias("prev_role")
         )
@@ -259,7 +261,7 @@ def role_alternation_violations(df: DataFrame) -> DataFrame:
     # NULL-key rows sit outside every conversation's turn sequence — the
     # engine-wide NULL-key posture (plans/validate.py)
     return (
-        df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        well_keyed(df)
         .select("conv_id", "turn_idx", "role", prev_role.alias("prev_role"))
         .filter(
             F.col("role").isNotNull()

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from schema_infer_plugin_spark.schema import well_keyed
+
 DEFAULT_FIRST_ROLES = ("user", "system")
 DEFAULT_LAST_ROLES = ("assistant", "tool")
 
@@ -55,9 +57,7 @@ def conv_boundary_violations(
     )
     # NULL-key rows are outside every conversation (engine-wide posture,
     # plans/validate.py): they can be neither its opener nor its closer
-    marked = df.filter(
-        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
-    ).select(
+    marked = well_keyed(df).select(
         "conv_id",
         "turn_idx",
         "role",

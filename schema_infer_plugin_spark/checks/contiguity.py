@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from schema_infer_plugin_spark.schema import well_keyed
+
 
 def contiguity_violations(df: DataFrame) -> DataFrame:
     """Violation rows: gaps (turn_idx != prev+1) and missing starts (min != 0).
@@ -28,7 +30,7 @@ def contiguity_violations(df: DataFrame) -> DataFrame:
     # not_null_conv_id / not_null_turn_idx violations, never contiguity ones
     # (the engine-wide posture, plans/validate.py)
     idx = (
-        df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        well_keyed(df)
         .select("conv_id", "turn_idx")
         .distinct()
         .withColumn("prev_idx", F.lag("turn_idx").over(w))

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from schema_infer_plugin_spark.schema import well_keyed
+
 
 def _rewinds(df: DataFrame) -> DataFrame:
     """(conv_id, turn_idx, ts, prev_ts) rows where ts rewinds vs the previous
@@ -27,7 +29,7 @@ def _rewinds(df: DataFrame) -> DataFrame:
     # NULL-key rows are outside every conversation's timeline (engine-wide
     # posture, plans/validate.py) — their keys are the violation, not their ts
     return (
-        df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        well_keyed(df)
         .select("conv_id", "turn_idx", "ts", prev_ts.alias("prev_ts"))
         .filter(F.col("ts") < F.col("prev_ts"))
     )
@@ -70,7 +72,7 @@ def conv_latency_stats(df: DataFrame) -> DataFrame:
     )
     # conversation-unit profile: well-keyed rows only (NULL-key posture,
     # plans/validate.py) — a keyless row sits on no conversation's timeline
-    df = df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+    df = well_keyed(df)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(w)
     prev_role = F.lag("role").over(w)

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from schema_infer_plugin_spark.schema import well_keyed
+
 
 def uniqueness_violations(df: DataFrame) -> DataFrame:
     """One violation row per duplicated (conv_id, turn_idx) key.
@@ -24,7 +26,7 @@ def uniqueness_violations(df: DataFrame) -> DataFrame:
     violations (checks/nulls.py), the engine-wide NULL-key posture
     (plans/validate.py)."""
     return (
-        df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        well_keyed(df)
         .groupBy("conv_id", "turn_idx")
         .agg(F.count(F.lit(1)).alias("dup_count"))
         .filter(F.col("dup_count") > 1)

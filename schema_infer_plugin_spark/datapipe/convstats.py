@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from schema_infer_plugin_spark.schema import well_keyed
+
 
 def conversation_features(df: DataFrame) -> DataFrame:
     """One feature row per conversation.
@@ -28,7 +30,7 @@ def conversation_features(df: DataFrame) -> DataFrame:
     # conversation-unit operator: only well-keyed rows form a conversation
     # (NULL conv_id/turn_idx rows are the validation pass's job — the
     # engine-wide NULL-key posture, plans/validate.py)
-    df = df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+    df = well_keyed(df)
     agg = df.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         role_is("user").alias("n_user"),
@@ -102,7 +104,7 @@ def shared_prefixes(df: DataFrame, k: int = 1, min_count: int = 2) -> DataFrame:
         raise ValueError(f"shared_prefixes: k must be >= 1: {k}")
     # conversation-unit operator: well-keyed rows only (NULL-key posture,
     # plans/validate.py) — a keyless row is no conversation's opening turn
-    df = df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+    df = well_keyed(df)
     if min_count < 1:
         raise ValueError(f"shared_prefixes: min_count must be >= 1: {min_count}")
     w = Window.partitionBy("conv_id").orderBy(
@@ -176,7 +178,7 @@ def conversation_texts(df: DataFrame) -> DataFrame:
     )
     # conversation-unit operator: well-keyed rows only (NULL-key posture,
     # plans/validate.py) — keyless rows have no render position
-    df = df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+    df = well_keyed(df)
     return df.groupBy("conv_id").agg(
         F.array_join(
             F.transform(F.sort_array(F.collect_list(turn)), lambda s: s["t"]),

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from schema_infer_plugin_spark.schema import well_keyed
+
 #: unit separator / tab — never appear in fixture text, so the rendered
 #: context string is unambiguous and engine-portable
 _FIELD_SEP = "\t"
@@ -40,7 +42,7 @@ def sft_examples(
     """
     # conversation-unit operator: well-keyed rows only (NULL-key posture,
     # plans/validate.py) — a keyless row has no position in any context window
-    df = df.filter(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+    df = well_keyed(df)
     turn_str = F.concat_ws(
         _FIELD_SEP,
         F.coalesce(F.col("role"), F.lit("<null>")),

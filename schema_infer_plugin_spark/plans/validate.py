@@ -60,7 +60,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from schema_infer_plugin_spark.schema import ROLE_DOMAIN, TOOL_DOMAIN
+from schema_infer_plugin_spark.schema import (
+    ROLE_DOMAIN,
+    TOOL_DOMAIN,
+    well_keyed_predicate,
+)
 
 #: check_name values emitted by this plan (verdict grid rows).
 CHECK_NAMES = [
@@ -124,7 +128,7 @@ def validate_transcripts(
     # are bit-identical, and HashPartitioning(conv_id) from a bucketed scan
     # still satisfies both clusterings ({conv_id} ⊆ {conv_id, _ksalt[, …]})
     # — the zero-exchange bucketed plan survives.
-    key_ok = F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    key_ok = well_keyed_predicate()
     slim = df.select(
         "conv_id",
         "turn_idx",

@@ -9,6 +9,7 @@ reference's inferred-schema / per-message outcomes become typed output tables
 
 from __future__ import annotations
 
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -106,3 +107,19 @@ LEDGER_SCHEMA = StructType(
         StructField("completed_ts", TimestampType()),
     ]
 )
+
+
+def well_keyed_predicate() -> Column:
+    """The transcripts key contract as ONE expression: conv_id AND turn_idx
+    non-null. This is the single definition of the engine-wide NULL-key
+    posture's predicate (SURVEY round-5 item 33) — every sequence check,
+    conversation-unit operator, and the fused plan's key_ok consume it from
+    here, so a posture change cannot silently fork across call sites."""
+    return F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+
+
+def well_keyed(df: DataFrame) -> DataFrame:
+    """Filter to well-keyed rows (see :func:`well_keyed_predicate`). Keyless
+    rows are the validation pass's job (not_null_conv_id/turn_idx), never an
+    input to key semantics."""
+    return df.filter(well_keyed_predicate())

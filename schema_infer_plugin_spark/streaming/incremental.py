@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 from schema_infer_plugin_spark.plans.validate import validate_transcripts
-from schema_infer_plugin_spark.schema import ROLE_DOMAIN, TOOL_DOMAIN
+from schema_infer_plugin_spark.schema import ROLE_DOMAIN, TOOL_DOMAIN, well_keyed
 
 
 def row_level_violations_stream(
@@ -327,9 +327,7 @@ def stateful_contiguity_stream(stream_df: DataFrame) -> DataFrame:
     """
     import pandas as pd  # noqa: F401 (imported for the worker closure)
 
-    stream_df = stream_df.filter(
-        F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
-    )
+    stream_df = well_keyed(stream_df)
 
     def check(key, pdfs, state):
         import pandas as pd
